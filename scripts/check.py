@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/check.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` already ran.
+For each query parquet in outDir and its SQL in oracle_sql.json, runs
+the SQL in DuckDB with views named after the test tables, then
+compares (columns sorted by name, rows sorted by all columns).
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def values_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    import glob
+    import os
+    dirs = sorted(d for d in glob.glob(f"{out_dir}/*") if os.path.isdir(d))
+    for qdir in dirs:
+        name = os.path.basename(qdir)
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        if name not in oracle:
+            print(f"  [rows-only] {name}: {len(got)} rows "
+                  f"{'OK' if len(got) > 0 else 'EMPTY!'}")
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"  [FAIL-sql ] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got_n, exp_n = norm(got), norm(exp)
+        if list(got_n.columns) != list(exp_n.columns):
+            print(f"  [FAIL-cols] {name}: spark={list(got_n.columns)} "
+                  f"oracle={list(exp_n.columns)}")
+            n_fail += 1
+            continue
+        if len(got_n) != len(exp_n):
+            print(f"  [FAIL-rows] {name}: spark={len(got_n)} oracle={len(exp_n)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i in range(len(got_n)):
+            for c in got_n.columns:
+                a, b = got_n.iloc[i][c], exp_n.iloc[i][c]
+                try:
+                    import numpy as np
+                    if isinstance(a, np.generic):
+                        a = a.item()
+                    if isinstance(b, np.generic):
+                        b = b.item()
+                except Exception:
+                    pass
+                if not values_equal(a, b):
+                    bad = (i, c, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            i, c, a, b = bad
+            print(f"  [FAIL-val ] {name}: row {i} col {c}: spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"  [PASS     ] {name}: {len(got_n)} rows")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, "
+          f"{len(dirs) - n_pass - n_fail} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QUtil._
+
+/** Event-time operators over the `events` table: tumbling / sliding
+  * windows, gap-based sessionization, JSON property extraction.
+  *
+  * The reference has no streaming (SURVEY.md §2.5) — these are the
+  * batch formulations; `graft.streaming.EventsStream` carries the
+  * Structured Streaming variants of the same aggregations.
+  *
+  * Timestamp discipline: `events.ts` is nanosecond-precision in the
+  * parquet files; Spark truncates to microseconds on read, so every
+  * oracle casts `ts` to microsecond TIMESTAMP first. Window keys are
+  * emitted as epoch-second BIGINTs, never raw timestamps, to dodge
+  * cross-engine timestamp encodings.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "events")
+
+  /** Tumbling 1-day windows per event type. At scale this is a single
+    * map-side-combinable aggregate — the window key is a pure
+    * projection, no shuffle beyond the final groupBy. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("win_start", (floor(unix_micros(col("ts")) / 86400000000L) * 86400L).cast("long"))
+      .groupBy("win_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(dec6(col("value"))).as("sum_value"))
+
+  val tumblingOracle: String =
+    """SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) * 86400 AS BIGINT) AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding windows: 1 hour long, every 30 minutes — each event lands
+    * in exactly 2 windows. Uses Spark's built-in `window()` (which
+    * expands slide assignments without a join); key re-emitted as
+    * epoch seconds. */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(dec6(col("value"))).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  val slidingOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(value AS DECIMAL(18,6)) v,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000) * 1800 AS BIGINT) AS w1
+      |  FROM events)
+      |SELECT win_start, event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM (SELECT event_type, v, UNNEST([w1, w1 - 1800]) AS win_start FROM e)
+      |GROUP BY win_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap), computed
+    * with lag + running sum inside a per-user window — one shuffle on
+    * user_id, linear per partition, no driver-side state. Semantics
+    * match Spark's `session_window`: a gap of *exactly* 30 minutes
+    * starts a new session. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") >= 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+  }
+
+  val sessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS sess_events FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions, SUM(sess_events) AS n_events,
+      |  MAX(sess_events) AS max_session_events
+      |FROM per_sess GROUP BY user_id""".stripMargin
+
+  /** JSON property extraction (`events.props` is a JSON string).
+    * Spark side uses the codegen'd `get_json_object`; the oracle uses
+    * a regex so it cannot depend on DuckDB's JSON extension. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        r6(sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+
+  val jsonExtractOracle: String =
+    """WITH j AS (
+      |  SELECT event_type,
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+      |FROM j GROUP BY event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
+    Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
+    Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
+    Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)))
+}

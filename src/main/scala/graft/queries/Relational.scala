@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import QUtil._
+
+/** The built-in relational surface over the harness star schema:
+  * scan → filter → project → hash/broadcast join → aggregate.
+  *
+  * All joins here follow the 100 TB playbook: the fact table
+  * (lineitem) streams, every dimension is broadcast (region/nation/
+  * supplier/part are tiny at any SF; customer is small relative to
+  * the fact side), so no fact-side shuffle is needed until the final
+  * partial-aggregated groupBy.
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  /** TPC-H Q1-style pricing summary. Exact decimal arithmetic so the
+    * sums are order-independent (associativity) and match DuckDB
+    * bit-for-bit after the final cast to double. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val discPrice = dec4(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(dec4(col("l_quantity"))).as("sum_qty"),
+        moneySum(dec4(col("l_extendedprice"))).as("sum_base_price"),
+        moneySum(discPrice).as("sum_disc_price"),
+        r6(sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        r6(sum(dec4(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Customer ⋈ orders ⋈ lineitem revenue rollup by market segment ×
+    * order priority. Customer is the broadcast side; orders⋈lineitem
+    * co-shuffles on orderkey (the natural key both sides share). */
+  def q3SegmentRevenue(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+    val ord = t(s, d, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"),
+        (dec4(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(moneySum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q3Oracle: String =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment, o_orderpriority""".stripMargin
+
+  /** Supplier-nation-region rollup (TPC-H Q5 flavor): the fact table
+    * streams once; supplier/nation/region are all broadcast — zero
+    * shuffle before the final aggregate. */
+  def q5RegionalRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_suppkey"),
+      (dec4(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val reg = t(s, d, "region").select("r_regionkey", "r_name")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q5Oracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  /** Semi/anti join surface: per nation, customers with ≥1 order vs
+    * customers with none. `left_semi`/`left_anti` avoid materializing
+    * the join — at scale these stay one shuffle each on custkey. */
+  def qSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val ordKeys = t(s, d, "orders").select("o_custkey")
+    val nat = t(s, d, "nation").select("n_nationkey", "n_name")
+    val withOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_without_orders"))
+    nat
+      .join(withOrders, col("n_nationkey") === withOrders("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(withoutOrders, col("n_nationkey") === withoutOrders("c_nationkey"), "left")
+      .select(col("n_name"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  val qSemiAntiOracle: String =
+    """SELECT n_name,
+      |  COALESCE(SUM(CASE WHEN has_ord THEN 1 ELSE 0 END), 0) AS n_with_orders,
+      |  COALESCE(SUM(CASE WHEN has_ord THEN 0 ELSE 1 END), 0) AS n_without_orders
+      |FROM nation
+      |LEFT JOIN (
+      |  SELECT c_custkey, c_nationkey,
+      |    EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_ord
+      |  FROM customer) c ON n_nationkey = c_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** Top-N pattern: highest-revenue orders (deterministic tiebreak on
+    * orderkey). Revenue is decimal-exact so the ordering is identical
+    * in both engines. */
+  def qTopRevenueOrders(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      (dec4(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    li.groupBy("l_orderkey")
+      .agg(sum(col("rev")).as("rev_dec"), count(lit(1)).as("n_items"))
+      .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+      .limit(20)
+      .select(col("l_orderkey"), col("rev_dec").cast("double").as("revenue"),
+        col("n_items"))
+  }
+
+  val qTopRevenueOrdersOracle: String =
+    """SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue, n_items FROM (
+      |  SELECT l_orderkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec,
+      |    COUNT(*) AS n_items
+      |  FROM lineitem GROUP BY l_orderkey
+      |  ORDER BY rev_dec DESC, l_orderkey ASC LIMIT 20)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q3_segment_revenue", q3SegmentRevenue, Some(q3Oracle), bench = true),
+    Q("q5_regional_revenue", q5RegionalRevenue, Some(q5Oracle), bench = true),
+    Q("q_semi_anti_orders", qSemiAnti, Some(qSemiAntiOracle)),
+    Q("q_top_revenue_orders", qTopRevenueOrders, Some(qTopRevenueOrdersOracle), bench = true))
+}
