@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.clean.Cleaning
+import graft.ml.Scalers
+import graft.sources.Tables
+import graft.stats.{Acf, Correlation, EvalMetrics, Histogram}
+import graft.ts.TimeSeries
+import QUtil._
+
+/** Queries exercising the reference's descriptive-stat, time-series
+  * and scaling operators (SURVEY.md §2.2/§2.4/§2.5/§2.6) against the
+  * DuckDB oracle. */
+object StatsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ---- D1: auto-binned histograms -------------------------------------
+  def histQuantity(s: SparkSession, d: String): DataFrame =
+    Histogram.histogram(t(s, d, "lineitem"), "l_quantity")
+
+  def histPrice(s: SparkSession, d: String): DataFrame =
+    Histogram.histogram(t(s, d, "lineitem"), "l_extendedprice")
+
+  // ---- D2: scatter feed (projection, deterministic sample) ------------
+  def scatterSample(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+
+  val scatterOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_orderkey % 500 = 0""".stripMargin
+
+  // ---- D3: corrwith ----------------------------------------------------
+  private val corrFeatures = Seq("l_quantity", "l_discount", "l_tax")
+
+  def corrLineitem(s: SparkSession, d: String): DataFrame =
+    Correlation.corrWithLong(t(s, d, "lineitem"), corrFeatures, "l_extendedprice")
+
+  val corrOracle: String = corrFeatures
+    .map(f =>
+      s"SELECT '$f' AS feature, ROUND(corr($f, l_extendedprice), 6) AS r FROM lineitem")
+    .mkString(" UNION ALL ")
+
+  // ---- D5: per-group ACF ----------------------------------------------
+  def acfEvents(s: SparkSession, d: String): DataFrame =
+    Acf.acf(t(s, d, "events"), "user_id",
+      Seq(col("ts"), col("event_id")), "value", nLags = 10)
+
+  // ---- D6-D9: metric report over a deterministic baseline model -------
+  /** Groupwise-mean predictor (decimal-exact, so both engines derive
+    * the identical prediction) then the full metric report — the
+    * shape of M8+D7-D9 without a fitted model in the loop. */
+  def evalMetrics(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val pred = li.groupBy("l_returnflag", "l_linestatus")
+      .agg((sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("pred"))
+    val joined = li.join(broadcast(pred), Seq("l_returnflag", "l_linestatus"))
+    EvalMetrics.report(joined, col("l_quantity"), col("pred"), threshold = 25.0)
+  }
+
+  val evalMetricsOracle: String =
+    """WITH p AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS pred
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT l_quantity AS y, pred,
+      |    CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END AS yb,
+      |    CASE WHEN pred < 25.0 THEN 1 ELSE 0 END AS pb
+      |  FROM lineitem JOIN p USING (l_returnflag, l_linestatus)),
+      |c AS (
+      |  SELECT ROUND(SQRT(AVG(POW(pred - y, 2))), 6) AS rmse,
+      |    ROUND(AVG(ABS(pred - y)), 6) AS mae,
+      |    ROUND(MIN(y), 6) AS y_min, ROUND(MAX(y), 6) AS y_max,
+      |    SUM(CASE WHEN yb = 1 AND pb = 1 THEN 1 ELSE 0 END) AS tp,
+      |    SUM(CASE WHEN yb = 0 AND pb = 1 THEN 1 ELSE 0 END) AS fp,
+      |    SUM(CASE WHEN yb = 1 AND pb = 0 THEN 1 ELSE 0 END) AS fn,
+      |    SUM(CASE WHEN yb = 0 AND pb = 0 THEN 1 ELSE 0 END) AS tn
+      |  FROM j)
+      |SELECT rmse, mae, y_min, y_max, tp, fp, fn, tn,
+      |  ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
+      |  ROUND(CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall,
+      |  ROUND(CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0 ELSE 2.0 * tp / (2 * tp + fp + fn) END, 6) AS f1
+      |FROM c""".stripMargin
+
+  // ---- P1: all-null column audit --------------------------------------
+  /** Per-column non-null counts (the aggregate behind
+    * `dropAllNullColumns`), emitted as rows so the oracle can check
+    * the exact numbers the drop decision uses. */
+  def nullAudit(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").drop("ts") // ts re-derived; audit raw columns
+    val counts = ev.select(ev.columns.map(c => count(col(c)).as(c)).toSeq: _*)
+    val stackExpr = ev.columns
+      .map(c => s"'$c', $c").mkString(s"stack(${ev.columns.length}, ", ", ", ") as (column_name, n_nonnull)")
+    counts.selectExpr(stackExpr)
+  }
+
+  val nullAuditOracle: String =
+    Seq("event_id", "user_id", "event_type", "value", "props")
+      .map(c => s"SELECT '$c' AS column_name, COUNT($c) AS n_nonnull FROM events")
+      .mkString(" UNION ALL ")
+
+  // ---- P7: distinct values --------------------------------------------
+  def distinctEventTypes(s: SparkSession, d: String): DataFrame =
+    Cleaning.distinctValues(t(s, d, "events"), "event_type")
+
+  val distinctOracle: String = "SELECT DISTINCT event_type FROM events"
+
+  // ---- W1: ordered per-group split ------------------------------------
+  private val lookBack = 4
+
+  def splitCounts(s: SparkSession, d: String): DataFrame = {
+    val split = TimeSeries.orderedSplit(t(s, d, "events"), "user_id",
+      Seq(col("ts"), col("event_id")), lookBack)
+    split.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("split").isin("train", "both"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("split").isin("test", "both"), 1L).otherwise(0L)).as("n_test"))
+  }
+
+  val splitCountsOracle: String =
+    s"""WITH r AS (
+       |  SELECT user_id,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS n
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n,
+       |  SUM(CASE WHEN rn <= FLOOR(0.8 * n) THEN 1 ELSE 0 END) AS n_train,
+       |  SUM(CASE WHEN rn > FLOOR(0.8 * n) - $lookBack THEN 1 ELSE 0 END) AS n_test
+       |FROM r GROUP BY user_id""".stripMargin
+
+  // ---- W2: sliding-window featurizer ----------------------------------
+  /** Window count + content checksums per group. The Spark side runs
+    * the real nested-window operator (collect_list of structs); the
+    * oracle derives the same numbers from lag/lead identities —
+    * window[0].value ≡ lag(value, lookBack−1), label ≡ lead(value). */
+  def windowStats(s: SparkSession, d: String): DataFrame = {
+    val win = TimeSeries.slidingWindows(t(s, d, "events"), "user_id",
+      Seq(col("ts"), col("event_id")),
+      featureCols = Seq("value", "event_type"), labelCol = "value",
+      lookBack = lookBack)
+    win.groupBy("user_id").agg(
+      count(lit(1)).as("n_windows"),
+      moneySum(dec6(element_at(col("window"), 1).getField("value"))).as("sum_first"),
+      moneySum(dec6(col("label"))).as("sum_label"))
+  }
+
+  val windowStatsOracle: String =
+    s"""WITH r AS (
+       |  SELECT user_id, value,
+       |    LAG(value, ${lookBack - 1}) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS first_v,
+       |    LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS label
+       |  FROM events)
+       |SELECT user_id, COUNT(*) AS n_windows,
+       |  CAST(SUM(CAST(first_v AS DECIMAL(18,6))) AS DOUBLE) AS sum_first,
+       |  CAST(SUM(CAST(label AS DECIMAL(18,6))) AS DOUBLE) AS sum_label
+       |FROM r WHERE first_v IS NOT NULL AND label IS NOT NULL
+       |GROUP BY user_id""".stripMargin
+
+  // ---- M1/M2: sklearn-exact scalers -----------------------------------
+  def standardizeStats(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_discount")
+    val li = t(s, d, "lineitem")
+    val scaled = Scalers.fitStandard(li, cols).transform(li)
+    scaled.agg(
+      round(avg(col("l_quantity")), 6).as("q_mean"),
+      round(stddev_pop(col("l_quantity")), 6).as("q_std"),
+      round(min(col("l_quantity")), 6).as("q_min"),
+      round(max(col("l_quantity")), 6).as("q_max"),
+      round(avg(col("l_discount")), 6).as("d_mean"),
+      round(stddev_pop(col("l_discount")), 6).as("d_std"),
+      round(min(col("l_discount")), 6).as("d_min"),
+      round(max(col("l_discount")), 6).as("d_max"))
+  }
+
+  val standardizeOracle: String =
+    """WITH s AS (
+      |  SELECT AVG(l_quantity) mq, STDDEV_POP(l_quantity) sq,
+      |    AVG(l_discount) md, STDDEV_POP(l_discount) sd
+      |  FROM lineitem),
+      |z AS (
+      |  SELECT (l_quantity - mq) / sq AS zq, (l_discount - md) / sd AS zd
+      |  FROM lineitem, s)
+      |SELECT ROUND(AVG(zq), 6) AS q_mean, ROUND(STDDEV_POP(zq), 6) AS q_std,
+      |  ROUND(MIN(zq), 6) AS q_min, ROUND(MAX(zq), 6) AS q_max,
+      |  ROUND(AVG(zd), 6) AS d_mean, ROUND(STDDEV_POP(zd), 6) AS d_std,
+      |  ROUND(MIN(zd), 6) AS d_min, ROUND(MAX(zd), 6) AS d_max
+      |FROM z""".stripMargin
+
+  def minMaxStats(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val scaled = Scalers.fitMinMax(li, Seq("l_extendedprice")).transform(li)
+    scaled.agg(
+      round(avg(col("l_extendedprice")), 6).as("p_mean"),
+      round(min(col("l_extendedprice")), 6).as("p_min"),
+      round(max(col("l_extendedprice")), 6).as("p_max"))
+  }
+
+  val minMaxOracle: String =
+    """WITH s AS (SELECT MIN(l_extendedprice) lo, MAX(l_extendedprice) hi FROM lineitem),
+      |z AS (SELECT (l_extendedprice - lo) / (hi - lo) AS zp FROM lineitem, s)
+      |SELECT ROUND(AVG(zp), 6) AS p_mean, ROUND(MIN(zp), 6) AS p_min,
+      |  ROUND(MAX(zp), 6) AS p_max FROM z""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("d1_hist_quantity", histQuantity,
+      Some(Histogram.oracleSql("lineitem", "l_quantity")), bench = true),
+    Q("d1_hist_price", histPrice,
+      Some(Histogram.oracleSql("lineitem", "l_extendedprice"))),
+    Q("d2_scatter_sample", scatterSample, Some(scatterOracle)),
+    Q("d3_corr_lineitem", corrLineitem, Some(corrOracle), bench = true),
+    Q("d5_acf_events", acfEvents,
+      Some(Acf.oracleSql("events", "user_id", "value", 10)), bench = true),
+    Q("d7_eval_metrics", evalMetrics, Some(evalMetricsOracle)),
+    Q("p1_null_audit", nullAudit, Some(nullAuditOracle)),
+    Q("p7_distinct_event_types", distinctEventTypes, Some(distinctOracle)),
+    Q("w1_split_counts", splitCounts, Some(splitCountsOracle)),
+    Q("w2_window_stats", windowStats, Some(windowStatsOracle), bench = true),
+    Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),
+    Q("m2_minmax_stats", minMaxStats, Some(minMaxOracle)))
+}

@@ -1,0 +1,56 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** D6-D9 — evaluation metrics over a (label, prediction) frame
+  * (reference data_analysis.py:163-167,200-204).
+  *
+  * In Spark the prediction lives in the same row as the label after
+  * `model.transform` — a join-by-construction, replacing the
+  * reference's positional `zip` pairing (SURVEY.md §2.3 J4). All
+  * metrics are single-pass aggregates.
+  */
+object EvalMetrics {
+
+  /** D7 — RMSE: sqrt(mean((pred − y)²)), sklearn
+    * `mean_squared_error(squared=False)`. */
+  def rmse(y: Column, pred: Column): Column =
+    sqrt(avg(pow(pred - y, 2)))
+
+  def mae(y: Column, pred: Column): Column = avg(abs(pred - y))
+
+  /** D9 — binary confusion counts after P8 thresholding (positive
+    * class = value < threshold, reference data_analysis.py:200-201).
+    * sklearn label order [0, 1]. */
+  def confusionAggs(yBin: Column, predBin: Column): Seq[Column] = Seq(
+    sum(when(yBin === 1 && predBin === 1, 1L).otherwise(0L)).as("tp"),
+    sum(when(yBin === 0 && predBin === 1, 1L).otherwise(0L)).as("fp"),
+    sum(when(yBin === 1 && predBin === 0, 1L).otherwise(0L)).as("fn"),
+    sum(when(yBin === 0 && predBin === 0, 1L).otherwise(0L)).as("tn"))
+
+  /** D8 — F1 from confusion counts: 2TP/(2TP+FP+FN) — the
+    * oracle-safe exact formula (SURVEY.md §2.4 D8). */
+  def f1FromCounts(tp: Column, fp: Column, fn: Column): Column =
+    when(lit(2) * tp + fp + fn === 0, 0.0)
+      .otherwise(lit(2.0) * tp / (lit(2) * tp + fp + fn))
+
+  /** Full regression+classification report as a one-row frame. */
+  def report(df: DataFrame, y: Column, pred: Column, threshold: Double): DataFrame = {
+    val yBin = graft.clean.Cleaning.binarize(y, threshold)
+    val pBin = graft.clean.Cleaning.binarize(pred, threshold)
+    val base = df.agg(
+      round(rmse(y, pred), 6).as("rmse"),
+      (round(mae(y, pred), 6).as("mae") +:
+        round(min(y), 6).as("y_min") +:
+        round(max(y), 6).as("y_max") +:
+        confusionAggs(yBin, pBin)): _*)
+    base.withColumn("precision",
+        round(when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp"))), 6))
+      .withColumn("recall",
+        round(when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn"))), 6))
+      .withColumn("f1", round(f1FromCounts(col("tp"), col("fp"), col("fn")), 6))
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.stats.Histogram
+
+class HistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("numpy 'auto' bin count on 1..100 (Sturges wins)") {
+    // n=100: sturges = ceil(log2(100)+1) = 8
+    // IQR = 75.25 - 25.75 = 49.5 (linear-interpolated quartiles)
+    // fd = ceil(99 / (2*49.5/cbrt(100))) = ceil(4.6416) = 5 → max = 8
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val spec = Histogram.autoBinSpec(df, "x")
+    assert(spec.nBins == 8)
+    assert(spec.lo == 1.0 && spec.hi == 100.0)
+  }
+
+  test("bin counts partition all rows, top edge folds into last bin") {
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val hist = Histogram.histogram(df, "x").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == 100)
+    assert(hist.keys.max == 7) // x=100 lands in bin 7, not bin 8
+    assert(hist.keys.min == 0)
+  }
+
+  test("constant column degrades to a single bin") {
+    val df = Seq.fill(50)(3.14).toDF("x")
+    val hist = Histogram.histogram(df, "x").collect()
+    assert(hist.length == 1 && hist.head.getLong(1) == 50)
+  }
+}

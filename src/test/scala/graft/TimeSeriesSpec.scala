@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ts.TimeSeries
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two groups: g=1 has 10 ordered rows, g=2 has 3 (≤ lookBack)
+  private def series() =
+    ((1 to 10).map(i => (1, i, i * 1.0)) ++ (1 to 3).map(i => (2, i, i * 10.0)))
+      .toDF("g", "ord", "v")
+
+  test("W2 yields exactly n - lookBack windows per group, none across groups") {
+    val win = TimeSeries.slidingWindows(series(), "g", Seq(col("ord")),
+      Seq("v"), "v", lookBack = 4)
+    val counts = win.groupBy("g").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 6L)) // 10-4=6; group 2 (3 ≤ 4) yields none
+  }
+
+  test("W2 window content: first window is rows 1..4, label is row 5") {
+    val win = TimeSeries.slidingWindows(series(), "g", Seq(col("ord")),
+      Seq("v"), "v", lookBack = 4)
+      .filter(col("g") === 1)
+      .withColumn("first_v", element_at(col("window"), 1).getField("v"))
+      .withColumn("last_v", element_at(col("window"), 4).getField("v"))
+      .orderBy("ord")
+    val first = win.select("first_v", "last_v", "label").head()
+    assert(first.getDouble(0) == 1.0 && first.getDouble(1) == 4.0 &&
+      first.getDouble(2) == 5.0)
+  }
+
+  test("W1 split invariant: n_train + n_test = n + lookBack (overlap)") {
+    val split = TimeSeries.orderedSplit(series(), "g", Seq(col("ord")), lookBack = 2)
+    val g1 = split.filter(col("g") === 1)
+    val train = g1.filter(col("split").isin("train", "both")).count()
+    val test = g1.filter(col("split").isin("test", "both")).count()
+    assert(train == 8) // floor(0.8*10)
+    assert(test == 4)  // rows 7..10: rn > 8-2
+    assert(train + test == 10 + 2)
+  }
+
+  test("W3 sweep builds one dataset per look_back") {
+    val sweep = TimeSeries.lookBackSweep(series(), "g", Seq(col("ord")),
+      Seq("v"), "v")
+    assert(sweep.keySet == Set(2, 3, 4))
+    assert(sweep(2).filter(col("g") === 1).count() == 8)
+    assert(sweep(4).filter(col("g") === 1).count() == 6)
+  }
+
+  test("flattened windows are lookBack × |features| doubles") {
+    val flat = TimeSeries.flattenedWindows(series(), "g", Seq(col("ord")),
+      Seq("v", "ord"), "v", lookBack = 3)
+    val sizes = flat.select(size(col("features_flat"))).distinct().collect()
+    assert(sizes.map(_.getInt(0)).toSeq == Seq(6))
+  }
+}
