@@ -99,7 +99,8 @@ object Events {
       |  FROM m),
       |per_sess AS (
       |  SELECT user_id, sess_id, COUNT(*) AS sess_events FROM sess GROUP BY 1, 2)
-      |SELECT user_id, COUNT(*) AS n_sessions, SUM(sess_events) AS n_events,
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(sess_events) AS BIGINT) AS n_events,
       |  MAX(sess_events) AS max_session_events
       |FROM per_sess GROUP BY user_id""".stripMargin
 
@@ -119,7 +120,7 @@ object Events {
       |  SELECT event_type,
       |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events)
-      |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
       |FROM j GROUP BY event_type""".stripMargin
 

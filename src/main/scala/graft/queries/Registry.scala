@@ -3,7 +3,8 @@ package graft.queries
 /** All registered engine queries. Each module contributes its own
   * `Seq[Q]`; SparkEntry exposes them under the driver contract. */
 object Registry {
-  lazy val all: Seq[Q] = Relational.all ++ Events.all ++ StatsQueries.all
+  lazy val all: Seq[Q] =
+    Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -120,8 +120,8 @@ object Relational {
 
   val qSemiAntiOracle: String =
     """SELECT n_name,
-      |  COALESCE(SUM(CASE WHEN has_ord THEN 1 ELSE 0 END), 0) AS n_with_orders,
-      |  COALESCE(SUM(CASE WHEN has_ord THEN 0 ELSE 1 END), 0) AS n_without_orders
+      |  CAST(COALESCE(SUM(CASE WHEN has_ord THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+      |  CAST(COALESCE(SUM(CASE WHEN has_ord THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_orders
       |FROM nation
       |LEFT JOIN (
       |  SELECT c_custkey, c_nationkey,

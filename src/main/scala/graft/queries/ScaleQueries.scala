@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.scaleops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Queries for the training-data-pipeline operators (dedup,
+  * similarity search, text analysis) with DuckDB oracles wherever the
+  * semantics are SQL-expressible; hash-based ops (SimHash, LSH-ANN)
+  * get rows-only checks plus ScalaTest invariants. */
+object ScaleQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ---- text analysis ---------------------------------------------------
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+
+  val textTokensOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fingerprint
+      |FROM documents""".stripMargin
+
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val withCols = TextAnalysis.qualityColumns(col("text"))
+      .foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    withCols.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("alpha_ratio")), 6).as("avg_alpha"),
+      round(avg(col("stopword_ratio")), 6).as("avg_stopword"),
+      round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
+  val textQualityOracle: String = {
+    val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH q AS (
+       |  SELECT source,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> t IN ($stops))) AS n_stops
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, n_tokens,
+       |    ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) AS alpha_ratio,
+       |    ROUND(CAST(n_stops AS DOUBLE) / n_tokens, 6) AS stopword_ratio
+       |  FROM q),
+       |s AS (
+       |  SELECT source, alpha_ratio, stopword_ratio,
+       |    ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3 +
+       |      alpha_ratio * 0.4 +
+       |      LEAST(1.0, stopword_ratio * 5.0) * 0.3, 6) AS quality
+       |  FROM r)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(alpha_ratio), 6) AS avg_alpha,
+       |  ROUND(AVG(stopword_ratio), 6) AS avg_stopword,
+       |  ROUND(AVG(quality), 6) AS avg_quality
+       |FROM s GROUP BY source""".stripMargin
+  }
+
+  def textLangId(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n"))
+
+  val textLangIdOracle: String = {
+    val scores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($set))) AS s_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH s AS (
+       |  SELECT lang, $scores
+       |  FROM documents)
+       |SELECT lang,
+       |  CASE
+       |    WHEN s_zh > GREATEST(s_en, s_de, s_es, s_fr) THEN 'zh'
+       |    WHEN s_fr > GREATEST(s_en, s_de, s_es) THEN 'fr'
+       |    WHEN s_es > GREATEST(s_en, s_de) THEN 'es'
+       |    WHEN s_de > s_en THEN 'de'
+       |    ELSE 'en' END AS pred_lang,
+       |  COUNT(*) AS n
+       |FROM s GROUP BY 1, 2""".stripMargin
+  }
+
+  // ---- dedup -----------------------------------------------------------
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactStats(t(s, d, "documents"),
+      Dedup.normalizedText(col("text")))
+
+  val dedupExactOracle: String =
+    """WITH g AS (
+      |  SELECT regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS k,
+      |    COUNT(*) AS c
+      |  FROM documents GROUP BY 1)
+      |SELECT COUNT(*) AS n_distinct, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+      |  CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups
+      |FROM g""".stripMargin
+
+  def dedupMinHash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
+      shingleK = 3, minJaccard = 0.6)
+
+  /** Brute-force exact-Jaccard oracle — valid because the Spark side
+    * verifies every LSH candidate exactly and r=2/b=32 banding has
+    * < 1e-6 miss probability at jaccard ≥ 0.6. */
+  val dedupMinHashOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
+
+  /** maxDist = 3 is the regime where the 4×16-bit chunk banding has
+    * guaranteed recall (pigeonhole); beyond it recall is partial. */
+  def dedupSimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4)
+
+  val dedupEmbeddingOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT a, b, cos FROM p WHERE cos >= 0.4""".stripMargin
+
+  // ---- similarity search ----------------------------------------------
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnBrute(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val knnBruteOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5""".stripMargin
+
+  /** Bucket count must track corpus size: 2^numPlanes buckets should
+    * be ≪ n or every bucket is a singleton and recall collapses —
+    * 4 planes / 16 buckets suits the harness corpus; at 100 TB you
+    * raise planes so bucket size stays bounded. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnLsh(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5, dim = 64, numPlanes = 4)
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("text_tokens", textTokens, Some(textTokensOracle)),
+    Q("text_quality", textQuality, Some(textQualityOracle)),
+    Q("text_langid", textLangId, Some(textLangIdOracle)),
+    Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
+    Q("dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
+    Q("dedup_simhash", dedupSimHash, None, bench = true),
+    Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
+    Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
+    Q("knn_lsh", knnLsh, None))
+}

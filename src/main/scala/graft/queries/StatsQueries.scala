@@ -77,10 +77,10 @@ object StatsQueries {
       |  SELECT ROUND(SQRT(AVG(POW(pred - y, 2))), 6) AS rmse,
       |    ROUND(AVG(ABS(pred - y)), 6) AS mae,
       |    ROUND(MIN(y), 6) AS y_min, ROUND(MAX(y), 6) AS y_max,
-      |    SUM(CASE WHEN yb = 1 AND pb = 1 THEN 1 ELSE 0 END) AS tp,
-      |    SUM(CASE WHEN yb = 0 AND pb = 1 THEN 1 ELSE 0 END) AS fp,
-      |    SUM(CASE WHEN yb = 1 AND pb = 0 THEN 1 ELSE 0 END) AS fn,
-      |    SUM(CASE WHEN yb = 0 AND pb = 0 THEN 1 ELSE 0 END) AS tn
+      |    CAST(SUM(CASE WHEN yb = 1 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN yb = 0 AND pb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN yb = 1 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN yb = 0 AND pb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
       |  FROM j)
       |SELECT rmse, mae, y_min, y_max, tp, fp, fn, tn,
       |  ROUND(CASE WHEN tp + fp = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision,
@@ -130,8 +130,8 @@ object StatsQueries {
        |    COUNT(*) OVER (PARTITION BY user_id) AS n
        |  FROM events)
        |SELECT user_id, COUNT(*) AS n,
-       |  SUM(CASE WHEN rn <= FLOOR(0.8 * n) THEN 1 ELSE 0 END) AS n_train,
-       |  SUM(CASE WHEN rn > FLOOR(0.8 * n) - $lookBack THEN 1 ELSE 0 END) AS n_test
+       |  CAST(SUM(CASE WHEN rn <= FLOOR(0.8 * n) THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN rn > FLOOR(0.8 * n) - $lookBack THEN 1 ELSE 0 END) AS BIGINT) AS n_test
        |FROM r GROUP BY user_id""".stripMargin
 
   // ---- W2: sliding-window featurizer ----------------------------------

@@ -1,0 +1,161 @@
+package graft.scaleops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+  * Jaccard (north-star additions, BASELINE.json).
+  *
+  * Scale design: every variant is shuffle-bounded by the *candidate*
+  * set, never the O(n²) pair space — LSH band buckets (MinHash),
+  * 16-bit chunk buckets (SimHash). At 100 TB, bucket skew is the
+  * risk; `maxBucketSize` drops pathological buckets (documented
+  * recall trade, logged by callers).
+  */
+object Dedup {
+
+  /** Exact-duplicate stats over a key expression (one groupBy). */
+  def exactStats(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key.as("k")).agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum(col("c")).as("n_rows"),
+        sum(when(col("c") > 1, col("c") - 1).otherwise(0L)).as("n_redundant"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_groups"))
+
+  /** Normalization for "near-exact" dedup: lowercase + collapsed
+    * whitespace. */
+  def normalizedText(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Word k-shingles (distinct) of a text column. Texts shorter than
+    * k tokens yield an empty set (Spark's `sequence` would count
+    * *down* for start > stop, so the short case is guarded
+    * explicitly). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  private val P = 2147483647L // 2^31 − 1; products stay < 2^62 (ANSI-safe)
+
+  /** Universal-hash family over a base xxhash64: h_i(x) = (a_i·x + b_i) mod P.
+    * Seeds are fixed so results are deterministic across runs/partitions. */
+  private def hashParams(n: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(n)((1 + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** MinHash signatures: one row per doc, `numHashes` min-hash values.
+    * Single pass: explode distinct shingles, one groupBy(doc) with
+    * `numHashes` min-aggregates (map-side combinable — the shuffle
+    * carries only signatures, not shingles). */
+  def minHashSignatures(docs: DataFrame, idCol: String, text: Column,
+                        shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val base = docs
+      .select(col(idCol), explode(shingles(text, shingleK)).as("sh"))
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+    val aggs = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(P))).as(s"mh$i")
+    }
+    base.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: rows of (idCol, band, band_hash). bandsR rows per
+    * band are hashed together; numHashes/bandR bands. r=2 keeps
+    * recall ≈ 1 down to Jaccard ≈ 0.5 with 32 bands
+    * ((1−s²)³² < 1e-6 at s = 0.6). */
+  def lshBands(signatures: DataFrame, idCol: String, bandR: Int = 2): DataFrame = {
+    val mhCols = signatures.columns.filter(_.startsWith("mh"))
+    val bands = mhCols.grouped(bandR).zipWithIndex.map { case (group, i) =>
+      struct(lit(i).as("band"),
+        xxhash64(concat_ws(",", group.map(col): _*)).as("band_hash"))
+    }.toSeq
+    signatures
+      .select(col(idCol), explode(array(bands: _*)).as("b"))
+      .select(col(idCol), col("b.band"), col("b.band_hash"))
+  }
+
+  /** Candidate pairs (a < b) from shared LSH buckets; oversized
+    * buckets (degenerate content) are dropped to bound the join. */
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     maxBucketSize: Int = 1000): DataFrame = {
+    val sized = bands.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucketSize)
+    val l = sized.select(col("band"), col("band_hash"), col(idCol).as("a"))
+    val r = sized.select(col("band"), col("band_hash"), col(idCol).as("b"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline with an *exact* n-gram
+    * Jaccard verification of every candidate — output contains no
+    * LSH approximation (LSH only bounds the candidate set; at r=2 /
+    * 32 bands the miss probability at `minJaccard` ≥ 0.6 is < 1e-6,
+    * which is what lets a brute-force oracle hash-match it). */
+  def minHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      shingleK: Int = 3, minJaccard: Double = 0.6): DataFrame = {
+    val sigs = minHashSignatures(docs, idCol, col(textCol), shingleK)
+    val cands = candidatePairs(lshBands(sigs, idCol), idCol)
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash (64-bit) of a text column (named column, SQL-expression
+    * form — `shiftright` with a non-literal shift only exists in SQL):
+    * per-token 64-bit hashes vote ±1 on each bit position; the sign
+    * of each bit's total forms the signature. One pure map, no
+    * shuffle. */
+  def simHash(textCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      transform(split(trim($textCol), '\\\\s+'), t -> xxhash64(t)),
+       |      array_repeat(0, 64),
+       |      (acc, h) -> zip_with(acc, sequence(0, 63),
+       |        (v, i) -> v + IF(((h >> i) & 1L) = 1L, 1, -1))),
+       |    sequence(0, 63),
+       |    (v, i) -> IF(v > 0, shiftleft(1L, i), 0L)),
+       |  0L, (acc, b) -> acc | b)""".stripMargin)
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming ≤ maxDist (≤ 3 guaranteed
+    * found: pigeonhole over four 16-bit chunks — any pair within 3
+    * differing bits shares at least one intact chunk bucket). */
+  def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol), simHash(textCol).as("sig"))
+    val chunks = sigs.select(col(idCol), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("chunk_val"))): _*))
+        .as("c"))
+      .select(col(idCol), col("sig"), col("c.chunk"), col("c.chunk_val"))
+    val l = chunks.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("a"), col("sig").as("sig_a"))
+    val r = chunks.select(col("chunk"), col("chunk_val"),
+      col(idCol).as("b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.scaleops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * additions, BASELINE.json): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in expressions — no UDFs,
+  * so the whole pipeline stays inside WholeStageCodegen and scales
+  * linearly with a pure map (zero shuffles until an aggregate).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (the baseline tokenizer; a BPE-ish
+    * regex variant is `bpeishTokens`). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-word segmentation: word pieces + digits + punct as
+    * separate tokens (a regex approximation of byte-pair-style
+    * pre-tokenization). */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Quality components per document:
+    * - alpha_ratio: fraction of [a-z ] characters
+    * - stopword_ratio: stopword tokens / tokens
+    * - mean_token_len
+    * These feed a composite score; all expressible in ANSI SQL for
+    * the oracle. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    // nullif guards the empty-document case under ANSI mode (x/0 is
+    // an error, not NaN): ratios come out null, callers skip them.
+    val nTok = nullif(size(toks).cast("int"), lit(0))
+    val nChars = nullif(length(text), lit(0))
+    val alpha = length(regexp_replace(text, "[^a-z ]", ""))
+    val stops = size(filter(toks, t => t.isin(stopwords: _*)))
+    Seq(
+      "n_tokens" -> size(toks),
+      "alpha_ratio" -> round(alpha.cast("double") / nChars, 6),
+      "stopword_ratio" -> round(stops.cast("double") / nTok, 6),
+      "mean_token_len" -> round((length(text) - (size(toks) - 1)).cast("double") / nTok, 6))
+  }
+
+  /** Composite quality score in [0,1]: long-enough, mostly-alpha,
+    * some-but-not-too-many stopwords. Deterministic linear blend. */
+  def qualityScore(text: Column): Column = {
+    val cols = qualityColumns(text).toMap
+    round(
+      least(lit(1.0), cols("n_tokens").cast("double") / 100.0) * 0.3 +
+        cols("alpha_ratio") * 0.4 +
+        least(lit(1.0), cols("stopword_ratio") * 5.0) * 0.3, 6)
+  }
+
+  /** Language-ID heuristic: marker-token occurrence scoring with a
+    * deterministic preference order on ties. On natural text the
+    * marker sets separate languages; on any input the prediction is a
+    * pure function of the token multiset (reproducible in SQL). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "les", "et"),
+    "zh" -> Seq("de5", "shi4", "le5"))
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
+  }
+
+  /** argmax over language scores; ties resolve in `langMarkers`
+    * declaration order (en first). */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (greatest(bestScore, score),
+          when(score > bestScore, lang).otherwise(bestLang))
+    }._2
+  }
+
+  /** OpenRefine-style fingerprint: sorted distinct tokens re-joined,
+    * hashed — identical for any token permutation/duplication of the
+    * same vocabulary. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+
+  /** Rolling (shift-xor) hash over the token stream — order-sensitive
+    * (unlike `fingerprint`), overflow-free under ANSI mode (bitwise
+    * ops only). Spark-side only; no SQL oracle (xxhash64). */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (h, t) => shiftleft(h, 5).bitwiseXOR(shiftright(h, 27)).bitwiseXOR(xxhash64(t)))
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scaleops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct word 3-grams; short text yields empty set") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1).isEmpty)
+  }
+
+  test("exact stats counts redundant rows and dup groups") {
+    val df = Seq("x", "x", "x", "y", "z").toDF("t")
+    val r = Dedup.exactStats(df, col("t")).head()
+    assert(r.getAs[Long]("n_distinct") == 3)
+    assert(r.getAs[Long]("n_rows") == 5)
+    assert(r.getAs[Long]("n_redundant") == 2)
+    assert(r.getAs[Long]("n_dup_groups") == 1)
+  }
+
+  test("minhash near-dups finds a planted near-duplicate pair, not the distinct one") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " other1 other2"
+    val distinct = (100 to 130).map(i => s"zzz$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, distinct)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDups(df, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(pairs.head.getDouble(2) > 0.6)
+  }
+
+  test("simhash: identical texts collide, hamming 0; distinct texts differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val sigs = df.select(col("doc_id"), Dedup.simHash("text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    val pairs = Dedup.simHashNearDups(df, "doc_id", "text", maxDist = 3).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+}

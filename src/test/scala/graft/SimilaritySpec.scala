@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scaleops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb() = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // near 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical→1, orthogonal→0, opposite→-1") {
+    val df = emb()
+    val self = df.filter(col("vec_id") === 0)
+      .select(Similarity.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("brute-force knn ranks by cosine with deterministic tiebreak") {
+    val got = Similarity.knnBrute(emb(), "vec_id", "embedding",
+      emb().filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("lsh knn returns a subset of brute-force results (same scoring)") {
+    val brute = Similarity.knnBrute(emb(), "vec_id", "embedding",
+      emb().filter(col("vec_id") === 0), k = 3)
+      .select("neighbor_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.knnLsh(emb(), "vec_id", "embedding",
+      emb().filter(col("vec_id") === 0), k = 3, dim = 3, numPlanes = 2)
+      .select("neighbor_id", "cos").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(lsh.keySet.subsetOf(brute.keySet))
+    lsh.foreach { case (id, c) => assert(brute(id) == c) }
+  }
+}
