@@ -1,0 +1,30 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ml.AutoML
+import graft.sources.Tables
+
+/** ML-pipeline queries. Learned models are rows-only checks by design:
+  * fitted values are not SQL-expressible and the correctness contract
+  * for M3-M9 is protocol-level (SURVEY.md §8.7) — pinned by
+  * AutoMLSpec, not the DuckDB oracle. */
+object MlQueries {
+
+  /** M3/M8 shape on harness data: quick CV (1-combo grid, 2 folds)
+    * on a deterministic 80/20 hash split of lineitem, predicting
+    * price from line attributes; emits the metric report row. */
+  def automlTrainEval(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val train = li.filter(col("l_orderkey") % 10 < 8)
+    val test = li.filter(col("l_orderkey") % 10 >= 8)
+    val features = Seq("l_quantity", "l_discount", "l_tax")
+    val trained = AutoML.train(train, "l_extendedprice", features,
+      AutoML.Regression, numFolds = 2, parallelism = 4, quick = true)
+    AutoML.evaluate(trained, test, "l_extendedprice", threshold = Some(30000.0))
+  }
+
+  val all: Seq[Q] = Seq(
+    Q("m3_automl_train_eval", automlTrainEval, None))
+}

@@ -4,7 +4,8 @@ package graft.queries
   * `Seq[Q]`; SparkEntry exposes them under the driver contract. */
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all
+    Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
+      MlQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
