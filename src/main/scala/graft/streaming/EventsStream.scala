@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming variants of the events-table aggregations
+  * (stretch beyond the reference, which has no streaming —
+  * SURVEY.md §2.5). The same logical transforms as
+  * `graft.queries.Events`, expressed over `readStream`: in Spark the
+  * batch/streaming split is a source property, not an operator
+  * rewrite — which is exactly why the engine keeps one codebase for
+  * both.
+  *
+  * State discipline at scale: every aggregation is keyed by
+  * (window, type) or session — bounded state with watermark-driven
+  * eviction; no unbounded `complete`-mode aggregations.
+  */
+object EventsStream {
+
+  /** Streaming scan of an events parquet path. The ns-timestamp
+    * rebuild mirrors `Tables.load`. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(schema).parquet(path)
+    if (schema.fieldNames.contains("ts"))
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Tumbling 1-day counts with a 1-hour watermark: late events
+    * beyond the watermark are dropped, state for closed windows is
+    * evicted. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user session windows (30-minute gap), the streaming-native
+    * form of `Events.sessionize`. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col("user_id"), col("sess_events"))
+
+  /** Drive a streaming frame to a named in-memory table (append mode
+    * needs the watermark to close windows; complete mode suits tests
+    * reading final counts). */
+  def startMemorySink(df: DataFrame, name: String,
+                      outputMode: String = "append"): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).start()
+}

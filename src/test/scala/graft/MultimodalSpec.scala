@@ -1,0 +1,47 @@
+package graft
+
+import graft.scaleops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media() = Seq(
+    Multimodal.MediaRow(0L, "image", "hello world".getBytes("UTF-8")),
+    Multimodal.MediaRow(1L, "audio", Array.fill[Byte](256)(7)),
+    Multimodal.MediaRow(2L, "video", (0 until 512).map(_.toByte).toArray))
+    .toDS()
+
+  test("decode stub: deterministic dims, images single-frame") {
+    val meta = Multimodal.decodeMeta(media()).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(meta(0L).byte_len == 11)
+    assert(meta(0L).n_frames == 1) // image
+    assert(meta(1L).n_frames >= 1 && meta(2L).n_frames >= 1)
+    val again = Multimodal.decodeMeta(media()).collect()
+      .map(m => m.media_id -> m.width).toMap
+    assert(meta.map { case (k, v) => k -> v.width } == again) // deterministic
+    meta.values.foreach { m =>
+      assert(m.width >= 16 && m.width < 1921 && m.height >= 16)
+    }
+  }
+
+  test("byte histogram partitions all bytes; entropy bounds") {
+    val feats = Multimodal.extractFeatures(media()).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).histogram.sum == 256)
+    assert(feats(1L).byte_entropy == 0.0) // constant payload
+    assert(feats(2L).byte_entropy == 4.0) // uniform over 16 buckets
+    assert(feats(0L).histogram.sum == 11)
+  }
+
+  test("frame sampling emits n evenly-spaced slices per row") {
+    val frames = Multimodal.sampleFrames(media(), nFrames = 4, frameBytes = 8)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(0L -> 4L, 1L -> 4L, 2L -> 4L))
+    val first = frames.filter($"media_id" === 2L && $"frame_idx" === 1)
+      .select("frame_payload").head().getAs[Array[Byte]](0)
+    assert(first.length == 8)
+    assert(first(0) == 128.toByte) // slice starts at len*1/4 = 128
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.Events
+import graft.streaming.EventsStream
+
+/** Drives the Structured Streaming variants with the static parquet
+  * source and checks they agree with their batch formulations — the
+  * invariant that makes one logical codebase serve both modes. */
+class StreamingSpec extends SparkSpec {
+
+  /** File stream sources need a directory — stage the single events
+    * parquet into one (simulating a landing zone receiving files). */
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streaming tumbling counts equal the batch tumbling query") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    assert(stream.isStreaming)
+    val q = EventsStream.startMemorySink(
+      EventsStream.tumblingCounts(stream), "tumbling_out", "complete")
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select("win_start", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val batch = Events.tumbling(spark, sf)
+      .select("win_start", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming session windows agree with the batch lag/cumsum sessionization") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.startMemorySink(
+      EventsStream.sessionCounts(stream), "sessions_out", "complete")
+    q.processAllAvailable(); q.stop()
+
+    val streamedSessions = spark.table("sessions_out").count()
+    val batchSessions = Events.sessionize(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_sessions")).head().getLong(0)
+    assert(streamedSessions == batchSessions)
+  }
+}
