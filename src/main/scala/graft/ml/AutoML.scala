@@ -143,6 +143,14 @@ object AutoML {
       col("prediction"), threshold.getOrElse(Double.NaN))
   }
 
+  /** M7 — train-score report: the refit winner's metric on its own
+    * training data (reference auto_machine_learning.py:47-53). */
+  def trainScore(trained: Trained, trainDf: DataFrame, labelCol: String,
+                 mode: Mode): Double = {
+    val prepared = trainDf.withColumn("label", col(labelCol).cast("double"))
+    evaluator(mode).evaluate(trained.model.transform(prepared))
+  }
+
   /** D10 — feature importances zipped with assembler input order
     * (the J3 positional alignment, driver-side), sorted desc. */
   def featureImportances(trained: Trained): Seq[(String, Double)] = {

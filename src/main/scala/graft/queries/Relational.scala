@@ -152,8 +152,34 @@ object Relational {
       |  FROM lineitem GROUP BY l_orderkey
       |  ORDER BY rev_dec DESC, l_orderkey ASC LIMIT 20)""".stripMargin
 
+  /** Hierarchical rollup (free Spark surface beyond the reference —
+    * SURVEY.md §2.4 note): region → nation subtotals + grand total. */
+  def qRollup(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_suppkey"),
+      dec4(col("l_extendedprice")).as("price"))
+    val sup = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+    val nat = t(s, d, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val reg = t(s, d, "region").select("r_regionkey", "r_name")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(moneySum(col("price")).as("total_price"), count(lit(1)).as("n_items"))
+  }
+
+  val qRollupOracle: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
     Q("q3_segment_revenue", q3SegmentRevenue, Some(q3Oracle), bench = true),
     Q("q5_regional_revenue", q5RegionalRevenue, Some(q5Oracle), bench = true),
     Q("q_semi_anti_orders", qSemiAnti, Some(qSemiAntiOracle)),

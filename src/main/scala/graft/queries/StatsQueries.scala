@@ -51,6 +51,19 @@ object StatsQueries {
     Acf.acf(t(s, d, "events"), "user_id",
       Seq(col("ts"), col("event_id")), "value", nLags = 10)
 
+  // ---- D4: per-group time-series line data ----------------------------
+  /** One pass for all groups × the feature — projection + sort, not
+    * the reference's G×F filter-scans (data_analysis.py:64-66). */
+  def groupSeries(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .filter(col("user_id") < 5)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value"))
+
+  val groupSeriesOracle: String =
+    """SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+      |FROM events WHERE user_id < 5""".stripMargin
+
   // ---- D6-D9: metric report over a deterministic baseline model -------
   /** Groupwise-mean predictor (decimal-exact, so both engines derive
     * the identical prediction) then the full metric report — the
@@ -213,6 +226,7 @@ object StatsQueries {
     Q("d1_hist_price", histPrice,
       Some(Histogram.oracleSql("lineitem", "l_extendedprice"))),
     Q("d2_scatter_sample", scatterSample, Some(scatterOracle)),
+    Q("d4_group_series", groupSeries, Some(groupSeriesOracle)),
     Q("d3_corr_lineitem", corrLineitem, Some(corrOracle), bench = true),
     Q("d5_acf_events", acfEvents,
       Some(Acf.oracleSql("events", "user_id", "value", 10)), bench = true),

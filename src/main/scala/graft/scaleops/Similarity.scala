@@ -20,27 +20,50 @@ object Similarity {
 
   private def toDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
+  /** Dot product via the native codegen'd expression — identical
+    * summation order to a left fold, so values are unchanged. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.ArrayDot(toDouble(a), toDouble(b))
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(toDouble(a), lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = {
+    val d = toDouble(a)
+    sqrt(graft.functions.ArrayDot(d, d))
+  }
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
+  /** Pre-projection shared by the pair operators: cast the vector to
+    * double ONCE and materialize its norm as a scalar column.
+    * Higher-order array expressions are interpreted (no codegen), so
+    * per-pair work must be a single dot-product fold — norms and
+    * casts must never be recomputed inside the O(n²)/O(candidates)
+    * loop. The per-pair arithmetic dot/(na·nb) is then exactly the
+    * oracle's formula, term for term. */
+  private def prepped(df: DataFrame, idCol: String, vecCol: String,
+                      as: String): DataFrame =
+    df.select(col(idCol).as(s"${as}_id"), toDouble(col(vecCol)).as(s"${as}v"))
+      .withColumn(s"${as}norm",
+        sqrt(graft.functions.ArrayDot(col(s"${as}v"), col(s"${as}v"))))
+
+  private def pairCos(a: String, b: String): Column =
+    round(
+      graft.functions.ArrayDot(col(s"${a}v"), col(s"${b}v")) /
+        (col(s"${a}norm") * col(s"${b}norm")), 6)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * neighbors (excluding itself), deterministically tie-broken on
-    * (rounded cosine desc, neighbor id asc). */
+    * (rounded cosine desc, neighbor id asc). The corpus side is
+    * repartitioned so the nested-loop join fans out over all cores
+    * (a single parquet file otherwise pins it to one task). */
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = emb.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .crossJoin(q)
+    val q = broadcast(prepped(queries, idCol, vecCol, "query"))
+    val n = prepped(emb, idCol, vecCol, "neighbor")
+      .repartition(col("neighbor_id"))
+    val scored = n.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos", pairCos("query", "neighbor"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -55,13 +78,13 @@ object Similarity {
     * first buckets with `lshBucket` and runs this per bucket. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val l = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val r = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    val l = prepped(emb, idCol, vecCol, "a").repartition(col("a_id"))
+    val r = prepped(emb, idCol, vecCol, "b")
     l.crossJoin(r)
-      .filter(col("a") < col("b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos("a", "b"))
       .filter(col("cos") >= threshold)
-      .select("a", "b", "cos")
+      .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
   /** Random-hyperplane LSH bucket id (`numPlanes`-bit signature).
@@ -87,15 +110,14 @@ object Similarity {
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
              numPlanes: Int = 16): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
-    val q = broadcast(queries
-      .withColumn("bucket", lshBucket(col(vecCol), dim, numPlanes))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("bucket")))
+    val bucketed = prepped(emb, idCol, vecCol, "neighbor")
+      .withColumn("bucket", lshBucket(col("neighborv"), dim, numPlanes))
+    val q = broadcast(prepped(queries, idCol, vecCol, "query")
+      .withColumn("bucket", lshBucket(col("queryv"), dim, numPlanes)))
     val scored = bucketed
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("bucket"))
       .join(q, "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("cos", pairCos("query", "neighbor"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -55,6 +55,11 @@ class AutoMLSpec extends SparkSpec {
     val imps = trained.importances
     assert(imps.map(_._1).toSet == Set("sensor_2", "sensor_7"))
     assert(imps == imps.sortBy(-_._2)) // sorted desc (D10)
+
+    // M7: train-score on the refit winner's own training data
+    val ts = AutoML.trainScore(trained.trained.get,
+      cmapss().filter($"engine_no" <= 2), "RUL", AutoML.Regression)
+    assert(!ts.isNaN && ts < rmse + 5.0) // train rmse ≲ test rmse
   }
 
   test("model persistence round-trip (M9 memoization, task-scoped)") {

@@ -34,6 +34,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.6)
   }
 
+  test("codegen simhash signatures equal the expression-fold simhash") {
+    val df = Seq((1L, "alpha beta gamma delta epsilon"),
+      (2L, "some other tokens entirely"), (3L, "alpha alpha alpha beta"))
+      .toDF("doc_id", "text")
+    val exprSigs = df.select(col("doc_id"), Dedup.simHash("text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val aggSigs = Dedup.simHashSignatures(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exprSigs == aggSigs)
+  }
+
   test("simhash: identical texts collide, hamming 0; distinct texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely different words here"))

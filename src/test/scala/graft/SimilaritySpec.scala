@@ -13,6 +13,20 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f))) // opposite of 0
     .toDF("vec_id", "embedding")
 
+  test("ArrayDot matches the interpreted higher-order fold bit-for-bit") {
+    val df = Seq((Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)))
+      .toDF("a", "b")
+      .select(transform(col("a"), x => x.cast("double")).as("a"),
+        transform(col("b"), x => x.cast("double")).as("b"))
+    val native = df.select(graft.functions.ArrayDot(col("a"), col("b")))
+      .head().getDouble(0)
+    val folded = df.select(
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)).head().getDouble(0)
+    assert(native == folded)
+    assert(native == 1.5 * 0.5 + -2.25 * 4.0 + 3.125 * -1.75)
+  }
+
   test("cosine: identical→1, orthogonal→0, opposite→-1") {
     val df = emb()
     val self = df.filter(col("vec_id") === 0)
