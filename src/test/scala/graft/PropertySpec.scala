@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ml.Scalers
+import graft.stats.EvalMetrics
+import graft.ts.TimeSeries
+
+/** Property-based invariants (SURVEY.md §5.2), driven by ScalaCheck
+  * generators with fixed seeds (the scalatest bridge isn't in the
+  * offline dependency set; explicit sampling keeps runs reproducible
+  * anyway). Case counts are small — each case is a real Spark job. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("W2 window count = sum over groups of max(n_g − lookBack, 0)") {
+    val cases = samples(
+      Gen.zip(Gen.listOfN(3, Gen.choose(1, 12)), Gen.choose(2, 4)), 6)
+    cases.foreach { case (sizes, lookBack) =>
+      val rows = sizes.zipWithIndex.flatMap { case (n, g) =>
+        (1 to n).map(i => (g, i, i.toDouble))
+      }
+      val df = rows.toDF("g", "ord", "v")
+      val got = TimeSeries.slidingWindows(df, "g", Seq(col("ord")),
+        Seq("v"), "v", lookBack).count()
+      val expected = sizes.map(n => math.max(n - lookBack, 0)).sum
+      assert(got == expected, s"sizes=$sizes lookBack=$lookBack")
+    }
+  }
+
+  test("W1 split: train = floor(0.8n); train+test = n + min(lookBack, train)") {
+    samples(Gen.zip(Gen.choose(5, 40), Gen.choose(1, 4)), 6)
+      .foreach { case (n, lookBack) =>
+        val df = (1 to n).map(i => (1, i)).toDF("g", "ord")
+        val split = TimeSeries.orderedSplit(df, "g", Seq(col("ord")), lookBack)
+        val train = split.filter(col("split").isin("train", "both")).count()
+        val test = split.filter(col("split").isin("test", "both")).count()
+        val cut = math.floor(0.8 * n).toLong
+        assert(train == cut, s"n=$n lookBack=$lookBack")
+        assert(train + test == n + math.min(lookBack, cut),
+          s"n=$n lookBack=$lookBack")
+      }
+  }
+
+  test("standard-scaled column has mean≈0, pop-std≈1 (non-constant input)") {
+    samples(Gen.listOfN(20, Gen.choose(-1000.0, 1000.0)), 4)
+      .filter(_.distinct.size > 1)
+      .foreach { xs =>
+        val df = xs.toDF("x")
+        val scaled = Scalers.fitStandard(df, Seq("x")).transform(df)
+        val r = scaled.agg(avg("x"), stddev_pop("x")).head()
+        assert(math.abs(r.getDouble(0)) < 1e-9)
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      }
+  }
+
+  test("F1 from confusion counts equals the direct formula on random labels") {
+    samples(Gen.listOfN(30, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1))), 6)
+      .foreach { pairs =>
+        val df = pairs.map { case (y, p) => (y.toDouble, p.toDouble) }
+          .toDF("y", "p")
+        // threshold 0.5 with positive = value < 0.5 ⇒ label 0 is positive
+        val r = EvalMetrics.report(df, col("y"), col("p"), 0.5).head()
+        val tp = pairs.count { case (y, p) => y == 0 && p == 0 }
+        val fp = pairs.count { case (y, p) => y == 1 && p == 0 }
+        val fn = pairs.count { case (y, p) => y == 0 && p == 1 }
+        assert(r.getAs[Long]("tp") == tp)
+        val expF1 = if (2 * tp + fp + fn == 0) 0.0
+          else BigDecimal(2.0 * tp / (2 * tp + fp + fn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("f1") == expF1)
+      }
+  }
+}
