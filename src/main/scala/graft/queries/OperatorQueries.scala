@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Salting}
+import graft.sources.Tables
+import graft.stats.Profile
+
+/** Queries for the engine-level operators beyond the reference
+  * surface: as-of join, skew-salted aggregation, column profiling. */
+object OperatorQueries {
+
+  /** Backward as-of join: each click enriched with the user's most
+    * recent purchase value at or before the click. Oracle = DuckDB's
+    * native ASOF LEFT JOIN. */
+  def asofLastPurchase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases, keys = Seq("user_id"),
+      tsCol = "ts_us", rightValueCols = Seq("purchase_value"))
+  }
+
+  val asofOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id, c.ts_us, p.purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin
+
+  /** Salted two-phase aggregation — must produce exactly the plain
+    * groupBy result (the oracle is the unsalted SQL). */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame =
+    Salting.saltedAgg(
+      Tables.load(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          QUtil.dec4(col("l_extendedprice")).as("price")),
+      keys = Seq("l_returnflag"),
+      aggs = Seq(Salting.AggSpec("price", "sum"),
+        Salting.AggSpec("price", "count")),
+      saltBuckets = 16)
+      .select(col("l_returnflag"),
+        col("sum_price").cast("double").as("sum_price"),
+        col("count_price"))
+
+  val saltedOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  COUNT(l_extendedprice) AS count_price
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  def profileLineitem(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.load(s, d, "lineitem"))
+
+  val profileOracle: String = Profile.oracleSql("lineitem", Seq(
+    ("l_orderkey", true, false), ("l_partkey", true, false),
+    ("l_suppkey", true, false), ("l_linenumber", true, false),
+    ("l_quantity", true, false), ("l_extendedprice", true, false),
+    ("l_discount", true, false), ("l_tax", true, false),
+    ("l_returnflag", false, true), ("l_linestatus", false, true),
+    ("l_shipdate", false, false)))
+
+  val all: Seq[Q] = Seq(
+    Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
+    Q("salted_revenue", saltedRevenue, Some(saltedOracle)),
+    Q("profile_lineitem", profileLineitem, Some(profileOracle), bench = true))
+}
