@@ -124,9 +124,43 @@ object Events {
       |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
       |FROM j GROUP BY event_type""".stripMargin
 
+  /** Pivot: per-user event-type counts as columns (the D9 pivot
+    * pattern generalized). Fixed pivot values keep the single-pass
+    * plan (no distinct-scan) and a stable schema. */
+  def pivotCounts(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    ev(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +:
+        types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  val pivotOracle: String =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Cardinality sketching: exact vs HLL distinct counts. The approx
+    * column is engine-specific, so the check is rows-only; the spec
+    * bounds the HLL error instead. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    ev(s, d).agg(
+      countDistinct(col("user_id")).as("exact_users"),
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("event_id")).as("exact_events"),
+      approx_count_distinct(col("event_id")).as("approx_events"))
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
-    Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)))
+    Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)),
+    Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
+    Q("events_approx_distinct", approxDistinct, None))
 }

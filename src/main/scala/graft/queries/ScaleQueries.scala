@@ -186,6 +186,13 @@ object ScaleQueries {
       queries = emb.filter(col("vec_id") < 10), k = 5, dim = 64, numPlanes = 4)
   }
 
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnIvf(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5,
+      nList = 8, nProbe = 3)
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensOracle)),
     Q("text_quality", textQuality, Some(textQualityOracle)),
@@ -195,5 +202,6 @@ object ScaleQueries {
     Q("dedup_simhash", dedupSimHash, None, bench = true),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
-    Q("knn_lsh", knnLsh, None))
+    Q("knn_lsh", knnLsh, None),
+    Q("knn_ivf", knnIvf, None))
 }

@@ -107,6 +107,53 @@ object Similarity {
   /** ANN top-k via LSH buckets: exact search within each query's
     * bucket. Recall < 1 by construction (log the trade); bucket size
     * distribution bounds the work per query. */
+  /** IVF (inverted-file) ANN: KMeans-partition the corpus into
+    * `nList` cells; each query exhaustively searches only its
+    * `nProbe` nearest cells. The index build is one MLlib KMeans fit;
+    * search is a broadcast-joined cell filter + the same scored
+    * top-k as brute force. Recall is tunable via nProbe (= nList
+    * recovers brute force). */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, nList: Int = 16,
+             nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = emb.sparkSession
+    val prep = prepped(emb, idCol, vecCol, "neighbor")
+      .withColumn("fv", array_to_vector(col("neighborv")))
+    val model = new KMeans().setK(nList).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(prep)
+    val indexed = model.transform(prep).drop("fv")
+
+    // nProbe nearest centroids per query, by the same dot/norm algebra
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centDf = broadcast(spark.createDataFrame(centroids)
+      .toDF("cell", "centroid"))
+    val q = prepped(queries, idCol, vecCol, "query")
+    val qCells = q.crossJoin(centDf)
+      .withColumn("dist2",
+        graft.functions.ArrayDot(col("queryv"), col("queryv")) +
+          graft.functions.ArrayDot(col("centroid"), col("centroid")) -
+          lit(2.0) * graft.functions.ArrayDot(col("queryv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "queryv", "querynorm", "cell")
+
+    val scored = indexed.join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
              numPlanes: Int = 16): DataFrame = {

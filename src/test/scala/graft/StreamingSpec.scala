@@ -35,6 +35,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stateful flatMapGroupsWithState sessions: closed + open = batch total") {
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.startMemorySink(
+      EventsStream.statefulSessions(stream).toDF("user_id", "sess_events"),
+      "stateful_out", "append")
+    q.processAllAvailable(); q.stop()
+
+    val closed = spark.table("stateful_out").count()
+    val users = Events.sessionize(spark, sf).count() // one open session each
+    val batchTotal = Events.sessionize(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_sessions")).head().getLong(0)
+    assert(closed + users == batchTotal)
+  }
+
   test("streaming session windows agree with the batch lag/cumsum sessionization") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.startMemorySink(
