@@ -28,11 +28,16 @@ object Dedup {
   def normalizedText(text: Column): Column =
     regexp_replace(trim(lower(text)), "\\s+", " ")
 
-  /** Word k-shingles (distinct) of a text column. Texts shorter than
-    * k tokens yield an empty set (Spark's `sequence` would count
-    * *down* for start > stop, so the short case is guarded
-    * explicitly). */
-  def shingles(text: Column, k: Int): Column = {
+  /** Word k-shingles (distinct) of a text column — the native
+    * single-eval-per-row expression (see WordShingles for why the
+    * composed built-in form is ~100× slower). Texts shorter than k
+    * tokens yield an empty set. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.WordShingles(text, k)
+
+  /** The composed-built-in formulation, kept as the semantic spec the
+    * native expression is tested against. */
+  def shinglesComposed(text: Column, k: Int): Column = {
     val toks = split(trim(text), "\\s+")
     val n = size(toks)
     array_distinct(

@@ -14,6 +14,16 @@ class DedupSpec extends SparkSpec {
     assert(rows(1).isEmpty)
   }
 
+  test("native shingles equal the composed-built-in formulation on real docs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val mismatches = docs.select(
+      Dedup.shingles(col("text"), 3).as("nat"),
+      Dedup.shinglesComposed(col("text"), 3).as("comp"))
+      .filter(not(col("nat") === col("comp")))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("exact stats counts redundant rows and dup groups") {
     val df = Seq("x", "x", "x", "y", "z").toDF("t")
     val r = Dedup.exactStats(df, col("t")).head()
