@@ -146,6 +146,43 @@ object Events {
       |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Funnel: per user, first signup and the first purchase at-or-after
+    * it — two conditional aggregates and one broadcastable self-join,
+    * no per-user iteration. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("us")).as("signup_us"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"))
+    signups
+      .join(purchases, Seq("user_id"), "left")
+      .groupBy("user_id", "signup_us")
+      .agg(min(when(col("us") >= col("signup_us"), col("us")))
+        .as("first_purchase_us"))
+      .withColumn("converted",
+        when(col("first_purchase_us").isNotNull, 1).otherwise(0))
+      .withColumn("delay_us", col("first_purchase_us") - col("signup_us"))
+  }
+
+  val funnelOracle: String =
+    """WITH s AS (
+      |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS signup_us
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT s.user_id, s.signup_us,
+      |    MIN(CASE WHEN p.us >= s.signup_us THEN p.us END) AS first_purchase_us
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |  GROUP BY s.user_id, s.signup_us)
+      |SELECT user_id, signup_us, first_purchase_us,
+      |  CASE WHEN first_purchase_us IS NOT NULL THEN 1 ELSE 0 END AS converted,
+      |  first_purchase_us - signup_us AS delay_us
+      |FROM j""".stripMargin
+
   /** Cardinality sketching: exact vs HLL distinct counts. The approx
     * column is engine-specific, so the check is rows-only; the spec
     * bounds the HLL error instead. */
@@ -162,5 +199,6 @@ object Events {
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
     Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)),
     Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
+    Q("events_funnel", funnel, Some(funnelOracle)),
     Q("events_approx_distinct", approxDistinct, None))
 }

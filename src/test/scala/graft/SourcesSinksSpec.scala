@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Sinks, Tables}
+
+class SourcesSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-sink").toString
+
+  test("S1: CSV ingest infers schema and _row_id preserves file order") {
+    val dir = tmp()
+    val csv = new java.io.File(dir, "train.csv")
+    val w = new java.io.PrintWriter(csv)
+    w.println("engine_no,cycle,sensor"); (1 to 50).foreach(i =>
+      w.println(s"${i % 3},$i,${100.0 - i}")); w.close()
+
+    val df = Tables.csvWithRowId(spark, csv.getAbsolutePath)
+    assert(df.schema("engine_no").dataType.typeName == "integer")
+    assert(df.schema("sensor").dataType.typeName == "double")
+    val cycles = df.orderBy("_row_id").select("cycle").collect().map(_.getInt(0))
+    assert(cycles.toSeq == (1 to 50)) // ascending _row_id == file order
+  }
+
+  test("partitioned writer prunes partitions on read") {
+    val dir = tmp() + "/part"
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    Sinks.writePartitioned(ev, dir, Seq("event_type"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == ev.count())
+    val pruned = back.filter(col("event_type") === "click")
+    val planStr = pruned.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition pruning in:\n$planStr")
+    assert(pruned.count() ==
+      ev.filter(col("event_type") === "click").count())
+  }
+
+  test("bucketed table joins without an exchange on the bucket key") {
+    // managed tables land in ./spark-warehouse (static conf; gitignored)
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists())
+        org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val orders = Tables.load(spark, sf, "orders")
+      .select("o_orderkey", "o_totalprice")
+    Sinks.writeBucketed(orders, "orders_b", "o_orderkey", 4)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Sinks.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+
+    // force a sort-merge join (broadcast would sidestep bucketing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), "o_orderkey")
+      val shuffles = joined.queryExecution.executedPlan.toString
+        .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles == 0, "bucketed join must not shuffle")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+
+  test("csv sink round-trips") {
+    val dir = tmp() + "/csv"
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    Sinks.writeCsv(df, dir)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(dir)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
+}
