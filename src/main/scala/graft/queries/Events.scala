@@ -104,6 +104,19 @@ object Events {
       |  MAX(sess_events) AS max_session_events
       |FROM per_sess GROUP BY user_id""".stripMargin
 
+  /** The same sessionization through Spark's native `session_window`
+    * operator — checked against the identical oracle as the
+    * lag/cumsum form (the two must agree: a gap of exactly 30 min
+    * starts a new session in both). */
+  def sessionizeBuiltin(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+
   /** JSON property extraction (`events.props` is a JSON string).
     * Spark side uses the codegen'd `get_json_object`; the oracle uses
     * a regex so it cannot depend on DuckDB's JSON extension. */
@@ -197,6 +210,7 @@ object Events {
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
+    Q("events_sessionize_builtin", sessionizeBuiltin, Some(sessionizeOracle)),
     Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)),
     Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
     Q("events_funnel", funnel, Some(funnelOracle)),

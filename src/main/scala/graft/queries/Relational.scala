@@ -177,9 +177,42 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** Top-k per group via ranked window (decimal-exact ordering key so
+    * both engines rank identically; ties broken on orderkey). */
+  def qTopKPerGroup(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"),
+      (dec4(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    val ord = t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+    val perOrder = li.groupBy("l_orderkey")
+      .agg(sum(col("rev")).as("rev_dec"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("rev_dec").desc, col("l_orderkey").asc)
+    perOrder.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk").cast("int").as("rnk"),
+        col("l_orderkey"), col("rev_dec").cast("double").as("revenue"))
+  }
+
+  val qTopKPerGroupOracle: String =
+    """WITH po AS (
+      |  SELECT l_orderkey, o_orderpriority,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY l_orderkey, o_orderpriority),
+      |r AS (
+      |  SELECT o_orderpriority, l_orderkey, rev_dec,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY rev_dec DESC, l_orderkey ASC) AS INT) AS rnk
+      |  FROM po)
+      |SELECT o_orderpriority, rnk, l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue
+      |FROM r WHERE rnk <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
+    Q("q_topk_per_group", qTopKPerGroup, Some(qTopKPerGroupOracle)),
     Q("q3_segment_revenue", q3SegmentRevenue, Some(q3Oracle), bench = true),
     Q("q5_regional_revenue", q5RegionalRevenue, Some(q5Oracle), bench = true),
     Q("q_semi_anti_orders", qSemiAnti, Some(qSemiAntiOracle)),

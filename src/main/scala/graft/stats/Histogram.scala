@@ -26,14 +26,25 @@ object Histogram {
     def width: Double = (hi - lo) / nBins
   }
 
-  def autoBinSpec(df: DataFrame, column: String): BinSpec = {
+  /** @param exactQuantiles exact `percentile` is an O(n log n)
+    *        per-partition sort — right for oracle parity; at 100 TB
+    *        flip to the approximate sketch (bin counts shift by at
+    *        most ±1 on pathological IQRs). */
+  def autoBinSpec(df: DataFrame, column: String,
+                  exactQuantiles: Boolean = true): BinSpec = {
+    val (q1e, q3e) =
+      if (exactQuantiles)
+        (s"percentile($column, 0.25)", s"percentile($column, 0.75)")
+      else
+        (s"approx_percentile($column, 0.25, 10000)",
+          s"approx_percentile($column, 0.75, 10000)")
     val r = df
       .agg(
         count(col(column)).as("n"),
         min(col(column)).cast("double").as("lo"),
         max(col(column)).cast("double").as("hi"),
-        expr(s"percentile($column, 0.25)").as("q1"),
-        expr(s"percentile($column, 0.75)").as("q3"))
+        expr(q1e).cast("double").as("q1"),
+        expr(q3e).cast("double").as("q3"))
       .head()
     val n = r.getAs[Long]("n")
     val lo = r.getAs[Double]("lo")
