@@ -62,6 +62,17 @@ class AutoMLSpec extends SparkSpec {
     assert(!ts.isNaN && ts < rmse + 5.0) // train rmse ≲ test rmse
   }
 
+  test("M3/M4 protocol: full grid is 18 combos (3 iters × 3 depths × 2 steps)") {
+    val zoo = AutoML.modelZoo(AutoML.Regression, quick = false)
+    assert(zoo.map(_.name) == Seq("gbt", "rf"))
+    assert(zoo.find(_.name == "gbt").get.grid.length == 18)
+    assert(zoo.find(_.name == "gbt").get.enabled)
+    assert(!zoo.find(_.name == "rf").get.enabled) // default-off, like reference
+    val clfZoo = AutoML.modelZoo(AutoML.Classification, quick = false)
+    assert(clfZoo.map(_.name) == Seq("gbt", "rf", "svc"))
+    assert(clfZoo.count(_.enabled) == 1)
+  }
+
   test("model persistence round-trip (M9 memoization, task-scoped)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString + "/m"
     val df = cmapss().filter($"engine_no" <= 2)
