@@ -69,21 +69,18 @@ def main():
             n_fail += 1
             continue
         bad = None
-        for i in range(len(got_n)):
-            for c in got_n.columns:
-                a, b = got_n.iloc[i][c], exp_n.iloc[i][c]
-                try:
-                    import numpy as np
-                    if isinstance(a, np.generic):
-                        a = a.item()
-                    if isinstance(b, np.generic):
-                        b = b.item()
-                except Exception:
-                    pass
-                if not values_equal(a, b):
-                    bad = (i, c, a, b)
-                    break
-            if bad:
+        import numpy as np
+        for c in got_n.columns:
+            ga, ea = got_n[c].to_numpy(), exp_n[c].to_numpy()
+            if ga.dtype.kind == 'f' and ea.dtype.kind == 'f':
+                neq = ~((ga == ea) | (np.isnan(ga) & np.isnan(ea)))
+            else:
+                gn, en = got_n[c].isna().to_numpy(), exp_n[c].isna().to_numpy()
+                neq = ~(((got_n[c] == exp_n[c]) & ~gn & ~en) | (gn & en)
+                        ).to_numpy()
+            if neq.any():
+                i = int(np.argmax(neq))
+                bad = (i, c, got_n[c].iloc[i], exp_n[c].iloc[i])
                 break
         if bad:
             i, c, a, b = bad

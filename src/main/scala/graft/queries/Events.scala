@@ -37,7 +37,7 @@ object Events {
   val tumblingOracle: String =
     """SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) * 86400 AS BIGINT) AS win_start,
       |  event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
   /** Sliding windows: 1 hour long, every 30 minutes — each event lands
@@ -58,7 +58,7 @@ object Events {
       |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 1800000000) * 1800 AS BIGINT) AS w1
       |  FROM events)
       |SELECT win_start, event_type, COUNT(*) AS n_events,
-      |  CAST(SUM(v) AS DOUBLE) AS sum_value
+      |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_value
       |FROM (SELECT event_type, v, UNNEST([w1, w1 - 1800]) AS win_start FROM e)
       |GROUP BY win_start, event_type""".stripMargin
 
@@ -85,17 +85,22 @@ object Events {
         max(col("sess_events")).as("max_session_events"))
   }
 
+  /** NB: the running sum MUST repeat the (us, event_id) ORDER BY — a
+    * bare `ROWS UNBOUNDED PRECEDING` leaves the accumulation order
+    * unspecified and DuckDB then numbers sessions arbitrarily
+    * (surfaced as a 1-session diff at sf0.1). */
   val sessionizeOracle: String =
     """WITH g AS (
-      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
       |  FROM events),
       |m AS (
-      |  SELECT user_id,
+      |  SELECT user_id, event_id, us,
       |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
       |  FROM g),
       |sess AS (
-      |  SELECT user_id, SUM(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
       |  FROM m),
       |per_sess AS (
       |  SELECT user_id, sess_id, COUNT(*) AS sess_events FROM sess GROUP BY 1, 2)
@@ -134,7 +139,7 @@ object Events {
       |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
       |  FROM events)
       |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
-      |  ROUND(CAST(SUM(k) AS DOUBLE) / COUNT(k), 6) AS avg_k
+      |  ROUND(CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) / COUNT(k), 6) AS avg_k
       |FROM j GROUP BY event_type""".stripMargin
 
   /** Pivot: per-user event-type counts as columns (the D9 pivot

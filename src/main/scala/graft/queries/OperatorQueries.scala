@@ -54,7 +54,7 @@ object OperatorQueries {
 
   val saltedOracle: String =
     """SELECT l_returnflag,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
       |  COUNT(l_extendedprice) AS count_price
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 

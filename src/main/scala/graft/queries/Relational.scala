@@ -38,11 +38,11 @@ object Relational {
 
   val q1Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  ROUND(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
 
@@ -64,7 +64,7 @@ object Relational {
 
   val q3Oracle: String =
     """SELECT c_mktsegment, o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -90,7 +90,7 @@ object Relational {
 
   val q5Oracle: String =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -145,7 +145,7 @@ object Relational {
   }
 
   val qTopRevenueOrdersOracle: String =
-    """SELECT l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue, n_items FROM (
+    """SELECT l_orderkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue, n_items FROM (
       |  SELECT l_orderkey,
       |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS rev_dec,
       |    COUNT(*) AS n_items
@@ -169,7 +169,7 @@ object Relational {
 
   val qRollupOracle: String =
     """SELECT r_name, n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_price,
       |  COUNT(*) AS n_items
       |FROM lineitem
       |JOIN supplier ON l_suppkey = s_suppkey
@@ -206,7 +206,7 @@ object Relational {
       |  SELECT o_orderpriority, l_orderkey, rev_dec,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY rev_dec DESC, l_orderkey ASC) AS INT) AS rnk
       |  FROM po)
-      |SELECT o_orderpriority, rnk, l_orderkey, CAST(rev_dec AS DOUBLE) AS revenue
+      |SELECT o_orderpriority, rnk, l_orderkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
       |FROM r WHERE rnk <= 3""".stripMargin
 
   val all: Seq[Q] = Seq(

@@ -79,7 +79,7 @@ object StatsQueries {
   val evalMetricsOracle: String =
     """WITH p AS (
       |  SELECT l_returnflag, l_linestatus,
-      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS pred
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS pred
       |  FROM lineitem GROUP BY 1, 2),
       |j AS (
       |  SELECT l_quantity AS y, pred,
@@ -170,10 +170,29 @@ object StatsQueries {
        |    LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS label
        |  FROM events)
        |SELECT user_id, COUNT(*) AS n_windows,
-       |  CAST(SUM(CAST(first_v AS DECIMAL(18,6))) AS DOUBLE) AS sum_first,
-       |  CAST(SUM(CAST(label AS DECIMAL(18,6))) AS DOUBLE) AS sum_label
+       |  CAST(CAST(SUM(CAST(first_v AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_first,
+       |  CAST(CAST(SUM(CAST(label AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_label
        |FROM r WHERE first_v IS NOT NULL AND label IS NOT NULL
        |GROUP BY user_id""".stripMargin
+
+  // ---- rolling / lag features (TS feature engineering) ----------------
+  def rollingFeatures(s: SparkSession, d: String): DataFrame =
+    graft.ts.RollingFeatures.features(
+      t(s, d, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), "value",
+      windows = Seq(3, 10))
+      .withColumnRenamed("value", "value")
+      .select(col("user_id"), col("event_id"), col("value").as("value"),
+        col("lag_1"), col("diff_1"),
+        col("roll_mean_3"), col("roll_min_3"), col("roll_max_3"),
+        col("roll_count_3"),
+        col("roll_mean_10"), col("roll_min_10"), col("roll_max_10"),
+        col("roll_count_10"))
+
+  val rollingOracle: String = graft.ts.RollingFeatures.oracleSql(
+    "events", "user_id", "value", Seq(3, 10), "user_id < 3")
 
   // ---- M1/M2: sklearn-exact scalers -----------------------------------
   def standardizeStats(s: SparkSession, d: String): DataFrame = {
@@ -235,6 +254,7 @@ object StatsQueries {
     Q("p7_distinct_event_types", distinctEventTypes, Some(distinctOracle)),
     Q("w1_split_counts", splitCounts, Some(splitCountsOracle)),
     Q("w2_window_stats", windowStats, Some(windowStatsOracle), bench = true),
+    Q("ts_rolling_features", rollingFeatures, Some(rollingOracle)),
     Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),
     Q("m2_minmax_stats", minMaxStats, Some(minMaxOracle)))
 }

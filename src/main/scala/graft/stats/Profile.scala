@@ -73,7 +73,7 @@ object Profile {
       val maxNum = if (isNum) s"CAST(MAX($name) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
       val mean =
         if (isNum)
-          s"ROUND(CAST(SUM(CAST($name AS DECIMAL(28,6))) AS DOUBLE) / COUNT($name), 6)"
+          s"ROUND(CAST(CAST(SUM(CAST($name AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) / COUNT($name), 6)"
         else "CAST(NULL AS DOUBLE)"
       val minStr = if (isStr) s"MIN($name)" else "CAST(NULL AS VARCHAR)"
       val maxStr = if (isStr) s"MAX($name)" else "CAST(NULL AS VARCHAR)"
