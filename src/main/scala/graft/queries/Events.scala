@@ -142,6 +142,44 @@ object Events {
       |  ROUND(CAST(CAST(SUM(k) AS VARCHAR) AS DOUBLE) / COUNT(k), 6) AS avg_k
       |FROM j GROUP BY event_type""".stripMargin
 
+  /** Schema-full JSON parsing via `from_json` (vs `get_json_object`'s
+    * path extraction): parse once into a typed struct, then project. */
+  def jsonStruct(s: SparkSession, d: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    ev(s, d)
+      .withColumn("j", from_json(col("props"), schema))
+      .groupBy("event_type")
+      .agg(count(col("j.k")).as("n_parsed"),
+        min(col("j.k")).as("min_k"), max(col("j.k")).as("max_k"))
+  }
+
+  val jsonStructOracle: String =
+    """WITH j AS (
+      |  SELECT event_type,
+      |    CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n_parsed, MIN(k) AS min_k, MAX(k) AS max_k
+      |FROM j GROUP BY event_type""".stripMargin
+
+  /** Exact per-group quantiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both (n−1)p linear interpolation). */
+  def quantilesByType(s: SparkSession, d: String): DataFrame =
+    ev(s, d).groupBy("event_type").agg(
+      round(expr("percentile(value, 0.25)"), 6).as("p25"),
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.75)"), 6).as("p75"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"))
+
+  val quantilesOracle: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.25), 6) AS p25,
+      |  ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      |  ROUND(quantile_cont(value, 0.75), 6) AS p75,
+      |  ROUND(quantile_cont(value, 0.95), 6) AS p95
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Pivot: per-user event-type counts as columns (the D9 pivot
     * pattern generalized). Fixed pivot values keep the single-pass
     * plan (no distinct-scan) and a stable schema. */
@@ -217,6 +255,8 @@ object Events {
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
     Q("events_sessionize_builtin", sessionizeBuiltin, Some(sessionizeOracle)),
     Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)),
+    Q("events_json_struct", jsonStruct, Some(jsonStructOracle)),
+    Q("events_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
     Q("events_funnel", funnel, Some(funnelOracle)),
     Q("events_approx_distinct", approxDistinct, None))

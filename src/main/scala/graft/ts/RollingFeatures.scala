@@ -31,6 +31,39 @@ object RollingFeatures {
     }
   }
 
+  /** Exponentially-weighted moving average per group —
+    * order-dependent recurrence (`e_t = α·x_t + (1−α)·e_{t−1}`) that
+    * window frames can't express. The scalable formulation:
+    * repartition by group, sortWithinPartitions by (group, order),
+    * then one sequential `mapPartitions` scan — each partition holds
+    * whole groups in order, state is O(1) per group, no driver
+    * collection. (This is the disciplined escape hatch of the
+    * preference order — (d) in SURVEY.md's custom-op ranking.)
+    */
+  def ewma(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+           valueCol: String, alpha: Double): DataFrame = {
+    import df.sparkSession.implicits._
+    val prepped = df
+      .select(col(groupCol).cast("long").as("g") +:
+        col(valueCol).cast("double").as("x") +: orderCols: _*)
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g") +: orderCols: _*)
+      .select("g", "x")
+      .as[(Long, Double)]
+    prepped.mapPartitions { rows =>
+      var curGroup = Long.MinValue
+      var state = 0.0
+      var first = true
+      rows.map { case (g, x) =>
+        if (g != curGroup) { curGroup = g; state = x; first = false }
+        else state = alpha * x + (1 - alpha) * state
+        (g, x, BigDecimal(state).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }
+    }.toDF(groupCol + "_g", "x", "ewma")
+      .withColumnRenamed(groupCol + "_g", groupCol)
+  }
+
   /** DuckDB oracle template over the events table. */
   def oracleSql(table: String, groupCol: String, valueCol: String,
                 windows: Seq[Int], filterSql: String): String = {

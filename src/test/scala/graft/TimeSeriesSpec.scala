@@ -49,6 +49,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sweep(4).filter(col("g") === 1).count() == 6)
   }
 
+  test("ewma: recurrence matches hand computation; groups independent") {
+    val df = (Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0),
+      (2L, 1, 100.0), (2L, 2, 0.0)))
+      .toDF("g", "ord", "v")
+    val got = graft.ts.RollingFeatures
+      .ewma(df, "g", Seq(col("ord")), "v", alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 10.0)) == 10.0)   // seed = first value
+    assert(got((1L, 20.0)) == 15.0)   // 0.5*20 + 0.5*10
+    assert(got((1L, 30.0)) == 22.5)   // 0.5*30 + 0.5*15
+    assert(got((2L, 100.0)) == 100.0) // new group reseeds
+    assert(got((2L, 0.0)) == 50.0)
+  }
+
   test("flattened windows are lookBack × |features| doubles") {
     val flat = TimeSeries.flattenedWindows(series(), "g", Seq(col("ord")),
       Seq("v", "ord"), "v", lookBack = 3)
