@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("AvailableNow: stream to a parquet sink with checkpoint, then read back") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out")
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val q = EventsStream.tumblingCounts(stream)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/chk")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only watermark-closed windows; with a bounded
+    // source every window but the last is closed
+    val emitted = spark.read.parquet(s"$outDir/data")
+    val batch = Events.tumbling(spark, sf)
+      .select("win_start", "event_type", "n_events").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val streamed = emitted.select("win_start", "event_type", "n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, v) => assert(batch(k) == v) } // subset, equal
+  }
+
   test("stateful flatMapGroupsWithState sessions: closed + open = batch total") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.startMemorySink(
