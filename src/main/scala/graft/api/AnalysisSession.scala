@@ -35,6 +35,10 @@ final case class AnalysisSession(
   def upload(spark: SparkSession, path: String): AnalysisSession =
     copy(train = Some(
       if (path.endsWith(".parquet")) spark.read.parquet(path)
+      else if (path.endsWith(".xlsx"))
+        graft.sources.Xlsx.read(spark, path)
+          .withColumn("_row_id",
+            org.apache.spark.sql.functions.monotonically_increasing_id())
       else graft.sources.Tables.csvWithRowId(spark, path)))
 
   def withTrainFrame(df: DataFrame): AnalysisSession = copy(train = Some(df))

@@ -70,6 +70,29 @@ class SourcesSinksSpec extends SparkSpec {
     }
   }
 
+  test("S2: xlsx round-trip with inference, shared/inline strings, blanks") {
+    val path = tmp() + "/t.xlsx"
+    graft.sources.Xlsx.write(Seq(
+      Seq("engine_no", "sensor", "label", "note"),
+      Seq(1L, 10.5, 3L, "ok"),
+      Seq(2L, null, 4L, "warn"),   // blank cell → null
+      Seq(3L, 30.25, 5L, "ok")), path)
+    val df = graft.sources.Xlsx.read(spark, path)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName).toSeq == Seq(
+      "engine_no" -> "long", "sensor" -> "double", "label" -> "long",
+      "note" -> "string"))
+    val rows = df.orderBy("engine_no").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(1)) // the blank sensor cell
+    assert(rows(2).getDouble(1) == 30.25)
+    assert(rows(0).getString(3) == "ok")
+
+    // the upload route accepts it (reference's pd.read_excel fallback)
+    val session = graft.api.AnalysisSession(graft.api.TaskConfig("x"))
+      .upload(spark, path)
+    assert(session.displayData.count() == 3)
+  }
+
   test("csv sink round-trips") {
     val dir = tmp() + "/csv"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
