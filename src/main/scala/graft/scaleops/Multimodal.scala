@@ -35,25 +35,79 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** ---- DECODE STUB ----
-    * A real implementation parses the container header (JPEG/WAV/
-    * MP4). The stub derives deterministic pseudo-dimensions from the
-    * payload bytes so downstream plumbing has stable, testable
-    * values. Runs per partition: one iterator pass, no per-row task
-    * overhead — the shape a JNI decoder needs. */
+  /** Container-header decode. REAL parsing for the two formats whose
+    * headers are pure byte layout — JPEG (SOF0/SOF2 frame dimensions)
+    * and WAV (RIFF fmt chunk: sample rate/channels → frame count);
+    * payloads that are neither fall back to the clearly-marked
+    * DETERMINISTIC STUB (pseudo-dims from a payload hash) so the
+    * pipeline stays total. Runs per partition: one iterator pass, no
+    * per-row task overhead — the shape a full codec (JNI) drops into. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
         val n = m.payload.length
-        val h = m.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
-        MediaMeta(m.media_id, m.modality, n,
-          width = 16 + math.floorMod(h, 1905).toInt,
-          height = 16 + math.floorMod(h >> 11, 1065).toInt,
-          n_frames = if (m.modality == "image") 1
-          else 1 + math.floorMod(h >> 22, 299).toInt)
+        parseJpeg(m.payload).orElse(parseWav(m.payload)) match {
+          case Some((w, h, frames)) =>
+            MediaMeta(m.media_id, m.modality, n, w, h, frames)
+          case None => // ---- DECODE STUB (non-container payloads) ----
+            val hsh = m.payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))
+            MediaMeta(m.media_id, m.modality, n,
+              width = 16 + math.floorMod(hsh, 1905).toInt,
+              height = 16 + math.floorMod(hsh >> 11, 1065).toInt,
+              n_frames = if (m.modality == "image") 1
+              else 1 + math.floorMod(hsh >> 22, 299).toInt)
+        }
       }
     }
+  }
+
+  private def u8(b: Byte): Int = b & 0xFF
+  private def be16(p: Array[Byte], i: Int): Int = (u8(p(i)) << 8) | u8(p(i + 1))
+  private def le16(p: Array[Byte], i: Int): Int = u8(p(i)) | (u8(p(i + 1)) << 8)
+  private def le32(p: Array[Byte], i: Int): Long =
+    u8(p(i)).toLong | (u8(p(i + 1)).toLong << 8) |
+      (u8(p(i + 2)).toLong << 16) | (u8(p(i + 3)).toLong << 24)
+
+  /** JPEG: walk the marker stream to the first SOF0/SOF2 frame header;
+    * height/width are big-endian at offsets +3/+5 of the segment. */
+  private[scaleops] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 4 || u8(p(0)) != 0xFF || u8(p(1)) != 0xD8) return None
+    var i = 2
+    while (i + 3 < p.length && u8(p(i)) == 0xFF) {
+      val marker = u8(p(i + 1))
+      if (marker == 0xC0 || marker == 0xC2) { // SOF0 / SOF2
+        if (i + 8 >= p.length) return None
+        return Some((be16(p, i + 7), be16(p, i + 5), 1)) // (width, height)
+      }
+      if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD9)) i += 2
+      else i += 2 + be16(p, i + 2)
+    }
+    None
+  }
+
+  /** WAV: RIFF/WAVE with an fmt chunk — channels and sample rate are
+    * little-endian; width=channels, height=sampleRate, frames = data
+    * bytes / block align. */
+  private[scaleops] def parseWav(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 44) return None
+    if (!(p.startsWith("RIFF".getBytes) &&
+        new String(p.slice(8, 12)) == "WAVE")) return None
+    var i = 12
+    var channels, sampleRate, blockAlign = 0
+    var dataLen = 0L
+    while (i + 8 <= p.length) {
+      val id = new String(p.slice(i, i + 4))
+      val size = le32(p, i + 4)
+      if (id == "fmt ") {
+        channels = le16(p, i + 10)
+        sampleRate = le32(p, i + 12).toInt
+        blockAlign = le16(p, i + 20)
+      } else if (id == "data") dataLen = size
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels == 0 || blockAlign == 0) None
+    else Some((channels, sampleRate, (dataLen / blockAlign).toInt))
   }
 
   /** Feature extraction: byte histogram (16 buckets) + entropy —

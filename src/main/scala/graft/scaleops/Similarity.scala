@@ -107,26 +107,42 @@ object Similarity {
   /** ANN top-k via LSH buckets: exact search within each query's
     * bucket. Recall < 1 by construction (log the trade); bucket size
     * distribution bounds the work per query. */
-  /** IVF (inverted-file) ANN: KMeans-partition the corpus into
-    * `nList` cells; each query exhaustively searches only its
-    * `nProbe` nearest cells. The index build is one MLlib KMeans fit;
-    * search is a broadcast-joined cell filter + the same scored
-    * top-k as brute force. Recall is tunable via nProbe (= nList
-    * recovers brute force). */
-  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
-             queries: DataFrame, k: Int, nList: Int = 16,
-             nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+  /** IVF (inverted-file) ANN index: KMeans-partition the corpus into
+    * `nList` cells. Build once, search many — `save`/`load` persist
+    * the fitted centroids + cell assignments so search never refits. */
+  final case class IvfIndex(
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      indexed: DataFrame)
+
+  def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
+               nList: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val spark = emb.sparkSession
     val prep = prepped(emb, idCol, vecCol, "neighbor")
       .withColumn("fv", array_to_vector(col("neighborv")))
     val model = new KMeans().setK(nList).setSeed(seed)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(prep)
-    val indexed = model.transform(prep).drop("fv")
+    IvfIndex(model, model.transform(prep).drop("fv"))
+  }
 
+  def ivfSave(index: IvfIndex, dir: String): Unit = {
+    index.model.write.overwrite().save(s"$dir/kmeans")
+    index.indexed.write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+    IvfIndex(
+      org.apache.spark.ml.clustering.KMeansModel.load(s"$dir/kmeans"),
+      spark.read.parquet(s"$dir/cells"))
+
+  /** Search an IVF index: each query exhaustively scores only its
+    * `nProbe` nearest cells. Recall is tunable via nProbe (= nList
+    * recovers brute force). */
+  def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = index.indexed.sparkSession
     // nProbe nearest centroids per query, by the same dot/norm algebra
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+    val centroids = index.model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
     val centDf = broadcast(spark.createDataFrame(centroids)
@@ -143,7 +159,7 @@ object Similarity {
       .filter(col("cell_rank") <= nProbe)
       .select("query_id", "queryv", "querynorm", "cell")
 
-    val scored = indexed.join(broadcast(qCells), "cell")
+    val scored = index.indexed.join(broadcast(qCells), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", pairCos("query", "neighbor"))
     val w = org.apache.spark.sql.expressions.Window
@@ -153,6 +169,13 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cos")
   }
+
+  /** One-shot convenience: build + search. */
+  def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, nList: Int = 16,
+             nProbe: Int = 4, seed: Long = 42L): DataFrame =
+    ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed), idCol, vecCol,
+      queries, k, nProbe)
 
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,

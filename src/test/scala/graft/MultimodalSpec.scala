@@ -25,6 +25,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG SOF header parses to real dimensions") {
+    // minimal JPEG: SOI, APP0 (16 bytes), SOF0 with h=480 w=640, EOI
+    val jpeg = Array[Int](
+      0xFF, 0xD8,                                     // SOI
+      0xFF, 0xE0, 0x00, 0x04, 0x4A, 0x46,             // APP0 len=4
+      0xFF, 0xC0, 0x00, 0x0B, 0x08,                   // SOF0 len=11, prec
+      0x01, 0xE0,                                     // height 480
+      0x02, 0x80,                                     // width 640
+      0x03, 0x01, 0x22, 0x00,                         // comps
+      0xFF, 0xD9).map(_.toByte)                       // EOI
+    val ds = Seq(Multimodal.MediaRow(9L, "image", jpeg)).toDS()
+    val meta = Multimodal.decodeMeta(ds).collect().head
+    assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
+  }
+
+  test("WAV RIFF header parses channels/rate/frames") {
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1)            // PCM
+      .putShort(2)            // channels
+      .putInt(44100)          // sample rate
+      .putInt(44100 * 4)      // byte rate
+      .putShort(4)            // block align
+      .putShort(16)           // bits
+    bb.put("data".getBytes).putInt(8).put(Array.fill[Byte](8)(0))
+    val ds = Seq(Multimodal.MediaRow(10L, "audio", bb.array())).toDS()
+    val meta = Multimodal.decodeMeta(ds).collect().head
+    assert(meta.width == 2)        // channels
+    assert(meta.height == 44100)   // sample rate
+    assert(meta.n_frames == 2)     // 8 data bytes / blockAlign 4
+  }
+
   test("byte histogram partitions all bytes; entropy bounds") {
     val feats = Multimodal.extractFeatures(media()).collect()
       .map(f => f.media_id -> f).toMap

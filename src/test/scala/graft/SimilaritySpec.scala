@@ -61,6 +61,20 @@ class SimilaritySpec extends SparkSpec {
     assert(partial.nonEmpty)
   }
 
+  test("ivf index save/load: searching a loaded index equals fresh search") {
+    val emb2 = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = emb2.filter(col("vec_id") < 2)
+    val idx = Similarity.ivfBuild(emb2, "vec_id", "embedding", nList = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfSave(idx, dir)
+    val loaded = Similarity.ivfLoad(spark, dir)
+    val fresh = Similarity.ivfSearch(idx, "vec_id", "embedding", queries, 3)
+      .collect().map(_.toSeq).toSet
+    val reloaded = Similarity.ivfSearch(loaded, "vec_id", "embedding", queries, 3)
+      .collect().map(_.toSeq).toSet
+    assert(fresh == reloaded && fresh.nonEmpty)
+  }
+
   test("lsh knn returns a subset of brute-force results (same scoring)") {
     val brute = Similarity.knnBrute(emb(), "vec_id", "embedding",
       emb().filter(col("vec_id") === 0), k = 3)
