@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{ArrayDot, WordShingles}
+
+/** SparkSessionExtensions entry point: exposes the engine's custom
+  * Catalyst expressions to plain SQL users —
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: .config("spark.sql.extensions", "graft.GraftExtensions")
+  * spark.sql("SELECT array_dot(a, b), word_shingles(text, 3) FROM t")
+  * }}}
+  *
+  * No custom Rules or Strategies are injected — the engine's plans
+  * are all expressible in standard Catalyst (SURVEY.md §4); functions
+  * are the one extension surface it needs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "array_dot(a, b) takes 2 arguments")
+        ArrayDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "word_shingles(text, k) takes 2 arguments")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles: k must be an integer literal, got $other")
+        }
+        WordShingles(children.head, k)
+      }))
+  }
+}

@@ -56,4 +56,9 @@ object Tables {
       .withColumn("_row_id", monotonically_increasing_id())
 
   val orderCols: Seq[String] = Seq("_file", "_row_id")
+
+  /** Register every harness table as a temp view so SQL users can
+    * query the star schema directly (`spark.sql("... FROM lineitem")`). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drives the SQL surface end-to-end: a session built with
+  * GraftExtensions, tables registered, custom functions called from
+  * plain SQL. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate returns an existing session and ignores extensions —
+    // clear the handles so this suite always builds its own (the
+    // underlying SparkContext is still shared, so this is cheap).
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+  }
+
+  test("array_dot and word_shingles are callable from SQL") {
+    val r = spark.sql(
+      """SELECT array_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d,
+        |       word_shingles('a b c d', 3) AS sh""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
+  test("registered tables + custom function compose in one SQL query") {
+    graft.sources.Tables.registerAll(spark, "/root/testdata/sf0.001")
+    val top = spark.sql(
+      """SELECT a.vec_id, b.vec_id,
+        |  array_dot(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |            CAST(b.embedding AS ARRAY<DOUBLE>)) AS dot
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 3 AND b.vec_id < 3
+        |ORDER BY dot DESC LIMIT 1""".stripMargin).collect()
+    assert(top.length == 1 && !top.head.isNullAt(2))
+  }
+
+  test("bad arity yields a clear error") {
+    val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
+    assert(e.getMessage.contains("array_dot"))
+  }
+}
