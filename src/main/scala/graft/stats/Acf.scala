@@ -47,6 +47,23 @@ object Acf {
     sums.selectExpr(groupCol, stackExpr)
   }
 
+  /** The single-aggregation formulation via the custom
+    * `TypedImperativeAggregate` (see AcfAggregate for the state
+    * trade-off): one shuffle, same output shape as `acf`. `ordCol`
+    * must be numeric (cast timestamps to `unix_micros` first). */
+  def acfViaAggregate(df: DataFrame, groupCol: String, ordCol: Column,
+                      valueCol: String, nLags: Int): DataFrame = {
+    val agged = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(graft.functions.AcfAggregate(ordCol,
+        col(valueCol).cast("double"), nLags).as("acfs"))
+    val stackExpr = (1 to nLags)
+      .map(k => s"$k, round(acfs[${k - 1}], 6)")
+      .mkString(s"stack($nLags, ", ", ", ") as (lag, acf)")
+    agged.selectExpr(groupCol, stackExpr)
+  }
+
   /** DuckDB oracle for `acf` over (table, group, µs-order, value). */
   def oracleSql(table: String, groupCol: String, valueCol: String,
                 nLags: Int): String = {

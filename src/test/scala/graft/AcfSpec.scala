@@ -19,6 +19,18 @@ class AcfSpec extends SparkSpec {
     assert(got(3) == 0.196429)
   }
 
+  test("TypedImperativeAggregate ACF equals the window-lag formulation") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val viaWindow = Acf.acf(ev, "user_id",
+      Seq(col("ts"), col("event_id")), "value", nLags = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val viaAgg = Acf.acfViaAggregate(ev, "user_id",
+      unix_micros(col("ts")), "value", nLags = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet == viaWindow.keySet)
+    viaAgg.foreach { case (k, v) => assert(v == viaWindow(k), s"at $k") }
+  }
+
   test("nulls are compacted before lagging (P6 compact-then-lag)") {
     // With the null at position 2 removed, the series is [1,2,3,4]:
     // adjacent pairs re-form across the gap.
