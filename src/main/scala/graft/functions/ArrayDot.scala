@@ -15,12 +15,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * tight fused loop inside WholeStageCodegen (~30× on 64-dim
   * embeddings), with an identical left-to-right summation order, so
   * results are bit-equal to the fold it replaces (and to a DuckDB
-  * `list_dot_product` oracle).
+  * `list_dot_product` oracle). Like that fold, mismatched lengths or a
+  * null element yield NULL (`zip_with` pads the shorter side with null
+  * and `acc + null` is null), so SQL callers of `array_dot` see the
+  * same semantics as the higher-order form.
   */
 case class ArrayDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     (left.dataType, right.dataType) match {
@@ -36,10 +40,12 @@ case class ArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -50,11 +56,18 @@ case class ArrayDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
       s"""
-         |${ev.value} = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
        """.stripMargin
     })

@@ -124,11 +124,17 @@ object AutoML {
         .setParallelism(parallelism)
         .setSeed(42)
       val model = cv.fit(prepared)
-      Trained(entry.name, model, model.avgMetrics.max, featureCols)
+      // The winning grid combo's CV metric: rmse is minimized,
+      // f1 maximized — avgMetrics.max would report the WORST combo
+      // for regression.
+      val best = mode match {
+        case Regression     => model.avgMetrics.min
+        case Classification => model.avgMetrics.max
+      }
+      Trained(entry.name, model, best, featureCols)
     }
     mode match {
-      case Regression => // rmse: smaller is better; avgMetrics ordering
-        candidates.minBy(_.model.avgMetrics.min)
+      case Regression     => candidates.minBy(_.cvMetric)
       case Classification => candidates.maxBy(_.cvMetric)
     }
   }
@@ -202,6 +208,6 @@ object AutoML {
       lb -> train(flat, "y", flatCols, Regression, numFolds = 3,
         quick = quick)
     }
-    results.minBy(_._2.model.avgMetrics.min)
+    results.minBy(_._2.cvMetric)
   }
 }

@@ -34,41 +34,45 @@ object AsOfJoin {
       s"right value columns collide with left: " +
         rightValueCols.intersect(leftCols).mkString(","))
 
+    // The whole right row travels as ONE struct so the matched
+    // timestamp and its values are always from the same row — filling
+    // each value column independently lets a newer right row with a
+    // null in one column pass the tolerance check with an
+    // older-than-tolerance value in that column.
+    val rstruct = struct(
+      col(tsCol).cast("long").as("_rts") +: rightValueCols.map(col): _*)
+    val taggedRight = right
+      .select((keys :+ tsCol).map(col) :+ rstruct.as("_rstruct"): _*)
+      .withColumn("_side", lit(0))
     val taggedLeft = left
+      .withColumn("_rstruct",
+        lit(null).cast(taggedRight.schema("_rstruct").dataType))
       .withColumn("_side", lit(1))
-      .withColumn("_rts", lit(null).cast("long"))
-    val taggedRight = rightValueCols.foldLeft(
-      right.select((keys :+ tsCol).map(col) ++ rightValueCols.map(col): _*)
-        .withColumn("_side", lit(0))
-        .withColumn("_rts", col(tsCol).cast("long"))) { (df, _) => df }
     val unioned = taggedLeft
-      .select((leftCols.map(col) :+ col("_side") :+ col("_rts")) ++
-        rightValueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-      .unionByName(
-        taggedRight.select(
-          (keys :+ tsCol).map(col) ++
-            leftCols.filterNot((keys :+ tsCol).contains)
-              .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-            Seq(col("_side"), col("_rts")) ++ rightValueCols.map(col): _*))
+      .select(leftCols.map(col) :+ col("_rstruct") :+ col("_side"): _*)
+      .unionByName(taggedRight.select(
+        (keys :+ tsCol).map(col) ++
+          leftCols.filterNot((keys :+ tsCol).contains)
+            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+          Seq(col("_rstruct"), col("_side")): _*))
 
+    // Right-before-left at equal ts (inclusive match). Among right
+    // rows tied on ts the struct itself is the final orderBy key, so
+    // `last` picks the same row on every run.
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("_side").asc)
+      .orderBy(col(tsCol).asc, col("_side").asc, col("_rstruct").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }.withColumn("_matched_ts", last(col("_rts"), ignoreNulls = true).over(w))
+    val filled = unioned
+      .withColumn("_m", last(col("_rstruct"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
 
-    val result = filled.filter(col("_side") === 1)
-    val toleranced = tolerance match {
-      case Some(tol) =>
-        val tooOld = col("_matched_ts").isNull ||
-          col(tsCol).cast("long") - col("_matched_ts") > tol
-        rightValueCols.foldLeft(result) { (df, c) =>
-          df.withColumn(c, when(tooOld, lit(null)).otherwise(col(c)))
-        }
-      case None => result
+    val matched = tolerance match {
+      case Some(tol) => col("_m").isNotNull &&
+        col(tsCol).cast("long") - col("_m").getField("_rts") <= tol
+      case None => col("_m").isNotNull
     }
-    toleranced.select((leftCols ++ rightValueCols).map(col): _*)
+    filled.select(leftCols.map(col) ++
+      rightValueCols.map(c => when(matched, col("_m").getField(c)).as(c)): _*)
   }
 }

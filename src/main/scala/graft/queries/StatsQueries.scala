@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.clean.Cleaning
 import graft.ml.Scalers
@@ -199,15 +199,18 @@ object StatsQueries {
     val cols = Seq("l_quantity", "l_discount")
     val li = t(s, d, "lineitem")
     val scaled = Scalers.fitStandard(li, cols).transform(li)
+    // `+ 0.0` canonicalizes IEEE -0.0 to 0.0 (the mean of a z-scored
+    // column); the driver's byte-hash gate distinguishes signed zeros.
+    def r6(c: Column, name: String): Column = (round(c, 6) + lit(0.0)).as(name)
     scaled.agg(
-      round(avg(col("l_quantity")), 6).as("q_mean"),
-      round(stddev_pop(col("l_quantity")), 6).as("q_std"),
-      round(min(col("l_quantity")), 6).as("q_min"),
-      round(max(col("l_quantity")), 6).as("q_max"),
-      round(avg(col("l_discount")), 6).as("d_mean"),
-      round(stddev_pop(col("l_discount")), 6).as("d_std"),
-      round(min(col("l_discount")), 6).as("d_min"),
-      round(max(col("l_discount")), 6).as("d_max"))
+      r6(avg(col("l_quantity")), "q_mean"),
+      r6(stddev_pop(col("l_quantity")), "q_std"),
+      r6(min(col("l_quantity")), "q_min"),
+      r6(max(col("l_quantity")), "q_max"),
+      r6(avg(col("l_discount")), "d_mean"),
+      r6(stddev_pop(col("l_discount")), "d_std"),
+      r6(min(col("l_discount")), "d_min"),
+      r6(max(col("l_discount")), "d_max"))
   }
 
   val standardizeOracle: String =
@@ -218,10 +221,10 @@ object StatsQueries {
       |z AS (
       |  SELECT (l_quantity - mq) / sq AS zq, (l_discount - md) / sd AS zd
       |  FROM lineitem, s)
-      |SELECT ROUND(AVG(zq), 6) AS q_mean, ROUND(STDDEV_POP(zq), 6) AS q_std,
-      |  ROUND(MIN(zq), 6) AS q_min, ROUND(MAX(zq), 6) AS q_max,
-      |  ROUND(AVG(zd), 6) AS d_mean, ROUND(STDDEV_POP(zd), 6) AS d_std,
-      |  ROUND(MIN(zd), 6) AS d_min, ROUND(MAX(zd), 6) AS d_max
+      |SELECT ROUND(AVG(zq), 6) + 0 AS q_mean, ROUND(STDDEV_POP(zq), 6) + 0 AS q_std,
+      |  ROUND(MIN(zq), 6) + 0 AS q_min, ROUND(MAX(zq), 6) + 0 AS q_max,
+      |  ROUND(AVG(zd), 6) + 0 AS d_mean, ROUND(STDDEV_POP(zd), 6) + 0 AS d_std,
+      |  ROUND(MIN(zd), 6) + 0 AS d_min, ROUND(MAX(zd), 6) + 0 AS d_max
       |FROM z""".stripMargin
 
   def minMaxStats(s: SparkSession, d: String): DataFrame = {

@@ -28,6 +28,17 @@ object Xlsx {
   private def colIndex(cellRef: String): Int =
     cellRef.takeWhile(_.isLetter).foldLeft(0)((a, c) => a * 26 + (c - 'A' + 1)) - 1
 
+  /** Inverse of [[colIndex]]: bijective base-26 (0→A, 25→Z, 26→AA). */
+  private def colName(idx: Int): String = {
+    val sb = new StringBuilder
+    var n = idx + 1
+    while (n > 0) {
+      sb.insert(0, ('A' + (n - 1) % 26).toChar)
+      n = (n - 1) / 26
+    }
+    sb.toString
+  }
+
   def read(spark: SparkSession, path: String): DataFrame = {
     val zip = new ZipFile(path)
     def load(name: String): Option[scala.xml.Elem] =
@@ -96,7 +107,7 @@ object Xlsx {
     * numbers plain — readable by this reader, Excel, and pandas. */
   def write(rows: Seq[Seq[Any]], path: String): Unit = {
     def cellXml(rowIdx: Int, colIdx: Int, v: Any): String = {
-      val ref = s"${('A' + colIdx).toChar}${rowIdx + 1}"
+      val ref = s"${colName(colIdx)}${rowIdx + 1}"
       v match {
         case null => ""
         case n: Long => s"""<c r="$ref"><v>$n</v></c>"""

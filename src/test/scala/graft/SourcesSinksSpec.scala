@@ -93,6 +93,20 @@ class SourcesSinksSpec extends SparkSpec {
     assert(session.displayData.count() == 3)
   }
 
+  test("S2: xlsx round-trip beyond 26 columns (AA-style refs)") {
+    val path = tmp() + "/wide.xlsx"
+    val n = 30 // crosses the Z→AA boundary
+    val header = (0 until n).map(i => s"c$i")
+    val row1 = (0 until n).map(_.toLong)
+    val row2 = (0 until n).map(i => (i * 10).toLong)
+    graft.sources.Xlsx.write(Seq(header, row1, row2), path)
+    val df = graft.sources.Xlsx.read(spark, path)
+    assert(df.columns.toSeq == header)
+    val rows = df.orderBy("c0").collect()
+    assert(rows(0).getLong(n - 1) == (n - 1).toLong)
+    assert(rows(1).getLong(n - 1) == ((n - 1) * 10).toLong)
+  }
+
   test("csv sink round-trips") {
     val dir = tmp() + "/csv"
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
