@@ -239,6 +239,50 @@ object Events {
       |  first_purchase_us - signup_us AS delay_us
       |FROM j""".stripMargin
 
+  /** Day-of-week × hour activity profile. Both derived with pure
+    * epoch arithmetic (1970-01-01 was a Thursday, hence the +4) so
+    * the two engines share IEEE semantics exactly — calendar
+    * functions differ in week-start conventions across dialects. */
+  def dowHourly(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("dow", ((floor(col("us") / 86400000000L) + 4) % 7).cast("long"))
+      .withColumn("hr", floor(pmod(col("us"), lit(86400000000L)) / 3600000000L).cast("long"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(dec6(col("value"))).as("sum_value"))
+
+  val dowHourlyOracle: String =
+    """SELECT
+      |  CAST((FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+      |  CAST(FLOOR((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000) / 3600000000) AS BIGINT) AS hr,
+      |  COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Cohort retention: users bucketed by first-seen day; distinct
+    * active users per (cohort day, day offset). Two aggregations and
+    * one join, all keyed on user_id — a single co-partitioned shuffle
+    * at scale. */
+  def retention(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("user_id"),
+      floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+    val cohorts = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val retentionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day
+      |  FROM events),
+      |f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  COUNT(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   /** Cardinality sketching: exact vs HLL distinct counts. The approx
     * column is engine-specific, so the check is rows-only; the spec
     * bounds the HLL error instead. */
@@ -259,5 +303,7 @@ object Events {
     Q("events_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
     Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
     Q("events_funnel", funnel, Some(funnelOracle)),
+    Q("events_dow_hourly", dowHourly, Some(dowHourlyOracle)),
+    Q("events_retention", retention, Some(retentionOracle)),
     Q("events_approx_distinct", approxDistinct, None))
 }

@@ -37,6 +37,38 @@ object OperatorQueries {
       |FROM c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin
 
+  /** As-of join with a 1-hour tolerance: a purchase older than the
+    * window is nulled out even when it is the latest one — the match
+    * row survives, only the carried values drop. Oracle = DuckDB ASOF
+    * (latest-at-or-before) with the same tolerance predicate applied
+    * after the match. */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("value").as("purchase_value"))
+    AsOfJoin.backward(clicks, purchases, keys = Seq("user_id"),
+      tsCol = "ts_us", rightValueCols = Seq("purchase_value"),
+      tolerance = Some(3600000000L))
+  }
+
+  val asofToleranceOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+      |    value AS purchase_value
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.event_id, c.ts_us,
+      |  CASE WHEN c.ts_us - p.ts_us <= 3600000000 THEN p.purchase_value END
+      |    AS purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin
+
   /** Salted two-phase aggregation — must produce exactly the plain
     * groupBy result (the oracle is the unsalted SQL). */
   def saltedRevenue(s: SparkSession, d: String): DataFrame =
@@ -71,6 +103,7 @@ object OperatorQueries {
 
   val all: Seq[Q] = Seq(
     Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
+    Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
     Q("salted_revenue", saltedRevenue, Some(saltedOracle)),
     Q("profile_lineitem", profileLineitem, Some(profileOracle), bench = true))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import QUtil._
@@ -177,6 +178,52 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** Full cube over (returnflag, linestatus): all four grouping-set
+    * combinations in one pass (Expand + single aggregate — no
+    * re-scans). */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(dec4(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+
+  val qCubeOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Per-customer order history as window functions: running
+    * (decimal-exact) spend, order index, and the gap to the previous
+    * order — one shuffle on custkey produces every column. */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_millis(col("o_orderdate")).as("od_ms"),
+        dec4(col("o_totalprice")).as("price"))
+      .withColumn("order_idx", row_number().over(w).cast("int"))
+      .withColumn("running_spend",
+        sum(col("price")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("gap_ms", col("od_ms") - lag(col("od_ms"), 1).over(w))
+      .select("o_custkey", "o_orderkey", "order_idx", "running_spend", "gap_ms")
+  }
+
+  val qWindowRunningOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(ROW_NUMBER() OVER w AS INT) AS order_idx,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_spend,
+      |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) -
+      |    LAG(epoch_ms(CAST(o_orderdate AS TIMESTAMP))) OVER w AS gap_ms
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
   /** Top-k per group via ranked window (decimal-exact ordering key so
     * both engines rank identically; ties broken on orderkey). */
   def qTopKPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -212,6 +259,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
+    Q("q_cube_quantity", qCube, Some(qCubeOracle)),
+    Q("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     Q("q_topk_per_group", qTopKPerGroup, Some(qTopKPerGroupOracle)),
     Q("q3_segment_revenue", q3SegmentRevenue, Some(q3Oracle), bench = true),
     Q("q5_regional_revenue", q5RegionalRevenue, Some(q5Oracle), bench = true),

@@ -193,6 +193,55 @@ object ScaleQueries {
       nList = 8, nProbe = 3)
   }
 
+  /** IVF at nProbe = nList degenerates to exact search, so the
+    * brute-force oracle applies — this pins the whole IVF path
+    * (build, cell routing, scoring) to a hash-match, while `knn_ivf`
+    * exercises the approximate regime. */
+  def knnIvfFull(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnIvf(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5,
+      nList = 8, nProbe = 8)
+  }
+
+  /** Exact bigram-Jaccard near-dup pairs (no LSH) — the inverted-index
+    * formulation; oracle is the brute-force pair scan. */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleK = 2, minJaccard = 0.5)
+
+  val ngramJaccardOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(toks) >= 2
+      |      THEN list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE [] END) AS s
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |      len(list_distinct(a.s || b.s)), 6) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+
+  /** Document fingerprint dedup: group by the order-insensitive
+    * content fingerprint (md5 of sorted distinct tokens), report each
+    * duplicate group. Catches token-reordered near-copies that exact
+    * normalization misses. */
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") > 1)
+
+  val dedupFingerprintOracle: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+      |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensOracle)),
     Q("text_quality", textQuality, Some(textQualityOracle)),
@@ -203,5 +252,8 @@ object ScaleQueries {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, None),
-    Q("knn_ivf", knnIvf, None))
+    Q("knn_ivf", knnIvf, None),
+    Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
+    Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)))
 }

@@ -194,6 +194,28 @@ object StatsQueries {
   val rollingOracle: String = graft.ts.RollingFeatures.oracleSql(
     "events", "user_id", "value", Seq(3, 10), "user_id < 3")
 
+  /** EWMA recurrence per user series (α = 0.3). The oracle folds the
+    * same recurrence over a prefix-list window with `list_reduce`
+    * (seed = first element, exactly the mapPartitions seeding), so
+    * even this order-dependent op is hash-matched, not rows-only. */
+  def ewmaSeries(s: SparkSession, d: String): DataFrame =
+    graft.ts.RollingFeatures.ewma(
+      t(s, d, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), "value",
+      alpha = 0.3, idCol = "event_id")
+
+  val ewmaOracle: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, value,
+      |    list(value) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |      ROWS UNBOUNDED PRECEDING) AS pfx
+      |  FROM events WHERE user_id < 3)
+      |SELECT user_id, event_id, value AS x,
+      |  ROUND(list_reduce(pfx, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
+      |FROM o""".stripMargin
+
   // ---- M1/M2: sklearn-exact scalers -----------------------------------
   def standardizeStats(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_discount")
@@ -258,6 +280,7 @@ object StatsQueries {
     Q("w1_split_counts", splitCounts, Some(splitCountsOracle)),
     Q("w2_window_stats", windowStats, Some(windowStatsOracle), bench = true),
     Q("ts_rolling_features", rollingFeatures, Some(rollingOracle)),
+    Q("ts_ewma", ewmaSeries, Some(ewmaOracle)),
     Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),
     Q("m2_minmax_stats", minMaxStats, Some(minMaxOracle)))
 }

@@ -121,6 +121,33 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Exact n-gram Jaccard pairs ≥ minJaccard via an inverted-index
+    * join — no LSH, no approximation: explode shingles, join docs
+    * that share one, count the intersection per pair, and derive the
+    * union as |A| + |B| − |A∩B|. Shuffle volume is bounded by the
+    * postings lists (Σ doc-frequency²) instead of the O(n²) pair
+    * space; pairs sharing zero shingles never materialize. At 100 TB
+    * the guard against degenerate postings is prefix filtering /
+    * df-capping — omitted here because it changes the exact result.
+    */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol),
+      shingles(col(textCol), shingleK).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sh.select(col(idCol), col("sz"), explode(col("sh")).as("s"))
+    val l = inv.select(col("s"), col(idCol).as("a"), col("sz").as("sz_a"))
+    val r = inv.select(col("s"), col(idCol).as("b"), col("sz").as("sz_b"))
+    l.join(r, Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** SimHash (64-bit) of a text column (named column, SQL-expression
     * form — `shiftright` with a non-literal shift only exists in SQL):
     * per-token 64-bit hashes vote ±1 on each bit position; the sign

@@ -41,27 +41,30 @@ object RollingFeatures {
     * preference order — (d) in SURVEY.md's custom-op ranking.)
     */
   def ewma(df: DataFrame, groupCol: String, orderCols: Seq[Column],
-           valueCol: String, alpha: Double): DataFrame = {
+           valueCol: String, alpha: Double, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
     val prepped = df
       .select(col(groupCol).cast("long").as("g") +:
+        col(idCol).cast("long").as("id") +:
         col(valueCol).cast("double").as("x") +: orderCols: _*)
       .repartition(col("g"))
       .sortWithinPartitions(col("g") +: orderCols: _*)
-      .select("g", "x")
-      .as[(Long, Double)]
+      .select("g", "id", "x")
+      .as[(Long, Long, Double)]
     prepped.mapPartitions { rows =>
       var curGroup = Long.MinValue
       var state = 0.0
-      var first = true
-      rows.map { case (g, x) =>
-        if (g != curGroup) { curGroup = g; state = x; first = false }
+      rows.map { case (g, id, x) =>
+        if (g != curGroup) { curGroup = g; state = x }
         else state = alpha * x + (1 - alpha) * state
-        (g, x, BigDecimal(state).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)
+        // BigDecimal(double) is shortest-repr decimal + HALF_UP — the
+        // same semantics as Spark's round(), hence oracle-matchable.
+        (g, id, x, BigDecimal(state)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       }
-    }.toDF(groupCol + "_g", "x", "ewma")
+    }.toDF(groupCol + "_g", idCol + "_i", "x", "ewma")
       .withColumnRenamed(groupCol + "_g", groupCol)
+      .withColumnRenamed(idCol + "_i", idCol)
   }
 
   /** DuckDB oracle template over the events table. */

@@ -54,8 +54,8 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, 1, 100.0), (2L, 2, 0.0)))
       .toDF("g", "ord", "v")
     val got = graft.ts.RollingFeatures
-      .ewma(df, "g", Seq(col("ord")), "v", alpha = 0.5)
-      .collect().map(r => (r.getLong(0), r.getDouble(1)) -> r.getDouble(2))
+      .ewma(df, "g", Seq(col("ord")), "v", alpha = 0.5, idCol = "ord")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)) -> r.getDouble(3))
       .toMap
     assert(got((1L, 10.0)) == 10.0)   // seed = first value
     assert(got((1L, 20.0)) == 15.0)   // 0.5*20 + 0.5*10
