@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, WordShingles}
+import graft.functions.{ArrayDot, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: exposes the engine's custom
   * Catalyst expressions to plain SQL users —
@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "array_dot(a, b) takes 2 arguments")
         ArrayDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "sorted_intersect_count(a, b) takes 2 arguments")
+        SortedIntersectCount(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, RangeJoin, Salting}
 import graft.sources.Tables
 import graft.stats.Profile
 
@@ -69,6 +69,44 @@ object OperatorQueries {
       |FROM c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin
 
+  /** Range join: every purchase paired with the same user's clicks in
+    * the preceding hour — bucketized equi-join (see RangeJoin), so no
+    * per-user cross product forms however hot a user is. The oracle
+    * is the naive SQL range predicate. */
+  def rangeJoinClicks(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+        QUtil.dec6(col("value")).as("click_value"))
+    val pairs = RangeJoin.inner(purchases, clicks, Seq("user_id"),
+      "p_us", "c_us", before = 3600000000L, after = 0L)
+    val perPurchase = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        QUtil.moneySum(col("click_value")).as("sum_click_value"))
+    purchases.join(perPurchase, Seq("event_id"), "left")
+      .select(col("user_id"), col("event_id"), col("p_us"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        col("sum_click_value"))
+  }
+
+  val rangeJoinOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.p_us,
+      |  COUNT(c.c_us) AS n_clicks,
+      |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_click_value
+      |FROM p LEFT JOIN c ON p.user_id = c.user_id
+      |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us
+      |GROUP BY 1, 2, 3""".stripMargin
+
   /** Salted two-phase aggregation — must produce exactly the plain
     * groupBy result (the oracle is the unsalted SQL). */
   def saltedRevenue(s: SparkSession, d: String): DataFrame =
@@ -104,6 +142,7 @@ object OperatorQueries {
   val all: Seq[Q] = Seq(
     Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
     Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
+    Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinOracle)),
     Q("salted_revenue", saltedRevenue, Some(saltedOracle)),
     Q("profile_lineitem", profileLineitem, Some(profileOracle), bench = true))
 }

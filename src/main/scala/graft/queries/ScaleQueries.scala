@@ -204,11 +204,16 @@ object ScaleQueries {
       nList = 8, nProbe = 8)
   }
 
-  /** Exact bigram-Jaccard near-dup pairs (no LSH) — the inverted-index
-    * formulation; oracle is the brute-force pair scan. */
+  /** Exact bigram-Jaccard near-dup pairs (no LSH) — prefix-filtered
+    * inverted index; oracle is the brute-force pair scan. t = 0.8 is
+    * the standard near-dup regime AND the regime where prefix
+    * filtering has teeth: this corpus' shingle vocabulary is tiny
+    * (median df ≈ 285/5000 docs at sf0.1), so at t = 0.5 the
+    * candidate set degenerates to nearly all n²/2 pairs for ANY exact
+    * algorithm — that's what MinHash banding (dedup_minhash) is for. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-      shingleK = 2, minJaccard = 0.5)
+      shingleK = 2, minJaccard = 0.8)
 
   val ngramJaccardOracle: String =
     """WITH sh AS (
@@ -224,7 +229,7 @@ object ScaleQueries {
       |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |      len(list_distinct(a.s || b.s)), 6) AS jaccard
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.5""".stripMargin
+      |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
 
   /** Document fingerprint dedup: group by the order-insensitive
     * content fingerprint (md5 of sorted distinct tokens), report each

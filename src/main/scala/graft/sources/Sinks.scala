@@ -46,4 +46,18 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String,
                mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
+
+  /** ORC: the other columnar interchange format Spark ships natively
+    * (vectorized reader, predicate pushdown, column pruning — same
+    * scan discipline as parquet). */
+  def writeOrc(df: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** JSON-lines: the interchange format for event feeds; schema is
+    * carried by the reader (`spark.read.schema(...).json`) at scale —
+    * inference is a full extra pass. */
+  def writeJson(df: DataFrame, path: String,
+                mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
 }

@@ -26,30 +26,58 @@ object Histogram {
     def width: Double = (hi - lo) / nBins
   }
 
-  /** @param exactQuantiles exact `percentile` is an O(n log n)
-    *        per-partition sort — right for oracle parity; at 100 TB
-    *        flip to the approximate sketch (bin counts shift by at
-    *        most ±1 on pathological IQRs). */
+  /** Exact quantiles by distributed sort + positional lookup, with
+    * numpy/`quantile_cont` linear interpolation at (n−1)·p. Unlike
+    * the `percentile` aggregate — whose buffer is every distinct
+    * value on ONE reducer — the sort is a range-partitioned shuffle
+    * and the lookup collects only the O(|probs|) boundary values, so
+    * the op stays distributed on a distinct-heavy column at any
+    * scale. */
+  def exactQuantiles(df: DataFrame, column: String, probs: Seq[Double],
+                     n: Long): Seq[Double] = {
+    if (n == 0) return probs.map(_ => Double.NaN)
+    val sorted = df.filter(col(column).isNotNull)
+      .select(col(column).cast("double")).rdd.map(_.getDouble(0))
+      .sortBy(identity).zipWithIndex().map(_.swap)
+    val wanted = probs.map { p =>
+      val pos = (n - 1) * p
+      val lo = math.floor(pos).toLong
+      p -> (lo, math.ceil(pos).toLong, pos - lo)
+    }
+    val idxs = wanted.flatMap { case (_, (lo, hi, _)) => Seq(lo, hi) }.toSet
+    val found = sorted.filter { case (i, _) => idxs.contains(i) }
+      .collect().toMap
+    wanted.map { case (_, (lo, hi, frac)) =>
+      val vlo = found(lo)
+      vlo + (found(hi) - vlo) * frac
+    }
+  }
+
+  /** @param exactQuantiles exact IQR via the distributed sort above —
+    *        oracle parity without single-reducer percentile state; the
+    *        approximate sketch remains as the cheap path (bin counts
+    *        shift by at most ±1 on pathological IQRs). */
   def autoBinSpec(df: DataFrame, column: String,
                   exactQuantiles: Boolean = true): BinSpec = {
-    val (q1e, q3e) =
-      if (exactQuantiles)
-        (s"percentile($column, 0.25)", s"percentile($column, 0.75)")
-      else
-        (s"approx_percentile($column, 0.25, 10000)",
-          s"approx_percentile($column, 0.75, 10000)")
-    val r = df
-      .agg(
-        count(col(column)).as("n"),
-        min(col(column)).cast("double").as("lo"),
-        max(col(column)).cast("double").as("hi"),
-        expr(q1e).cast("double").as("q1"),
-        expr(q3e).cast("double").as("q3"))
-      .head()
+    val baseAggs = Seq(
+      count(col(column)).as("n"),
+      min(col(column)).cast("double").as("lo"),
+      max(col(column)).cast("double").as("hi"))
+    val qAggs =
+      if (exactQuantiles) Nil
+      else Seq(
+        expr(s"approx_percentile($column, 0.25, 10000)").cast("double").as("q1"),
+        expr(s"approx_percentile($column, 0.75, 10000)").cast("double").as("q3"))
+    val aggs = baseAggs ++ qAggs
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("n")
     val lo = r.getAs[Double]("lo")
     val hi = r.getAs[Double]("hi")
-    val iqr = r.getAs[Double]("q3") - r.getAs[Double]("q1")
+    val iqr =
+      if (exactQuantiles) {
+        val qs = this.exactQuantiles(df, column, Seq(0.25, 0.75), n)
+        qs(1) - qs(0)
+      } else r.getAs[Double]("q3") - r.getAs[Double]("q1")
     val sturges = math.ceil(round9(math.log(n.toDouble) / math.log(2.0) + 1.0)).toLong
     val fd =
       if (iqr > 0 && hi > lo)

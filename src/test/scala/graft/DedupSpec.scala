@@ -33,6 +33,27 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_dup_groups") == 1)
   }
 
+  test("prefix-filtered exact jaccard equals the naive all-pairs scan on real docs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      shingleK = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // naive reference: every pair, no prefix filter
+    val sh = docs.select(col("doc_id"),
+      Dedup.shingles(col("text"), 2).as("sh"))
+    val naive = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+      .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+      .filter(col("a") < col("b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty) // the corpus plants near-dups; the test must bite
+  }
+
   test("minhash near-dups finds a planted near-duplicate pair, not the distinct one") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " other1 other2"

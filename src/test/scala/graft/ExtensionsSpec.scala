@@ -43,6 +43,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(top.length == 1 && !top.head.isNullAt(2))
   }
 
+  test("sorted_intersect_count from SQL; agrees with array_intersect on random sets") {
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L, 9L)) AS c,
+        |       sorted_intersect_count(array(1L, 2L), array(3L, 4L)) AS zero,
+        |       sorted_intersect_count(array(1L, NULL, 3L), array(1L, 3L)) AS nul
+        |""".stripMargin).head()
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 0)
+    assert(r.isNullAt(2))
+    // property: on 200 random sorted distinct sets, matches the size
+    // of the built-in array_intersect
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val rows = (1 to 200).map { _ =>
+      def set() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (set(), set())
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.selectExpr(
+      "sorted_intersect_count(a, b) AS got",
+      "size(array_intersect(a, b)) AS want")
+      .filter("got <> want").count()
+    assert(bad == 0)
+  }
+
   test("bad arity yields a clear error") {
     val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
     assert(e.getMessage.contains("array_dot"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, Salting}
+import graft.operators.{AsOfJoin, RangeJoin, Salting}
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -18,6 +18,41 @@ class OperatorsSpec extends SparkSpec {
     assert(got("b") == Some(200.0)) // latest of the two priors
     assert(got("c") == None)        // nothing at or before ts=5
     assert(got("d") == None)        // right exists but only later (99 > 10)
+  }
+
+  test("range join: inclusive bounds, bucket-boundary pairs, key isolation") {
+    val left = Seq((1, 100L, "p1"), (1, 200L, "p2"), (2, 100L, "p3"))
+      .toDF("k", "lts", "ltag")
+    val right = Seq(
+      (1, 90L, "in-before-edge"),   // 100−10 → inclusive lower bound
+      (1, 105L, "in-after-edge"),   // 100+5  → inclusive upper bound
+      (1, 89L, "out-low"), (1, 106L, "out-high"),
+      (1, 195L, "in-p2"),
+      (2, 99L, "other-key"))
+      .toDF("k", "rts", "rtag")
+    val got = RangeJoin.inner(left, right, Seq("k"), "lts", "rts",
+      before = 10L, after = 5L)
+      .select("ltag", "rtag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("p1", "in-before-edge"), ("p1", "in-after-edge"),
+      ("p2", "in-p2"), ("p3", "other-key")))
+  }
+
+  test("range join equals the naive equi-join + range filter on real events") {
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), unix_micros(col("ts")).as("c_us"))
+    val bucketized = RangeJoin.inner(p, c.withColumnRenamed("c_user", "user_id"),
+      Seq("user_id"), "p_us", "c_us", before = 3600000000L, after = 0L)
+      .select("event_id", "c_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naive = p.join(c, p("user_id") === c("c_user") &&
+        c("c_us") >= p("p_us") - 3600000000L && c("c_us") <= p("p_us"))
+      .select("event_id", "c_us").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(bucketized.sorted.toSeq == naive.sorted.toSeq)
+    assert(naive.nonEmpty)
   }
 
   test("as-of tolerance nulls out stale matches") {

@@ -115,4 +115,26 @@ class SourcesSinksSpec extends SparkSpec {
       .option("inferSchema", "true").csv(dir)
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
+
+  test("orc sink round-trips with pushdown-capable scan") {
+    val dir = tmp() + "/orc"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("k", "v", "x")
+    Sinks.writeOrc(df, dir)
+    val back = spark.read.orc(dir).filter($"k" > 1)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(k,1)"),
+      s"ORC scan must push the filter down:\n$scan")
+    assert(back.count() == 2)
+    assert(spark.read.orc(dir).schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("json-lines sink round-trips under an explicit schema") {
+    val dir = tmp() + "/json"
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "v", "x")
+    Sinks.writeJson(df, dir)
+    val back = spark.read.schema(df.schema).json(dir)
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+  }
 }
