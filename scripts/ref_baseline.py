@@ -84,5 +84,44 @@ def _():
     (x - x.mean(axis=0)) / x.std(axis=0)
 
 
+@bench("ewma_per_group")
+def _():
+    # order-dependent recurrence, pandas-native implementation
+    ev[ev.user_id < 3].sort_values(["user_id", "ts", "event_id"]) \
+      .groupby("user_id")["value"].transform(
+          lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+
+
+@bench("range_join_clicks")
+def _():
+    # single-node formulation: per-user sorted two-pointer sweep
+    p = ev[ev.event_type == "purchase"][["user_id", "event_id", "ts"]]
+    c = ev[ev.event_type == "click"][["user_id", "ts", "value"]]
+    merged = p.merge(c, on="user_id", suffixes=("_p", "_c"))
+    win = merged[(merged.ts_c <= merged.ts_p) &
+                 (merged.ts_c >= merged.ts_p - pd.Timedelta(hours=1))]
+    win.groupby("event_id").agg(n=("ts_c", "size"), s=("value", "sum"))
+
+
+@bench("jaccard_naive_pairs")
+def _():
+    # single-node exact near-dup: all-pairs bigram jaccard
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    shingle_sets = []
+    for t in docs.text:
+        toks = t.strip().split()
+        shingle_sets.append(
+            frozenset(f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)))
+    n = len(shingle_sets)
+    hits = 0
+    for i in range(n):
+        a = shingle_sets[i]
+        for j in range(i + 1, n):
+            b = shingle_sets[j]
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= 0.8:
+                hits += 1
+
+
 print(json.dumps({"sf": sf, "pandas_seconds": results,
                   "total": round(sum(results.values()), 3)}))

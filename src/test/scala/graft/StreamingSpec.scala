@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dedup drops a replayed batch of events") {
+    import org.apache.spark.sql.functions._
+    // stage the same file TWICE — a replayed landing-zone delivery
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events_b.parquet"))
+    val stream = EventsStream.readEvents(spark, dir.toString)
+    val q = EventsStream.startMemorySink(
+      EventsStream.dedupStream(stream, "event_id"), "dedup_out", "append")
+    q.processAllAvailable(); q.stop()
+    val total = spark.table("dedup_out").count()
+    val distinctIds = spark.table("dedup_out")
+      .select(countDistinct(col("event_id"))).head().getLong(0)
+    val batchRows = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(total == batchRows)   // every duplicate row dropped
+    assert(distinctIds == batchRows)
+  }
+
   test("AvailableNow: stream to a parquet sink with checkpoint, then read back") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out")
     val stream = EventsStream.readEvents(spark, streamDir)
