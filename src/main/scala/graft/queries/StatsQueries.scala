@@ -51,6 +51,13 @@ object StatsQueries {
     Acf.acf(t(s, d, "events"), "user_id",
       Seq(col("ts"), col("event_id")), "value", nLags = 10)
 
+  /** The same ACF through the custom TypedImperativeAggregate — one
+    * shuffle instead of two; checked against the identical oracle so
+    * the two formulations are pinned to each other AND to DuckDB. */
+  def acfEventsAgg(s: SparkSession, d: String): DataFrame =
+    Acf.acfViaAggregate(t(s, d, "events"), "user_id",
+      unix_micros(col("ts")), "value", nLags = 10)
+
   // ---- D4: per-group time-series line data ----------------------------
   /** One pass for all groups × the feature — projection + sort, not
     * the reference's G×F filter-scans (data_analysis.py:64-66). */
@@ -274,6 +281,8 @@ object StatsQueries {
     Q("d3_corr_lineitem", corrLineitem, Some(corrOracle), bench = true),
     Q("d5_acf_events", acfEvents,
       Some(Acf.oracleSql("events", "user_id", "value", 10)), bench = true),
+    Q("d5_acf_agg", acfEventsAgg,
+      Some(Acf.oracleSql("events", "user_id", "value", 10))),
     Q("d7_eval_metrics", evalMetrics, Some(evalMetricsOracle)),
     Q("p1_null_audit", nullAudit, Some(nullAuditOracle)),
     Q("p7_distinct_event_types", distinctEventTypes, Some(distinctOracle)),
