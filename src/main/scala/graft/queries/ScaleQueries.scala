@@ -247,6 +247,92 @@ object ScaleQueries {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** Stratified downsampling by deterministic systematic selection:
+    * per event_type, keep rows whose event_id mod 100 falls under the
+    * stratum's quota — class rebalancing that is reproducible across
+    * engines and runs (seeded Bernoulli `sampleBy` is engine-specific
+    * RNG; systematic selection on a uniform key is the
+    * oracle-checkable twin). */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val quota = typedLit(Map(
+      "click" -> 10, "view" -> 5, "purchase" -> 100,
+      "signup" -> 100, "error" -> 50))
+    t(s, d, "events")
+      .filter(pmod(col("event_id"), lit(100)) <
+        coalesce(quota(col("event_type")), lit(0)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sampled"),
+        QUtil.moneySum(QUtil.dec6(col("value"))).as("sum_value"))
+  }
+
+  val stratifiedSampleOracle: String =
+    """SELECT event_type, COUNT(*) AS n_sampled,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE event_id % 100 < CASE event_type
+      |  WHEN 'click' THEN 10 WHEN 'view' THEN 5 WHEN 'purchase' THEN 100
+      |  WHEN 'signup' THEN 100 WHEN 'error' THEN 50 ELSE 0 END
+      |GROUP BY event_type""".stripMargin
+
+  /** The end-to-end cleaning pipeline a training corpus goes through,
+    * as ONE composed query: quality-score filter → language match →
+    * fingerprint dedup (keep lowest doc_id) → per-source survivor
+    * stats. Each stage reuses an already-oracled operator; the
+    * composition itself is what this query pins. */
+  def docsCleanPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .filter(col("quality") >= 0.5 && col("pred_lang") === col("lang"))
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+    val keep = docs.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    docs.join(keep, Seq("fp", "doc_id"), "left_semi")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+  }
+
+  val docsCleanPipelineOracle: String = {
+    val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    val langScores = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      val set = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t IN ($set))) AS s_$lang"
+    }.mkString(",\n      |    ")
+    s"""WITH q AS (
+       |  SELECT doc_id, source, lang, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |    length(text) AS n_chars,
+       |    length(regexp_replace(text, '[^a-z ]', '', 'g')) AS n_alpha,
+       |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      t -> t IN ($stops))) AS n_stops,
+       |    $langScores
+       |  FROM documents),
+       |scored AS (
+       |  SELECT doc_id, source, lang, text,
+       |    ROUND(LEAST(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * 0.3 +
+       |      ROUND(CAST(n_alpha AS DOUBLE) / n_chars, 6) * 0.4 +
+       |      LEAST(1.0, ROUND(CAST(n_stops AS DOUBLE) / n_tokens, 6) * 5.0) * 0.3,
+       |      6) AS quality,
+       |    CASE
+       |      WHEN s_zh > GREATEST(s_en, s_de, s_es, s_fr) THEN 'zh'
+       |      WHEN s_fr > GREATEST(s_en, s_de, s_es) THEN 'fr'
+       |      WHEN s_es > GREATEST(s_en, s_de) THEN 'es'
+       |      WHEN s_de > s_en THEN 'de'
+       |      ELSE 'en' END AS pred_lang
+       |  FROM q),
+       |kept AS (
+       |  SELECT doc_id, source, quality,
+       |    md5(array_to_string(list_sort(list_distinct(
+       |      string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp
+       |  FROM scored WHERE quality >= 0.5 AND pred_lang = lang),
+       |dedup AS (
+       |  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  ROUND(AVG(quality), 6) AS avg_quality
+       |FROM kept JOIN dedup USING (fp, doc_id)
+       |GROUP BY source""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensOracle)),
     Q("text_quality", textQuality, Some(textQualityOracle)),
@@ -260,5 +346,7 @@ object ScaleQueries {
     Q("knn_ivf", knnIvf, None),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
-    Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)))
+    Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),
+    Q("events_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
+    Q("docs_clean_pipeline", docsCleanPipeline, Some(docsCleanPipelineOracle)))
 }
