@@ -197,12 +197,16 @@ object Relational {
     * (decimal-exact) spend, order index, and the gap to the previous
     * order — one shuffle on custkey produces every column. */
   def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    // windows order by the projected epoch-ms value (monotone with the
+    // timestamp, so identical ranking to the oracle's ORDER BY
+    // o_orderdate); the cast guards NTZ-inferring sessions — under the
+    // engine's fixed UTC zone it is an identity on the epoch value
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .orderBy(col("od_ms").asc, col("o_orderkey").asc)
     t(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        unix_millis(col("o_orderdate")).as("od_ms"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("od_ms"),
         dec4(col("o_totalprice")).as("price"))
       .withColumn("order_idx", row_number().over(w).cast("int"))
       .withColumn("running_spend",

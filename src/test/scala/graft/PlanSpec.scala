@@ -39,4 +39,35 @@ class PlanSpec extends SparkSpec {
     val p = plan("d2_scatter_sample")
     assert(p.contains("PushedFilters:") && p.contains("l_orderkey"))
   }
+
+  test("range join: equi-join on (key, bucket), never a nested-loop product") {
+    val p = plan("range_join_clicks")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("cube: one Expand node feeding one aggregate — no re-scans") {
+    val p = plan("q_cube_quantity")
+    assert(p.linesIterator.count(_.contains("Expand")) == 1)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1)
+  }
+
+  test("window running: scan prunes to the four needed orders columns") {
+    val p = plan("q_window_running")
+    // timestamp vs timestamp_ntz depends on session inference config —
+    // assert pruning by what is ABSENT, not the exact type name
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint," +
+      "o_totalprice:double,o_orderdate:timestamp"))
+    assert(!p.contains("o_orderstatus") && !p.contains("o_orderpriority"))
+    // one shuffle on custkey serves row_number, running sum, and lag
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
+  test("stratified sample: the mod predicate reaches the scan's data filters") {
+    val p = plan("events_stratified_sample")
+    // not pushable into parquet (CASE on another column), but must sit
+    // directly on the scan, before any shuffle
+    assert(p.contains("FileScan"))
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
