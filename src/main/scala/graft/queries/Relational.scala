@@ -178,6 +178,28 @@ object Relational {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
 
+  /** TPC-H Q6 flavor: the pushdown showcase — every predicate reaches
+    * the parquet scan (shipdate range, discount band, quantity cap),
+    * so the aggregate sees ~2% of the table and nothing shuffles but
+    * one partial-agg row per partition. */
+  def q6Revenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate").cast("timestamp") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate").cast("timestamp") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(moneySum(dec4(col("l_extendedprice")) * dec4(col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6Oracle: String =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** Full cube over (returnflag, linestatus): all four grouping-set
     * combinations in one pass (Expand + single aggregate — no
     * re-scans). */
@@ -262,6 +284,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q6_filtered_revenue", q6Revenue, Some(q6Oracle)),
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
     Q("q_cube_quantity", qCube, Some(qCubeOracle)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),

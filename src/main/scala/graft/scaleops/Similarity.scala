@@ -120,7 +120,11 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val prep = prepped(emb, idCol, vecCol, "neighbor")
       .withColumn("fv", array_to_vector(col("neighborv")))
-    val model = new KMeans().setK(nList).setSeed(seed)
+    // Few iterations suffice: correctness never depends on centroid
+    // quality (full-probe search is exact for ANY cell assignment;
+    // partial-probe recall degrades only marginally vs converged
+    // centroids), so don't pay 20 sweeps of the corpus for an index.
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(prep)
     IvfIndex(model, model.transform(prep).drop("fv"))
   }

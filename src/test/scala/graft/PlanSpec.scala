@@ -40,6 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("l_orderkey"))
   }
 
+  test("q6: numeric predicates pushed into the parquet scan") {
+    val p = plan("q6_filtered_revenue")
+    assert(p.contains("PushedFilters:"))
+    assert(p.contains("l_discount") && p.contains("l_quantity"))
+  }
+
   test("range join: equi-join on (key, bucket), never a nested-loop product") {
     val p = plan("range_join_clicks")
     assert(!p.contains("CartesianProduct"))
