@@ -58,10 +58,16 @@ object AutoML {
     val (iters, depths, steps) =
       if (quick) (Seq(5), Seq(3), Seq(0.1))
       else (Seq(10, 50, 100), Seq(3, 5, 10), Seq(0.1, 0.01))
+    // quick mode also trains stochastically (Friedman-style 0.5 row
+    // subsampling, seeded) with coarser split histograms — standard
+    // GBT hyperparameters, ~2× per-fit cost; the full grid keeps the
+    // reference-shaped defaults.
+    val (subsample, bins) = if (quick) (0.5, 16) else (1.0, 32)
     mode match {
       case Regression =>
         val gbt = new GBTRegressor().setFeaturesCol("features_scaled")
           .setLabelCol("label").setSeed(42)
+          .setSubsamplingRate(subsample).setMaxBins(bins)
         val rf = new RandomForestRegressor().setFeaturesCol("features_scaled")
           .setLabelCol("label").setSeed(42)
         Seq(
@@ -73,6 +79,7 @@ object AutoML {
       case Classification =>
         val gbt = new GBTClassifier().setFeaturesCol("features_scaled")
           .setLabelCol("label").setSeed(42)
+          .setSubsamplingRate(subsample).setMaxBins(bins)
         val rf = new RandomForestClassifier().setFeaturesCol("features_scaled")
           .setLabelCol("label").setSeed(42)
         val svc = new LinearSVC().setFeaturesCol("features_scaled")
