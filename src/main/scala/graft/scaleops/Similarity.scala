@@ -87,6 +87,46 @@ object Similarity {
       .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
+  /** The 100 TB variant of [[nearDupPairs]]: bucket by random
+    * hyperplanes first, verify exact cosine only within buckets.
+    * Multi-probe via `numTables` independent plane sets — a pair is a
+    * candidate if ANY table buckets it together (union of tables,
+    * deduped), then every candidate is verified exactly, so output ⊆
+    * brute-force output with recall rising in `numTables` (two
+    * near-parallel vectors disagree on a plane with probability
+    * θ/π — per-table collision (1−θ/π)^planes).
+    *
+    * Parameter rule: planes must TRACK the threshold. cos ≥ 0.9
+    * (θ ≤ 26°, disagreement ≤ 0.15) tolerates 8–16 planes; cos ≥ 0.4
+    * (θ ≈ 66°, disagreement ≈ 0.37) needs ~3 planes and more tables,
+    * or per-table recall collapses to (0.63)^planes. Fewer planes ⇒
+    * bigger buckets ⇒ more exact verifications — the classic LSH
+    * recall/cost dial. */
+  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, dim: Int, numPlanes: Int = 4,
+                      numTables: Int = 8): DataFrame = {
+    val base = prepped(emb, idCol, vecCol, "a")
+    val tables = (0 until numTables).map { t =>
+      base.withColumn("bucket",
+        lshBucket(col("av"), dim, numPlanes, seed = 42L + t))
+        .withColumn("table", lit(t))
+    }
+    val bucketed = tables.reduce(_ unionByName _)
+    val l = bucketed.select(col("table"), col("bucket"), col("a_id"),
+      col("av"), col("anorm"))
+    val r = bucketed.select(col("table"), col("bucket"),
+      col("a_id").as("b_id"), col("av").as("bv"), col("anorm").as("bnorm"))
+    l.join(r, Seq("table", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "av", "bv", "anorm", "bnorm")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", round(
+        graft.functions.ArrayDot(col("av"), col("bv")) /
+          (col("anorm") * col("bnorm")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
+  }
+
   /** Random-hyperplane LSH bucket id (`numPlanes`-bit signature).
     * Plane components come from a seeded driver-side RNG — cheap,
     * deterministic, broadcast implicitly as literals. */

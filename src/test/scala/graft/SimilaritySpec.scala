@@ -75,6 +75,25 @@ class SimilaritySpec extends SparkSpec {
     assert(fresh == reloaded && fresh.nonEmpty)
   }
 
+  test("lsh near-dup pairs: subset of brute with identical cosines; finds planted pair") {
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val brute = Similarity.nearDupPairs(real, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // threshold 0.4 → θ ≈ 66°, per-plane disagreement ≈ 0.37: planes
+    // must be few and tables many (see operator scaladoc)
+    val lsh = Similarity.nearDupPairsLsh(real, "vec_id", "embedding", 0.4,
+      dim = 64, numPlanes = 3, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.contains(pair), s"$pair not in brute output")
+      assert(brute(pair) == cos, s"cosine mismatch at $pair")
+    }
+    // recall on this corpus should be substantial with 4 tables
+    assert(lsh.size * 2 >= brute.size,
+      s"recall collapsed: ${lsh.size}/${brute.size}")
+  }
+
   test("lsh knn returns a subset of brute-force results (same scoring)") {
     val brute = Similarity.knnBrute(emb(), "vec_id", "embedding",
       emb().filter(col("vec_id") === 0), k = 3)
