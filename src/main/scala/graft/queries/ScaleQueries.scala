@@ -142,6 +142,13 @@ object ScaleQueries {
     Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       threshold = 0.4)
 
+  /** The bucketed scale path — deterministic (seeded planes, exact
+    * verify) but recall < 1 by design, so rows-only; SimilaritySpec
+    * pins subset-of-brute and score equality. */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, dim = 64, numPlanes = 3, numTables = 8)
+
   val dedupEmbeddingOracle: String =
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -341,6 +348,7 @@ object ScaleQueries {
     Q("dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     Q("dedup_simhash", dedupSimHash, None, bench = true),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, None),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, None),
     Q("knn_ivf", knnIvf, None),

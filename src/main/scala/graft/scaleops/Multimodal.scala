@@ -133,6 +133,33 @@ object Multimodal {
     }
   }
 
+  /** Resize: decimate the payload by `factor` (every factor-th byte)
+    * and scale the decoded dimensions to match — the RESIZE STUB (a
+    * real resampler replaces the decimation with pixel interpolation;
+    * the metadata contract — dims scale, byte length shrinks ~1/f² for
+    * images — is what downstream stages depend on and what the spec
+    * pins). */
+  def resize(media: Dataset[MediaRow], meta: Dataset[MediaMeta],
+             factor: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val spark = media.sparkSession
+    import org.apache.spark.sql.functions.col
+    media.toDF.join(meta.toDF.select("media_id", "width", "height"), "media_id")
+      .select(col("media_id"), col("modality"), col("payload"),
+        col("width"), col("height"))
+      .as[(Long, String, Array[Byte], Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, mod, payload, w, h) =>
+          // ---- RESIZE STUB: byte decimation stands in for resampling
+          val step = if (mod == "image") factor * factor else factor
+          val out = new Array[Byte]((payload.length + step - 1) / step)
+          var i = 0
+          while (i < out.length) { out(i) = payload(i * step); i += 1 }
+          (id, mod, math.max(1, w / factor), math.max(1, h / factor), out)
+        }
+      }.toDF("media_id", "modality", "width", "height", "payload")
+  }
+
   /** Frame sampling: n evenly-spaced fixed-width slices of the
     * payload (a real video sampler replaces the slice arithmetic with
     * keyframe offsets; the emit-multiple-rows-per-input shape is the

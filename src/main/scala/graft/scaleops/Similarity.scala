@@ -106,20 +106,24 @@ object Similarity {
                       threshold: Double, dim: Int, numPlanes: Int = 4,
                       numTables: Int = 8): DataFrame = {
     val base = prepped(emb, idCol, vecCol, "a")
+    // candidate generation on BARE IDS: the pair-dedup shuffle carries
+    // 16 bytes/row, never the vectors (carrying them was ~4× slower);
+    // vectors re-attach afterwards via broadcast-able joins
     val tables = (0 until numTables).map { t =>
-      base.withColumn("bucket",
-        lshBucket(col("av"), dim, numPlanes, seed = 42L + t))
+      base.select(col("a_id"),
+        lshBucket(col("av"), dim, numPlanes, seed = 42L + t).as("bucket"))
         .withColumn("table", lit(t))
     }
     val bucketed = tables.reduce(_ unionByName _)
-    val l = bucketed.select(col("table"), col("bucket"), col("a_id"),
-      col("av"), col("anorm"))
-    val r = bucketed.select(col("table"), col("bucket"),
-      col("a_id").as("b_id"), col("av").as("bv"), col("anorm").as("bnorm"))
-    l.join(r, Seq("table", "bucket"))
+    val cands = bucketed
+      .join(bucketed.select(col("table"), col("bucket"),
+        col("a_id").as("b_id")), Seq("table", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "av", "bv", "anorm", "bnorm")
-      .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(base, "a_id")
+      .join(base.select(col("a_id").as("b_id"), col("av").as("bv"),
+        col("anorm").as("bnorm")), "b_id")
       .withColumn("cos", round(
         graft.functions.ArrayDot(col("av"), col("bv")) /
           (col("anorm") * col("bnorm")), 6))

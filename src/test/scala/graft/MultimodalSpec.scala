@@ -68,6 +68,23 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0L).histogram.sum == 11)
   }
 
+  test("resize: dims scale by factor, image payload shrinks ~1/f²") {
+    val meta = Multimodal.decodeMeta(media())
+    val resized = Multimodal.resize(media(), meta, factor = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getAs[Array[Byte]](4)))
+      .toMap
+    val origMeta = meta.collect().map(m => m.media_id -> m).toMap
+    resized.foreach { case (id, (mod, w, h, payload)) =>
+      assert(w == math.max(1, origMeta(id).width / 2))
+      assert(h == math.max(1, origMeta(id).height / 2))
+      val step = if (mod == "image") 4 else 2
+      val origLen = origMeta(id).byte_len
+      assert(payload.length == (origLen + step - 1) / step)
+    }
+    assert(resized.size == 3)
+  }
+
   test("frame sampling emits n evenly-spaced slices per row") {
     val frames = Multimodal.sampleFrames(media(), nFrames = 4, frameBytes = 8)
     val byId = frames.groupBy("media_id").count().collect()
