@@ -254,6 +254,31 @@ object ScaleQueries {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** TF-IDF top-3 terms per doc (df/N over the FULL corpus, output
+    * restricted to the first 20 docs to keep the result bounded). */
+  def textTfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", 3)
+      .filter(col("doc_id") < 20)
+
+  val textTfidfOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    ROUND(tf * (LN((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      |  FROM tf JOIN df USING (term), n),
+      |r AS (
+      |  SELECT doc_id, term, tfidf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tfidf FROM r
+      |WHERE rank <= 3 AND doc_id < 20""".stripMargin
+
   /** Stratified downsampling by deterministic systematic selection:
     * per event_type, keep rows whose event_id mod 100 falls under the
     * stratum's quota — class rebalancing that is reproducible across
@@ -354,6 +379,7 @@ object ScaleQueries {
     Q("knn_ivf", knnIvf, None),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("text_tfidf", textTfidf, Some(textTfidfOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),
     Q("events_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("docs_clean_pipeline", docsCleanPipeline, Some(docsCleanPipelineOracle)))

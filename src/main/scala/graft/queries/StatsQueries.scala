@@ -58,6 +58,30 @@ object StatsQueries {
     Acf.acfViaAggregate(t(s, d, "events"), "user_id",
       unix_micros(col("ts")), "value", nLags = 10)
 
+  /** Full pairwise Pearson matrix over four measures — all six pairs
+    * in ONE aggregate pass (the reference computes correlations one
+    * Python call at a time; here the scan count is independent of the
+    * number of pairs). */
+  def corrMatrix(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield round(corr(col(cols(i)), col(cols(j))), 6)
+      .as(s"${cols(i).stripPrefix("l_")}_${cols(j).stripPrefix("l_")}")
+    li.agg(pairs.head, pairs.tail: _*)
+  }
+
+  val corrMatrixOracle: String =
+    """SELECT
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS quantity_extendedprice,
+      |  ROUND(CORR(l_quantity, l_discount), 6) AS quantity_discount,
+      |  ROUND(CORR(l_quantity, l_tax), 6) AS quantity_tax,
+      |  ROUND(CORR(l_extendedprice, l_discount), 6) AS extendedprice_discount,
+      |  ROUND(CORR(l_extendedprice, l_tax), 6) AS extendedprice_tax,
+      |  ROUND(CORR(l_discount, l_tax), 6) AS discount_tax
+      |FROM lineitem""".stripMargin
+
   // ---- D4: per-group time-series line data ----------------------------
   /** One pass for all groups × the feature — projection + sort, not
     * the reference's G×F filter-scans (data_analysis.py:64-66). */
@@ -279,6 +303,7 @@ object StatsQueries {
     Q("d2_scatter_sample", scatterSample, Some(scatterOracle)),
     Q("d4_group_series", groupSeries, Some(groupSeriesOracle)),
     Q("d3_corr_lineitem", corrLineitem, Some(corrOracle), bench = true),
+    Q("d3_corr_matrix", corrMatrix, Some(corrMatrixOracle)),
     Q("d5_acf_events", acfEvents,
       Some(Acf.oracleSql("events", "user_id", "value", 10)), bench = true),
     Q("d5_acf_agg", acfEventsAgg,

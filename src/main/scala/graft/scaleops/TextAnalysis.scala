@@ -90,6 +90,34 @@ object TextAnalysis {
   /** OpenRefine-style fingerprint: sorted distinct tokens re-joined,
     * hashed — identical for any token permutation/duplication of the
     * same vocabulary. */
+  /** TF-IDF top-k terms per document — relational formulation (no
+    * fitted vocabulary): tf = term count within the doc, idf =
+    * ln((N+1)/(df+1)) + 1 (sklearn's smoothed `TfidfTransformer`
+    * formula; MLlib's `IDF` is the same minus the trailing +1 — the
+    * spec pins the exact relationship), ranked per doc with a
+    * deterministic (weight desc, term asc) tiebreak. Two aggregates
+    * (per-doc-term tf, per-term df) and one broadcastable join with
+    * the N-row scalar — no vocabulary indexing step, which is what
+    * lets it run as plain SQL in the oracle. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val df = terms.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("tfidf", round(col("tf") *
+        (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 
