@@ -25,6 +25,25 @@ object MlQueries {
     AutoML.evaluate(trained, test, "l_extendedprice", threshold = Some(30000.0))
   }
 
+  /** Classification mode end-to-end (the reference's silent no-op,
+    * implemented for real — SURVEY.md §8.5): binarized price label,
+    * quick GBTClassifier CV on a 20% systematic sample of the train
+    * split, full-split evaluation. */
+  def automlClassify(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_tax"),
+        when(col("l_extendedprice") < 30000.0, 1.0).otherwise(0.0).as("hi"))
+    val train = li.filter(col("l_orderkey") % 10 < 8 &&
+      col("l_orderkey") % 5 === 0)
+    val test = li.filter(col("l_orderkey") % 10 >= 8)
+    val features = Seq("l_quantity", "l_discount", "l_tax")
+    val trained = AutoML.train(train, "hi", features,
+      AutoML.Classification, numFolds = 2, parallelism = 4, quick = true)
+    AutoML.evaluate(trained, test, "hi", threshold = Some(0.5))
+  }
+
   val all: Seq[Q] = Seq(
-    Q("m3_automl_train_eval", automlTrainEval, None))
+    Q("m3_automl_train_eval", automlTrainEval, None),
+    Q("m4_automl_classify", automlClassify, None))
 }

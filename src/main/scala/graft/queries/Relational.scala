@@ -250,6 +250,45 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Ranking-function surface: quartile, percent_rank and cume_dist
+    * of customers by total spend within their nation — one shuffle,
+    * three ranking functions over one window spec. */
+  def qWindowRank(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, d, "orders").select(col("o_custkey"),
+      dec4(col("o_totalprice")).as("price"))
+    val spend = ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey", "c_custkey")
+      .agg(sum(col("price")).as("spend_dec"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("spend_dec").desc, col("c_custkey").asc)
+    spend
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .filter(col("c_custkey") % 100 === 0) // bounded, deterministic slice
+      .select(col("c_nationkey"), col("c_custkey"),
+        col("spend_dec").cast("double").as("spend"),
+        col("quartile"), col("pct_rank"), col("cume"))
+  }
+
+  val qWindowRankOracle: String =
+    """WITH spend AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend_dec
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_nationkey, c_custkey,
+      |    CAST(CAST(spend_dec AS VARCHAR) AS DOUBLE) AS spend,
+      |    CAST(NTILE(4) OVER w AS INT) AS quartile,
+      |    ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |    ROUND(CUME_DIST() OVER w, 6) AS cume
+      |  FROM spend
+      |  WINDOW w AS (PARTITION BY c_nationkey
+      |               ORDER BY spend_dec DESC, c_custkey ASC))
+      |SELECT * FROM r WHERE c_custkey % 100 = 0""".stripMargin
+
   /** Top-k per group via ranked window (decimal-exact ordering key so
     * both engines rank identically; ties broken on orderkey). */
   def qTopKPerGroup(s: SparkSession, d: String): DataFrame = {
@@ -288,6 +327,7 @@ object Relational {
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
     Q("q_cube_quantity", qCube, Some(qCubeOracle)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
+    Q("q_window_rank", qWindowRank, Some(qWindowRankOracle)),
     Q("q_topk_per_group", qTopKPerGroup, Some(qTopKPerGroupOracle)),
     Q("q3_segment_revenue", q3SegmentRevenue, Some(q3Oracle), bench = true),
     Q("q5_regional_revenue", q5RegionalRevenue, Some(q5Oracle), bench = true),

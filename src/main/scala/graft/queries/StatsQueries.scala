@@ -58,6 +58,23 @@ object StatsQueries {
     Acf.acfViaAggregate(t(s, d, "events"), "user_id",
       unix_micros(col("ts")), "value", nLags = 10)
 
+  /** The reference's per-column histogram loop (data_analysis.py:47)
+    * over every numeric measure — each column auto-binned with its own
+    * Sturges/FD spec, unioned with a column label. */
+  def histAll(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => Histogram.histogram(li, c)
+        .withColumn("column_name", lit(c)))
+      .reduce(_ unionByName _)
+  }
+
+  val histAllOracle: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map(c => s"SELECT '$c' AS column_name, bin, cnt FROM (" +
+        graft.stats.Histogram.oracleSql("lineitem", c) + ")")
+      .mkString(" UNION ALL ")
+
   /** Full pairwise Pearson matrix over four measures — all six pairs
     * in ONE aggregate pass (the reference computes correlations one
     * Python call at a time; here the scan count is independent of the
@@ -303,6 +320,7 @@ object StatsQueries {
     Q("d2_scatter_sample", scatterSample, Some(scatterOracle)),
     Q("d4_group_series", groupSeries, Some(groupSeriesOracle)),
     Q("d3_corr_lineitem", corrLineitem, Some(corrOracle), bench = true),
+    Q("d1_hist_all", histAll, Some(histAllOracle)),
     Q("d3_corr_matrix", corrMatrix, Some(corrMatrixOracle)),
     Q("d5_acf_events", acfEvents,
       Some(Acf.oracleSql("events", "user_id", "value", 10)), bench = true),
