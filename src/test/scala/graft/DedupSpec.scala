@@ -54,6 +54,37 @@ class DedupSpec extends SparkSpec {
     assert(naive.nonEmpty) // the corpus plants near-dups; the test must bite
   }
 
+  test("prefix-filtered jaccard equals naive on adversarial random corpora") {
+    // tiny vocabulary forces degenerate document frequencies — the
+    // regime where prefix filtering prunes least and any bound error
+    // would surface as a missing pair
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 12).map(i => s"w$i")
+      val docs = (1 to 60).map { id =>
+        val len = 3 + rnd.nextInt(10)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      for (t <- Seq(0.5, 0.8)) {
+        val got = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          shingleK = 2, minJaccard = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val sh = docs.select(col("doc_id"),
+          Dedup.shingles(col("text"), 2).as("sh"))
+        val naive = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+          .filter(col("a") < col("b"))
+          .withColumn("jaccard", round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jaccard") >= t)
+          .select("a", "b", "jaccard")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == naive, s"trial $trial threshold $t")
+      }
+    }
+  }
+
   test("minhash near-dups finds a planted near-duplicate pair, not the distinct one") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " other1 other2"

@@ -39,6 +39,22 @@ class OperatorsSpec extends SparkSpec {
       ("p2", "in-p2"), ("p3", "other-key")))
   }
 
+  test("range join equals naive on random data incl. negative timestamps") {
+    val rnd = new scala.util.Random(13)
+    val left = (1 to 200).map(i =>
+      (rnd.nextInt(5), rnd.nextLong(2000) - 1000, i)).toDF("k", "lts", "lid")
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(5), rnd.nextLong(2000) - 1000, i)).toDF("k", "rts", "rid")
+    val got = RangeJoin.inner(left, right, Seq("k"), "lts", "rts",
+      before = 37L, after = 11L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = left.join(right, Seq("k"))
+      .filter(col("rts") >= col("lts") - 37L && col("rts") <= col("lts") + 11L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("range join equals the naive equi-join + range filter on real events") {
     val ev = graft.sources.Tables.load(spark, sf, "events")
     val p = ev.filter(col("event_type") === "purchase")
