@@ -73,6 +73,26 @@ class AutoMLSpec extends SparkSpec {
     assert(clfZoo.count(_.enabled) == 1)
   }
 
+  test("M5: the default-off rf zoo entry trains when enabled explicitly") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+    val rf = AutoML.modelZoo(AutoML.Regression, quick = true)
+      .find(_.name == "rf").get
+    val df = cmapss().filter($"engine_no" <= 2)
+      .withColumn("label", $"RUL".cast("double"))
+    val feats = Array("sensor_2", "sensor_7")
+    val pipeline = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(feats).setOutputCol("features_raw"),
+      new StandardScaler().setInputCol("features_raw")
+        .setOutputCol("features_scaled").setWithMean(true).setWithStd(true),
+      rf.estimator))
+    val model = pipeline.fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("prediction"))
+    assert(out.count() > 0)
+    assert(rf.grid.length == 4) // 2 numTrees × 2 maxDepth
+  }
+
   test("model persistence round-trip (M9 memoization, task-scoped)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-model").toString + "/m"
     val df = cmapss().filter($"engine_no" <= 2)
