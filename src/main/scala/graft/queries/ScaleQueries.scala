@@ -254,6 +254,32 @@ object ScaleQueries {
       |  COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
       |FROM documents GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin
 
+  /** Filtered kNN: nearest neighbors restricted to one label class —
+    * the filter composes BEFORE the scan (predicate pushdown shrinks
+    * the corpus), which is the whole point of filtered vector search:
+    * never score what the metadata already excludes. */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnBrute(emb.filter(col("label") === 1), "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 3)
+  }
+
+  val knnFilteredOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id AND e.label = 1),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3""".stripMargin
+
   /** TF-IDF top-3 terms per doc (df/N over the FULL corpus, output
     * restricted to the first 20 docs to keep the result bounded). */
   def textTfidf(s: SparkSession, d: String): DataFrame =
@@ -378,6 +404,7 @@ object ScaleQueries {
     Q("knn_lsh", knnLsh, None),
     Q("knn_ivf", knnIvf, None),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
+    Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_tfidf", textTfidf, Some(textTfidfOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),

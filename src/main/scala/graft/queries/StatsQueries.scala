@@ -242,6 +242,34 @@ object StatsQueries {
   val rollingOracle: String = graft.ts.RollingFeatures.oracleSql(
     "events", "user_id", "value", Seq(3, 10), "user_id < 3")
 
+  /** Hourly LOCF resample of three users' event series — irregular
+    * stream → fixed grid, the alignment step before fixed-step
+    * windowing (W2). Oracle = DuckDB generate_series + ASOF. */
+  def resampleLocf(s: SparkSession, d: String): DataFrame =
+    graft.ts.Resample.locf(
+      t(s, d, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value")),
+      "user_id", "us", "value", stepUs = 3600000000L)
+
+  val resampleLocfOracle: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    MAX(value) AS value
+      |  FROM events WHERE user_id < 3 AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id,
+      |    MIN(us) - (MIN(us) % 3600000000) AS gmin,
+      |    MAX(us) - (MAX(us) % 3600000000) AS gmax
+      |  FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(gmin, gmax, 3600000000)) AS grid_us
+      |  FROM r)
+      |SELECT g.user_id, g.grid_us, b.value
+      |FROM grid g ASOF LEFT JOIN b
+      |  ON g.user_id = b.user_id AND b.us <= g.grid_us""".stripMargin
+
   /** EWMA recurrence per user series (α = 0.3). The oracle folds the
     * same recurrence over a prefix-list window with `list_reduce`
     * (seed = first element, exactly the mapPartitions seeding), so
@@ -333,6 +361,7 @@ object StatsQueries {
     Q("w2_window_stats", windowStats, Some(windowStatsOracle), bench = true),
     Q("ts_rolling_features", rollingFeatures, Some(rollingOracle)),
     Q("ts_ewma", ewmaSeries, Some(ewmaOracle)),
+    Q("ts_resample_locf", resampleLocf, Some(resampleLocfOracle)),
     Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),
     Q("m2_minmax_stats", minMaxStats, Some(minMaxOracle)))
 }

@@ -64,6 +64,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((2L, 0.0)) == 50.0)
   }
 
+  test("resample locf: grid bounds, carry-forward, null before first obs") {
+    val df = Seq(
+      (1L, 105L, 10.0), (1L, 312L, 20.0), (1L, 330L, 30.0),
+      (2L, 200L, 5.0))
+      .toDF("g", "us", "v")
+    val got = graft.ts.Resample.locf(df, "g", "us", "v", stepUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // group 1: grid 100..300 (tmin=105 floors to 100, tmax=330 to 300)
+    assert(got((1L, 100L)) == None)        // before first obs (105)
+    assert(got((1L, 200L)) == Some(10.0))  // carried from 105
+    assert(got((1L, 300L)) == Some(10.0))  // 312 is later
+    assert(!got.contains((1L, 400L)))      // grid ends at floor(tmax)
+    // group 2: single on-grid point
+    assert(got((2L, 200L)) == Some(5.0))
+    assert(got.size == 4)
+  }
+
   test("flattened windows are lookBack × |features| doubles") {
     val flat = TimeSeries.flattenedWindows(series(), "g", Seq(col("ord")),
       Seq("v", "ord"), "v", lookBack = 3)
