@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * `rightTs >= leftTs` (pandas merge_asof direction='forward') —
+    * expressed as [[backward]] on negated timestamps, so the two
+    * directions cannot drift apart semantically. `tolerance` bounds
+    * (rightTs − leftTs). */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              tsCol: String, rightValueCols: Seq[String],
+              tolerance: Option[Long] = None): DataFrame = {
+    def neg(df: DataFrame) =
+      df.withColumn(tsCol, -col(tsCol).cast("long"))
+    neg(backward(neg(left), neg(right), keys, tsCol, rightValueCols,
+      tolerance))
+  }
+
   /** @param tolerance max allowed (leftTs − rightTs), in the ts
     *                  column's own unit; matches older than this are
     *                  nulled out (pandas merge_asof `tolerance`). */

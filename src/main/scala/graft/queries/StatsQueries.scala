@@ -270,6 +270,45 @@ object StatsQueries {
       |FROM grid g ASOF LEFT JOIN b
       |  ON g.user_id = b.user_id AND b.us <= g.grid_us""".stripMargin
 
+  /** Linear-interpolation variant of the resample — each grid point
+    * blends its surrounding observations via one backward + one
+    * forward as-of join. */
+  def resampleInterp(s: SparkSession, d: String): DataFrame =
+    graft.ts.Resample.interpolate(
+      t(s, d, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value")),
+      "user_id", "us", "value", stepUs = 3600000000L)
+
+  val resampleInterpOracle: String =
+    """WITH b AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    MAX(value) AS value
+      |  FROM events WHERE user_id < 3 AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT user_id,
+      |    MIN(us) - (MIN(us) % 3600000000) AS gmin,
+      |    MAX(us) - (MAX(us) % 3600000000) AS gmax
+      |  FROM b GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(gmin, gmax, 3600000000)) AS grid_us
+      |  FROM r),
+      |p AS (
+      |  SELECT g.user_id, g.grid_us, b.value AS v_prev, b.us AS t_prev
+      |  FROM grid g ASOF LEFT JOIN b
+      |    ON g.user_id = b.user_id AND b.us <= g.grid_us),
+      |f AS (
+      |  SELECT p.user_id, p.grid_us, p.v_prev, p.t_prev,
+      |    b2.value AS v_next, b2.us AS t_next
+      |  FROM p ASOF LEFT JOIN b b2
+      |    ON p.user_id = b2.user_id AND b2.us >= p.grid_us)
+      |SELECT user_id, grid_us,
+      |  ROUND(CASE WHEN t_next = t_prev THEN v_prev
+      |    ELSE v_prev + (v_next - v_prev) * (grid_us - t_prev) / (t_next - t_prev)
+      |    END, 6) AS value
+      |FROM f""".stripMargin
+
   /** EWMA recurrence per user series (α = 0.3). The oracle folds the
     * same recurrence over a prefix-list window with `list_reduce`
     * (seed = first element, exactly the mapPartitions seeding), so
@@ -362,6 +401,7 @@ object StatsQueries {
     Q("ts_rolling_features", rollingFeatures, Some(rollingOracle)),
     Q("ts_ewma", ewmaSeries, Some(ewmaOracle)),
     Q("ts_resample_locf", resampleLocf, Some(resampleLocfOracle)),
+    Q("ts_resample_interp", resampleInterp, Some(resampleInterpOracle)),
     Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),
     Q("m2_minmax_stats", minMaxStats, Some(minMaxOracle)))
 }

@@ -82,6 +82,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("resample interpolate: lerp between neighbors, exact on observations") {
+    val df = Seq((1L, 100L, 10.0), (1L, 300L, 30.0)).toDF("g", "us", "v")
+    val got = graft.ts.Resample.interpolate(df, "g", "us", "v", stepUs = 100L)
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(100L) == Some(10.0)) // on observation
+    assert(got(200L) == Some(20.0)) // midpoint lerp
+    assert(got(300L) == Some(30.0))
+    assert(got.size == 3)
+  }
+
+  test("as-of forward: earliest right at-or-after, tolerance bounds the wait") {
+    val left = Seq((1, 100L, "x"), (1, 250L, "y")).toDF("k", "ts", "tag")
+    val right = Seq((1, 100L, 1.0), (1, 240L, 2.0), (1, 400L, 3.0))
+      .toDF("k", "ts", "rv")
+    val got = graft.operators.AsOfJoin
+      .forward(left, right, Seq("k"), "ts", Seq("rv"),
+        tolerance = Some(100L))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got("x") == Some(1.0)) // exact ts is inclusive
+    assert(got("y") == None)      // next is 400, 150 away > tolerance
+    val noTol = graft.operators.AsOfJoin
+      .forward(left, right, Seq("k"), "ts", Seq("rv"))
+      .collect().map(r => (r.getString(2), r.getDouble(3))).toMap
+    assert(noTol("y") == 3.0)
+  }
+
   test("flattened windows are lookBack × |features| doubles") {
     val flat = TimeSeries.flattenedWindows(series(), "g", Seq(col("ord")),
       Seq("v", "ord"), "v", lookBack = 3)
