@@ -250,6 +250,64 @@ object Relational {
       |FROM orders
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
 
+  /** Explicit grouping sets — the third grouping variant beyond
+    * rollup/cube: per-flag totals, per-status totals, and the grand
+    * total, with GROUPING() markers disambiguating real nulls from
+    * subtotal rows. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "lineitem").createOrReplaceTempView("__li_gs")
+    s.sql("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_items
+      FROM __li_gs
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+  }
+
+  val qGroupingSetsOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  /** Set-operation surface (INTERSECT / EXCEPT — free Spark builtins
+    * beyond the reference, SURVEY.md §2.3): nations that have urgent
+    * orders but no low-priority ones, and those with both. */
+  def qSetOps(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+    val ord = t(s, d, "orders").select("o_custkey", "o_orderpriority")
+    def nationsWith(priority: String) =
+      ord.filter(col("o_orderpriority") === priority)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select("c_nationkey").distinct()
+    val urgent = nationsWith("1-URGENT")
+    val low = nationsWith("5-LOW")
+    urgent.intersect(low)
+      .withColumn("relation", lit("both"))
+      .unionByName(urgent.except(low)
+        .withColumn("relation", lit("urgent_only")))
+  }
+
+  val qSetOpsOracle: String =
+    """WITH u AS (
+      |  SELECT DISTINCT c_nationkey FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderpriority = '1-URGENT'),
+      |l AS (
+      |  SELECT DISTINCT c_nationkey FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderpriority = '5-LOW')
+      |SELECT c_nationkey, 'both' AS relation
+      |  FROM (SELECT c_nationkey FROM u INTERSECT SELECT c_nationkey FROM l)
+      |UNION ALL
+      |SELECT c_nationkey, 'urgent_only' AS relation
+      |  FROM (SELECT c_nationkey FROM u EXCEPT SELECT c_nationkey FROM l)""".stripMargin
+
   /** Ranking-function surface: quartile, percent_rank and cume_dist
     * of customers by total spend within their nation — one shuffle,
     * three ranking functions over one window spec. */
@@ -326,6 +384,8 @@ object Relational {
     Q("q6_filtered_revenue", q6Revenue, Some(q6Oracle)),
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
     Q("q_cube_quantity", qCube, Some(qCubeOracle)),
+    Q("q_grouping_sets", qGroupingSets, Some(qGroupingSetsOracle)),
+    Q("q_set_ops", qSetOps, Some(qSetOpsOracle)),
     Q("q_window_running", qWindowRunning, Some(qWindowRunningOracle)),
     Q("q_window_rank", qWindowRank, Some(qWindowRankOracle)),
     Q("q_topk_per_group", qTopKPerGroup, Some(qTopKPerGroupOracle)),

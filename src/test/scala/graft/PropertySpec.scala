@@ -58,6 +58,27 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("approx_percentile stays within its rank-error bound vs exact (sketch path)") {
+    // the 100 TB path for quantiles is the sketch; this pins the bound
+    // that makes it substitutable: accuracy a ⇒ rank error ≤ n/a
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+    val accuracy = 100
+    val n = ev.count()
+    val sorted = ev.select(col("value").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    for (p <- Seq(0.25, 0.5, 0.9)) {
+      val approx = ev.agg(
+        expr(s"approx_percentile(value, $p, $accuracy)").cast("double"))
+        .head().getDouble(0)
+      val rank = sorted.count(_ <= approx)
+      val target = p * n
+      val maxRankErr = n.toDouble / accuracy + 1
+      assert(math.abs(rank - target) <= maxRankErr,
+        s"p=$p: rank $rank vs target $target (bound $maxRankErr)")
+    }
+  }
+
   test("F1 from confusion counts equals the direct formula on random labels") {
     samples(Gen.listOfN(30, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1))), 6)
       .foreach { pairs =>
