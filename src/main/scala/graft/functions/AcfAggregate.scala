@@ -26,25 +26,27 @@ import scala.collection.mutable.ArrayBuffer
   */
 case class AcfAggregate(
     ord: Expression,
+    ord2: Expression,
     value: Expression,
     nLags: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]] {
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double, Double)]] {
 
-  override def children: Seq[Expression] = Seq(ord, value)
+  override def children: Seq[Expression] = Seq(ord, ord2, value)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
 
-  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double, Double)] =
     ArrayBuffer.empty
 
-  override def update(buf: ArrayBuffer[(Double, Double)],
-                      input: InternalRow): ArrayBuffer[(Double, Double)] = {
+  override def update(buf: ArrayBuffer[(Double, Double, Double)],
+                      input: InternalRow): ArrayBuffer[(Double, Double, Double)] = {
     val o = ord.eval(input)
+    val o2 = ord2.eval(input)
     val v = value.eval(input)
     if (o != null && v != null)
-      buf += ((toDouble(o), toDouble(v)))
+      buf += ((toDouble(o), if (o2 == null) 0.0 else toDouble(o2), toDouble(v)))
     buf
   }
 
@@ -60,12 +62,15 @@ case class AcfAggregate(
       s"acf_agg: numeric input required, got ${other.getClass.getSimpleName}")
   }
 
-  override def merge(a: ArrayBuffer[(Double, Double)],
-                     b: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] =
+  override def merge(a: ArrayBuffer[(Double, Double, Double)],
+                     b: ArrayBuffer[(Double, Double, Double)]): ArrayBuffer[(Double, Double, Double)] =
     a ++= b
 
-  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
-    val xs = buf.sortBy(_._1).map(_._2).toArray
+  override def eval(buf: ArrayBuffer[(Double, Double, Double)]): Any = {
+    // (ord, ord2) total order — without the tiebreak, ties on ord sort
+    // in partition-merge order and the lag products become
+    // nondeterministic (and oracle-mismatched) on tied timestamps
+    val xs = buf.sortBy(t => (t._1, t._2)).map(_._3).toArray
     val n = xs.length
     if (n == 0) return new GenericArrayData(Array.fill[Any](nLags)(null))
     val mu = xs.sum / n
@@ -88,19 +93,21 @@ case class AcfAggregate(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: ArrayBuffer[(Double, Double)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.length * 16)
+  override def serialize(buf: ArrayBuffer[(Double, Double, Double)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.length * 24)
     bb.putInt(buf.length)
-    buf.foreach { case (o, v) => bb.putDouble(o); bb.putDouble(v) }
+    buf.foreach { case (o, o2, v) =>
+      bb.putDouble(o); bb.putDouble(o2); bb.putDouble(v)
+    }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double, Double)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new ArrayBuffer[(Double, Double)](n)
+    val buf = new ArrayBuffer[(Double, Double, Double)](n)
     var i = 0
-    while (i < n) { buf += ((bb.getDouble, bb.getDouble)); i += 1 }
+    while (i < n) { buf += ((bb.getDouble, bb.getDouble, bb.getDouble)); i += 1 }
     buf
   }
 
@@ -110,12 +117,12 @@ case class AcfAggregate(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): AcfAggregate =
-    copy(ord = newChildren(0), value = newChildren(1))
+    copy(ord = newChildren(0), ord2 = newChildren(1), value = newChildren(2))
 }
 
 object AcfAggregate {
-  def apply(ord: Column, value: Column, nLags: Int): Column =
+  def apply(ord: Column, ord2: Column, value: Column, nLags: Int): Column =
     GraftBridge.column(
-      AcfAggregate(GraftBridge.expression(ord), GraftBridge.expression(value),
-        nLags).toAggregateExpression())
+      AcfAggregate(GraftBridge.expression(ord), GraftBridge.expression(ord2),
+        GraftBridge.expression(value), nLags).toAggregateExpression())
 }

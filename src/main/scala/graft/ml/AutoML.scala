@@ -156,6 +156,18 @@ object AutoML {
       col("prediction"), threshold.getOrElse(Double.NaN))
   }
 
+  /** Classifier evaluation: the 0/1 label and prediction feed the
+    * confusion directly (positive class = 1) — the P8 `< threshold`
+    * re-binarization in [[evaluate]] would invert the classes on
+    * already-binary columns. */
+  def evaluateClassification(trained: Trained, testDf: DataFrame,
+                             labelCol: String): DataFrame = {
+    val prepared = testDf.withColumn("label", col(labelCol).cast("double"))
+    val predictions = trained.model.transform(prepared)
+    graft.stats.EvalMetrics.classificationReport(predictions,
+      col("label"), col("prediction"))
+  }
+
   /** M7 — train-score report: the refit winner's metric on its own
     * training data (reference auto_machine_learning.py:47-53). */
   def trainScore(trained: Trained, trainDf: DataFrame, labelCol: String,

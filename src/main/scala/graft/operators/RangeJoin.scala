@@ -34,12 +34,17 @@ object RangeJoin {
     require(before >= 0 && after >= 0 && before + after > 0,
       s"window [−$before, +$after] must be non-negative and non-empty")
     val width = before + after
-    // Exact integer floor-division: (x − (x mod W)) / W — the
-    // numerator is an exact multiple of W, so the double division is
-    // exact. A plain floor(x / W) can round across a bucket boundary
-    // and silently drop a qualifying pair.
+    // Exact integer floor-division at FULL long range: subtract the
+    // non-negative pmod (making the numerator the exact floor
+    // multiple, negatives included) and divide in DECIMAL — exact for
+    // the integral quotient at any long magnitude. Double division —
+    // even of an exact multiple — rounds past 2^53, buckets one off,
+    // and silently drops qualifying pairs (e.g. epoch-nanos inputs);
+    // integral `div` alone truncates toward zero and mis-buckets
+    // negative timestamps.
     def bucketOf(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(width))) / lit(width)).cast("long")
+      ((c - pmod(c, lit(width))).cast("decimal(38,0)") /
+        lit(width).cast("decimal(38,0)")).cast("long")
     val l = left.withColumn("_bucket",
       explode(array_distinct(array(
         bucketOf(col(leftTs) - lit(before)),

@@ -40,7 +40,7 @@ object MlQueries {
     val features = Seq("l_quantity", "l_discount", "l_tax")
     val trained = AutoML.train(train, "hi", features,
       AutoML.Classification, numFolds = 2, parallelism = 4, quick = true)
-    AutoML.evaluate(trained, test, "hi", threshold = Some(0.5))
+    AutoML.evaluateClassification(trained, test, "hi")
   }
 
   val all: Seq[Q] = Seq(

@@ -183,9 +183,13 @@ object Relational {
     * so the aggregate sees ~2% of the table and nothing shuffles but
     * one partial-agg row per partition. */
   def q6Revenue(s: SparkSession, d: String): DataFrame =
+    // string literals coerce to the COLUMN's timestamp flavor (LTZ or
+    // NTZ, identical under the engine's UTC zone) — a cast wrapped
+    // around the column instead would block parquet pushdown in
+    // NTZ-inferring sessions
     t(s, d, "lineitem")
-      .filter(col("l_shipdate").cast("timestamp") >= lit("1995-01-01").cast("timestamp") &&
-        col("l_shipdate").cast("timestamp") < lit("1996-01-01").cast("timestamp") &&
+      .filter(col("l_shipdate") >= lit("1995-01-01") &&
+        col("l_shipdate") < lit("1996-01-01") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
       .agg(moneySum(dec4(col("l_extendedprice")) * dec4(col("l_discount")))

@@ -56,7 +56,8 @@ object StatsQueries {
     * the two formulations are pinned to each other AND to DuckDB. */
   def acfEventsAgg(s: SparkSession, d: String): DataFrame =
     Acf.acfViaAggregate(t(s, d, "events"), "user_id",
-      unix_micros(col("ts")), "value", nLags = 10)
+      unix_micros(col("ts")), "value", nLags = 10,
+      ord2Col = col("event_id"))
 
   /** The reference's per-column histogram loop (data_analysis.py:47)
     * over every numeric measure — each column auto-binned with its own

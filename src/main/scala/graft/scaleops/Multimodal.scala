@@ -142,8 +142,6 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], meta: Dataset[MediaMeta],
              factor: Int): DataFrame = {
     import media.sparkSession.implicits._
-    val spark = media.sparkSession
-    import org.apache.spark.sql.functions.col
     media.toDF.join(meta.toDF.select("media_id", "width", "height"), "media_id")
       .select(col("media_id"), col("modality"), col("payload"),
         col("width"), col("height"))

@@ -87,9 +87,6 @@ object TextAnalysis {
     }._2
   }
 
-  /** OpenRefine-style fingerprint: sorted distinct tokens re-joined,
-    * hashed — identical for any token permutation/duplication of the
-    * same vocabulary. */
   /** TF-IDF top-k terms per document — relational formulation (no
     * fitted vocabulary): tf = term count within the doc, idf =
     * ln((N+1)/(df+1)) + 1 (sklearn's smoothed `TfidfTransformer`
@@ -118,6 +115,9 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("term"), col("tfidf"))
   }
 
+  /** OpenRefine-style fingerprint: sorted distinct tokens re-joined,
+    * hashed — identical for any token permutation/duplication of the
+    * same vocabulary. */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
 

@@ -50,13 +50,17 @@ object Acf {
   /** The single-aggregation formulation via the custom
     * `TypedImperativeAggregate` (see AcfAggregate for the state
     * trade-off): one shuffle, same output shape as `acf`. `ordCol`
-    * must be numeric (cast timestamps to `unix_micros` first). */
+    * must be numeric (cast timestamps to `unix_micros` first);
+    * `ord2Col` is the deterministic tiebreak for tied ordinals —
+    * required for oracle parity whenever the primary order can
+    * collide. */
   def acfViaAggregate(df: DataFrame, groupCol: String, ordCol: Column,
-                      valueCol: String, nLags: Int): DataFrame = {
+                      valueCol: String, nLags: Int,
+                      ord2Col: Column = lit(0L)): DataFrame = {
     val agged = df
       .filter(col(valueCol).isNotNull)
       .groupBy(groupCol)
-      .agg(graft.functions.AcfAggregate(ordCol,
+      .agg(graft.functions.AcfAggregate(ordCol, ord2Col,
         col(valueCol).cast("double"), nLags).as("acfs"))
     val stackExpr = (1 to nLags)
       .map(k => s"$k, round(acfs[${k - 1}], 6)")

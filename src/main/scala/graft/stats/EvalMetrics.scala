@@ -35,10 +35,25 @@ object EvalMetrics {
     when(lit(2) * tp + fp + fn === 0, 0.0)
       .otherwise(lit(2.0) * tp / (lit(2) * tp + fp + fn))
 
-  /** Full regression+classification report as a one-row frame. */
+  /** Full regression+classification report as a one-row frame —
+    * continuous label/prediction thresholded by the P8 rule
+    * (positive = value < threshold). NOT for already-binary 0/1
+    * columns: re-binarizing them at 0.5 inverts the positive class
+    * (hi=1 < 0.5 is false) — use [[classificationReport]] there. */
   def report(df: DataFrame, y: Column, pred: Column, threshold: Double): DataFrame = {
     val yBin = graft.clean.Cleaning.binarize(y, threshold)
     val pBin = graft.clean.Cleaning.binarize(pred, threshold)
+    reportFrom(df, y, pred, yBin, pBin)
+  }
+
+  /** The classifier-output variant: label and prediction are already
+    * 0/1 and enter the confusion counts directly, positive class = 1.
+    */
+  def classificationReport(df: DataFrame, y: Column, pred: Column): DataFrame =
+    reportFrom(df, y, pred, y.cast("int"), pred.cast("int"))
+
+  private def reportFrom(df: DataFrame, y: Column, pred: Column,
+                         yBin: Column, pBin: Column): DataFrame = {
     val base = df.agg(
       round(rmse(y, pred), 6).as("rmse"),
       (round(mae(y, pred), 6).as("mae") +:

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * bin count = max(ceil(log2 n + 1), ceil(range / (2·IQR·n^{-1/3}))),
   * equal-width over [min, max], last bin right-closed.
   *
-  * Two jobs total at any scale: one multi-aggregate pass for
-  * (n, min, max, q1, q3) — exact percentiles, matching numpy's linear
-  * interpolation — then one map-side-combinable groupBy on the bin
-  * index. No per-column scans, no driver-side data.
+  * Job shape: one multi-aggregate pass for (n, min, max), the
+  * distributed-sort exact-quantile lookup for the IQR (a sample job,
+  * a range-partitioned sort, and an O(|probs|) boundary collect —
+  * see [[exactQuantiles]]), then one map-side-combinable groupBy on
+  * the bin index. ~5 jobs per column, every one distributed; no
+  * single-reducer percentile state, no driver-side data beyond the
+  * bin spec.
   *
   * Intermediates are rounded to 9 dp before `ceil` so a 1-ulp libm
   * difference (log2/cbrt across engines) cannot flip a bin count —

@@ -82,17 +82,19 @@ object EventsStream {
       }
   }
 
-  /** Streaming exact dedup on a key: `dropDuplicates` with a
-    * watermark so per-key state is evicted once the key can no longer
-    * recur — the unbounded-state version is the classic streaming-
-    * pipeline OOM. This is the ingest-side twin of the batch
-    * `Dedup.exactStats` path (dedup-on-arrival before anything
-    * downstream pays for the duplicate). */
+  /** Streaming exact dedup on a key ALONE (a redelivery with a
+    * re-stamped/jittered ts is still the same event):
+    * `dropDuplicatesWithinWatermark` keys state by `keyCol` only and
+    * evicts each entry once the watermark passes it — the
+    * unbounded-state version is the classic streaming-pipeline OOM.
+    * This is the ingest-side twin of the batch `Dedup.exactStats`
+    * path (dedup-on-arrival before anything downstream pays for the
+    * duplicate). */
   def dedupStream(events: DataFrame, keyCol: String,
                   watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(keyCol, "ts")
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /** Drive a streaming frame to a named in-memory table (append mode
     * needs the watermark to close windows; complete mode suits tests

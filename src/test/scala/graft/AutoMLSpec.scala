@@ -135,5 +135,15 @@ class AutoMLSpec extends SparkSpec {
     val acc = preds.filter($"prediction" === $"label").count().toDouble /
       preds.count()
     assert(acc > 0.9)
+
+    // the classification report's positive class is label=1 (NOT the
+    // P8-inverted complement): tp must equal the directly-counted
+    // (label=1, pred=1) rows
+    val rep = AutoML.evaluateClassification(trained,
+      df.filter($"engine_no" === 3), "failing").head()
+    val directTp = preds.filter($"label" === 1.0 && $"prediction" === 1.0).count()
+    assert(rep.getAs[Long]("tp") == directTp)
+    assert(rep.getAs[Long]("tp") + rep.getAs[Long]("fp") +
+      rep.getAs[Long]("fn") + rep.getAs[Long]("tn") == preds.count())
   }
 }

@@ -39,6 +39,22 @@ class OperatorsSpec extends SparkSpec {
       ("p2", "in-p2"), ("p3", "other-key")))
   }
 
+  test("range join: exact buckets beyond 2^53 (epoch-nanos magnitudes)") {
+    // at ~1e18 doubles have a gap of 128: a double-divided bucket id
+    // can land one off and silently drop the pair
+    val base = 1000000000000000000L
+    val left = (0 until 50).map(i => (1, base + i * 997L, i)).toDF("k", "lts", "lid")
+    val right = (0 until 50).map(i => (1, base + i * 997L - 400L, i)).toDF("k", "rts", "rid")
+    val got = RangeJoin.inner(left, right, Seq("k"), "lts", "rts",
+      before = 1000L, after = 0L)
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val naive = left.join(right, Seq("k"))
+      .filter(col("rts") >= col("lts") - 1000L && col("rts") <= col("lts"))
+      .select("lid", "rid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == naive)
+    assert(naive.size >= 50) // every left row has its own −400ns right
+  }
+
   test("range join equals naive on random data incl. negative timestamps") {
     val rnd = new scala.util.Random(13)
     val left = (1 to 200).map(i =>

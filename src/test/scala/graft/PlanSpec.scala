@@ -40,10 +40,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters:") && p.contains("l_orderkey"))
   }
 
-  test("q6: numeric predicates pushed into the parquet scan") {
+  test("q6: ALL predicates pushed into the parquet scan, shipdate included") {
     val p = plan("q6_filtered_revenue")
-    assert(p.contains("PushedFilters:"))
-    assert(p.contains("l_discount") && p.contains("l_quantity"))
+    val pushedLine = p.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushedLine.contains("l_discount") && pushedLine.contains("l_quantity"))
+    assert(pushedLine.contains("l_shipdate"),
+      s"shipdate range must reach the scan:\n$pushedLine")
   }
 
   test("range join: equi-join on (key, bucket), never a nested-loop product") {
