@@ -131,6 +131,15 @@ object OperatorQueries {
   def profileLineitem(s: SparkSession, d: String): DataFrame =
     Profile.profile(Tables.load(s, d, "lineitem"))
 
+  /** The profiler over a text table — same one-pass shape, exercising
+    * the string min/max branch on real document content. */
+  def profileDocuments(s: SparkSession, d: String): DataFrame =
+    Profile.profile(Tables.load(s, d, "documents"))
+
+  val profileDocumentsOracle: String = Profile.oracleSql("documents", Seq(
+    ("doc_id", true, false), ("text", false, true), ("lang", false, true),
+    ("source", false, true), ("n_chars", true, false)))
+
   val profileOracle: String = Profile.oracleSql("lineitem", Seq(
     ("l_orderkey", true, false), ("l_partkey", true, false),
     ("l_suppkey", true, false), ("l_linenumber", true, false),
@@ -144,5 +153,6 @@ object OperatorQueries {
     Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
     Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinOracle)),
     Q("salted_revenue", saltedRevenue, Some(saltedOracle)),
-    Q("profile_lineitem", profileLineitem, Some(profileOracle), bench = true))
+    Q("profile_lineitem", profileLineitem, Some(profileOracle), bench = true),
+    Q("profile_documents", profileDocuments, Some(profileDocumentsOracle)))
 }

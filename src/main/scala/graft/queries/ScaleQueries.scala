@@ -280,6 +280,23 @@ object ScaleQueries {
       |  FROM s)
       |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 3""".stripMargin
 
+  /** Whitespace vs BPE-ish token counts side by side — the sub-word
+    * segmentation surface (word pieces + digits + punctuation as
+    * separate tokens), aggregated per source. */
+  def textBpeish(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy("source")
+      .agg(
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(size(TextAnalysis.bpeishTokens(col("text"))).cast("long"))
+          .as("bpeish_tokens"))
+
+  val textBpeishOracle: String =
+    """SELECT source,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS bpeish_tokens
+      |FROM documents GROUP BY source""".stripMargin
+
   /** TF-IDF top-3 terms per doc (df/N over the FULL corpus, output
     * restricted to the first 20 docs to keep the result bounded). */
   def textTfidf(s: SparkSession, d: String): DataFrame =
@@ -407,6 +424,7 @@ object ScaleQueries {
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_tfidf", textTfidf, Some(textTfidfOracle)),
+    Q("text_bpeish", textBpeish, Some(textBpeishOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),
     Q("events_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
     Q("docs_clean_pipeline", docsCleanPipeline, Some(docsCleanPipelineOracle)))
