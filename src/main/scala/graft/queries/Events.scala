@@ -247,7 +247,9 @@ object Events {
     ev(s, d)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("dow", ((floor(col("us") / 86400000000L) + 4) % 7).cast("long"))
-      .withColumn("hr", floor(pmod(col("us"), lit(86400000000L)) / 3600000000L).cast("long"))
+      // `%` (truncated modulo) matches the oracle's DuckDB `%` for
+      // any sign; pmod would diverge on pre-1970 (negative) epochs.
+      .withColumn("hr", floor((col("us") % 86400000000L) / 3600000000L).cast("long"))
       .groupBy("dow", "hr")
       .agg(count(lit(1)).as("n_events"),
         moneySum(dec6(col("value"))).as("sum_value"))

@@ -12,15 +12,19 @@ object OperatorQueries {
 
   /** Backward as-of join: each click enriched with the user's most
     * recent purchase value at or before the click. Oracle = DuckDB's
-    * native ASOF LEFT JOIN. */
+    * native ASOF LEFT JOIN. The right side is pre-collapsed to one
+    * row per (user, ts) — MAX(value) — on BOTH engines, because a
+    * DuckDB ASOF picks an unspecified row among ties while our
+    * union-window picks the max struct; the aggregation pins tie
+    * semantics instead of relying on either engine's default. */
   def asofLastPurchase(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.load(s, d, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("value").as("purchase_value"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max(col("value")).as("purchase_value"))
     AsOfJoin.backward(clicks, purchases, keys = Seq("user_id"),
       tsCol = "ts_us", rightValueCols = Seq("purchase_value"))
   }
@@ -31,8 +35,8 @@ object OperatorQueries {
       |  FROM events WHERE event_type = 'click'),
       |p AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-      |    value AS purchase_value
-      |  FROM events WHERE event_type = 'purchase')
+      |    MAX(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT c.user_id, c.event_id, c.ts_us, p.purchase_value
       |FROM c ASOF LEFT JOIN p
       |  ON c.user_id = p.user_id AND p.ts_us <= c.ts_us""".stripMargin
@@ -48,8 +52,8 @@ object OperatorQueries {
       .select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-        col("value").as("purchase_value"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max(col("value")).as("purchase_value"))
     AsOfJoin.backward(clicks, purchases, keys = Seq("user_id"),
       tsCol = "ts_us", rightValueCols = Seq("purchase_value"),
       tolerance = Some(3600000000L))
@@ -61,8 +65,8 @@ object OperatorQueries {
       |  FROM events WHERE event_type = 'click'),
       |p AS (
       |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-      |    value AS purchase_value
-      |  FROM events WHERE event_type = 'purchase')
+      |    MAX(value) AS purchase_value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
       |SELECT c.user_id, c.event_id, c.ts_us,
       |  CASE WHEN c.ts_us - p.ts_us <= 3600000000 THEN p.purchase_value END
       |    AS purchase_value

@@ -258,17 +258,19 @@ object Relational {
     * rollup/cube: per-flag totals, per-status totals, and the grand
     * total, with GROUPING() markers disambiguating real nulls from
     * subtotal rows. */
-  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
-    t(s, d, "lineitem").createOrReplaceTempView("__li_gs")
-    s.sql("""
-      SELECT l_returnflag, l_linestatus,
-        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        COUNT(*) AS n_items
-      FROM __li_gs
-      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
-  }
+  def qGroupingSets(s: SparkSession, d: String): DataFrame =
+    // DataFrame-API grouping sets (Spark 4 `groupingSets`) — no temp
+    // view, so concurrent runs on one SparkSession can't clobber each
+    // other's registration.
+    t(s, d, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_items"))
 
   val qGroupingSetsOracle: String =
     """SELECT l_returnflag, l_linestatus,

@@ -333,7 +333,9 @@ object ScaleQueries {
       "click" -> 10, "view" -> 5, "purchase" -> 100,
       "signup" -> 100, "error" -> 50))
     t(s, d, "events")
-      .filter(pmod(col("event_id"), lit(100)) <
+      // `%` not pmod: same truncated-modulo semantics as the oracle's
+      // DuckDB `%` if event_ids were ever negative.
+      .filter(col("event_id") % 100 <
         coalesce(quota(col("event_type")), lit(0)))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_sampled"),

@@ -142,18 +142,30 @@ object Multimodal {
   def resize(media: Dataset[MediaRow], meta: Dataset[MediaMeta],
              factor: Int): DataFrame = {
     import media.sparkSession.implicits._
-    media.toDF.join(meta.toDF.select("media_id", "width", "height"), "media_id")
+    // Left join: media rows absent from meta keep flowing (dims 0 =
+    // unknown). Dimension scaling applies to images only — audio/text
+    // "dims" (channels/sample-rate or hash pseudo-dims) pass through
+    // unchanged rather than collapsing to 1×1.
+    media.toDF
+      .join(meta.toDF.select("media_id", "width", "height"),
+        Seq("media_id"), "left")
       .select(col("media_id"), col("modality"), col("payload"),
-        col("width"), col("height"))
+        coalesce(col("width"), lit(0)).as("width"),
+        coalesce(col("height"), lit(0)).as("height"))
       .as[(Long, String, Array[Byte], Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, mod, payload, w, h) =>
           // ---- RESIZE STUB: byte decimation stands in for resampling
-          val step = if (mod == "image") factor * factor else factor
+          val isImage = mod == "image"
+          val step = if (isImage) factor * factor else factor
           val out = new Array[Byte]((payload.length + step - 1) / step)
           var i = 0
           while (i < out.length) { out(i) = payload(i * step); i += 1 }
-          (id, mod, math.max(1, w / factor), math.max(1, h / factor), out)
+          val (ow, oh) =
+            if (isImage && w > 0 && h > 0)
+              (math.max(1, w / factor), math.max(1, h / factor))
+            else (w, h)
+          (id, mod, ow, oh, out)
         }
       }.toDF("media_id", "modality", "width", "height", "payload")
   }

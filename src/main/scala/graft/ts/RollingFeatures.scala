@@ -43,6 +43,7 @@ object RollingFeatures {
   def ewma(df: DataFrame, groupCol: String, orderCols: Seq[Column],
            valueCol: String, alpha: Double, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
+    groupIntegral(df, groupCol)
     val prepped = df
       .select(col(groupCol).cast("long").as("g") +:
         col(idCol).cast("long").as("id") +:
@@ -52,10 +53,13 @@ object RollingFeatures {
       .select("g", "id", "x")
       .as[(Long, Long, Double)]
     prepped.mapPartitions { rows =>
-      var curGroup = Long.MinValue
+      // First-row state is an explicit flag, not a sentinel group
+      // value — a group keyed Long.MinValue must still seed with x.
+      var seen = false
+      var curGroup = 0L
       var state = 0.0
       rows.map { case (g, id, x) =>
-        if (g != curGroup) { curGroup = g; state = x }
+        if (!seen || g != curGroup) { seen = true; curGroup = g; state = x }
         else state = alpha * x + (1 - alpha) * state
         // BigDecimal(double) is shortest-repr decimal + HALF_UP — the
         // same semantics as Spark's round(), hence oracle-matchable.
@@ -65,6 +69,16 @@ object RollingFeatures {
     }.toDF(groupCol + "_g", idCol + "_i", "x", "ewma")
       .withColumnRenamed(groupCol + "_g", groupCol)
       .withColumnRenamed(idCol + "_i", idCol)
+  }
+
+  /** The ewma state carrier keys groups by a long — a fractional or
+    * string group column would silently truncate/collide under the
+    * cast, so require an integral type up front. */
+  private def groupIntegral(df: DataFrame, groupCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(groupCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"ewma group column '$groupCol' must be integral, got $dt")
   }
 
   /** DuckDB oracle template over the events table. */

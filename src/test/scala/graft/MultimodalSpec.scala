@@ -68,7 +68,7 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0L).histogram.sum == 11)
   }
 
-  test("resize: dims scale by factor, image payload shrinks ~1/f²") {
+  test("resize: image dims scale by factor, other modalities pass through") {
     val meta = Multimodal.decodeMeta(media())
     val resized = Multimodal.resize(media(), meta, factor = 2)
       .collect().map(r => r.getLong(0) ->
@@ -76,13 +76,25 @@ class MultimodalSpec extends SparkSpec {
       .toMap
     val origMeta = meta.collect().map(m => m.media_id -> m).toMap
     resized.foreach { case (id, (mod, w, h, payload)) =>
-      assert(w == math.max(1, origMeta(id).width / 2))
-      assert(h == math.max(1, origMeta(id).height / 2))
+      if (mod == "image") {
+        assert(w == math.max(1, origMeta(id).width / 2))
+        assert(h == math.max(1, origMeta(id).height / 2))
+      } else { // audio/video dims are not pixels — identity
+        assert(w == origMeta(id).width && h == origMeta(id).height)
+      }
       val step = if (mod == "image") 4 else 2
       val origLen = origMeta(id).byte_len
       assert(payload.length == (origLen + step - 1) / step)
     }
     assert(resized.size == 3)
+  }
+
+  test("resize: media rows missing from meta survive with dims 0") {
+    val metaMissing = Multimodal.decodeMeta(media()).filter(_.media_id != 1L)
+    val resized = Multimodal.resize(media(), metaMissing, factor = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3))).toMap
+    assert(resized.size == 3)        // inner join would have dropped id 1
+    assert(resized(1L) == ((0, 0)))  // unknown dims flow through as 0
   }
 
   test("frame sampling emits n evenly-spaced slices per row") {

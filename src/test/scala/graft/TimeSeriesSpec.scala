@@ -64,6 +64,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((2L, 0.0)) == 50.0)
   }
 
+  test("ewma: Long.MinValue group key still seeds; non-integral group rejected") {
+    val df = Seq((Long.MinValue, 1, 10.0), (Long.MinValue, 2, 20.0))
+      .toDF("g", "ord", "v")
+    val got = graft.ts.RollingFeatures
+      .ewma(df, "g", Seq(col("ord")), "v", alpha = 0.5, idCol = "ord")
+      .collect().map(r => r.getDouble(2) -> r.getDouble(3)).toMap
+    assert(got(10.0) == 10.0) // seeded with x, not alpha*x
+    assert(got(20.0) == 15.0)
+    val bad = Seq(("a", 1, 1.0)).toDF("g", "ord", "v")
+    intercept[IllegalArgumentException] {
+      graft.ts.RollingFeatures.ewma(bad, "g", Seq(col("ord")), "v", 0.5, "ord")
+    }
+  }
+
   test("resample locf: grid bounds, carry-forward, null before first obs") {
     val df = Seq(
       (1L, 105L, 10.0), (1L, 312L, 20.0), (1L, 330L, 30.0),
