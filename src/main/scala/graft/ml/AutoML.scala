@@ -113,9 +113,17 @@ object AutoML {
   def train(df: DataFrame, labelCol: String, featureCols: Seq[String],
             mode: Mode, numFolds: Int = 5, parallelism: Int = 8,
             quick: Boolean = false): Trained = {
+    // Training data re-reads its source for every fold-fit unless
+    // pinned, and a single-file parquet scan arrives as ONE partition
+    // — tree-stats aggregation would then use one core however many
+    // the cluster has. Repartition to the cluster's parallelism and
+    // persist for the duration of the search.
+    val sc = df.sparkSession.sparkContext
     val prepared = df
       .withColumn("label", col(labelCol).cast("double"))
       .select(("label" +: featureCols).map(col): _*)
+      .repartition(sc.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val assembler = new VectorAssembler()
       .setInputCols(featureCols.toArray).setOutputCol("features_raw")
     val scaler = new StandardScaler().setInputCol("features_raw")
@@ -140,6 +148,7 @@ object AutoML {
       }
       Trained(entry.name, model, best, featureCols)
     }
+    prepared.unpersist(blocking = false)
     mode match {
       case Regression     => candidates.minBy(_.cvMetric)
       case Classification => candidates.maxBy(_.cvMetric)

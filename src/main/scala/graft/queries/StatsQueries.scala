@@ -61,14 +61,12 @@ object StatsQueries {
 
   /** The reference's per-column histogram loop (data_analysis.py:47)
     * over every numeric measure — each column auto-binned with its own
-    * Sturges/FD spec, unioned with a column label. */
-  def histAll(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      .map(c => Histogram.histogram(li, c)
-        .withColumn("column_name", lit(c)))
-      .reduce(_ unionByName _)
-  }
+    * Sturges/FD spec, computed via the O(1)-scans multi-column path
+    * (one stats pass, one combined quantile sort, one binning pass —
+    * job count independent of column count). */
+  def histAll(s: SparkSession, d: String): DataFrame =
+    Histogram.histogramAll(t(s, d, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
 
   val histAllOracle: String =
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

@@ -37,23 +37,140 @@ object Histogram {
     * the op stays distributed on a distinct-heavy column at any
     * scale. */
   def exactQuantiles(df: DataFrame, column: String, probs: Seq[Double],
-                     n: Long): Seq[Double] = {
-    if (n == 0) return probs.map(_ => Double.NaN)
-    val sorted = df.filter(col(column).isNotNull)
-      .select(col(column).cast("double")).rdd.map(_.getDouble(0))
-      .sortBy(identity).zipWithIndex().map(_.swap)
-    val wanted = probs.map { p =>
-      val pos = (n - 1) * p
-      val lo = math.floor(pos).toLong
-      p -> (lo, math.ceil(pos).toLong, pos - lo)
+                     n: Long): Seq[Double] =
+    exactQuantilesMulti(df, Seq(column), probs, Map(column -> n))(column)
+
+  /** Multi-column exact quantiles without sorting the data itself:
+    * distinct (columnIdx, value) pairs are counted (one shuffle over
+    * at-most-|distinct| rows), range-partition-sorted, and walked
+    * once with per-partition prefix offsets — the classic
+    * distributed order-statistic on a compressed domain. Each
+    * column's global positions live at offset = Σ earlier columns'
+    * non-null counts. Job count and reducer state are independent of
+    * both row count and column count; no RDD row-sort, no
+    * single-reducer percentile buffer. */
+  def exactQuantilesMulti(df: DataFrame, columns: Seq[String],
+                          probs: Seq[Double],
+                          ns: Map[String, Long]): Map[String, Seq[Double]] = {
+    import df.sparkSession.implicits._
+    val present = columns.filter(c => ns(c) > 0)
+    if (present.isEmpty)
+      return columns.map(c => c -> probs.map(_ => Double.NaN)).toMap
+
+    val entries = present.zipWithIndex.map { case (c, ci) =>
+      struct(lit(ci).as("ci"), col(c).cast("double").as("v"))
     }
-    val idxs = wanted.flatMap { case (_, (lo, hi, _)) => Seq(lo, hi) }.toSet
-    val found = sorted.filter { case (i, _) => idxs.contains(i) }
-      .collect().toMap
-    wanted.map { case (_, (lo, hi, frac)) =>
-      val vlo = found(lo)
-      vlo + (found(hi) - vlo) * frac
+    val parts = math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    val counts = df
+      .select(explode(array(entries: _*)).as("e"))
+      .filter(col("e.v").isNotNull)
+      .groupBy(col("e.ci").as("ci"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(parts, col("ci"), col("v"))
+      .sortWithinPartitions(col("ci"), col("v"))
+      .as[(Int, Double, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Pass 1: per-partition total counts → global prefix per partition.
+      val partTotals = counts.rdd.mapPartitions { it =>
+        var s = 0L; it.foreach(s += _._3); Iterator.single(s)
+      }.collect()
+      val partPrefix = partTotals.scanLeft(0L)(_ + _)
+
+      // Global target indexes: column offset + interpolation endpoints.
+      val offsets = present.map(ns).scanLeft(0L)(_ + _)
+      val wanted = for {
+        (c, ci) <- present.zipWithIndex
+        p <- probs
+      } yield {
+        val pos = (ns(c) - 1) * p
+        val lo = math.floor(pos).toLong
+        (c, p) -> (offsets(ci) + lo, offsets(ci) + math.ceil(pos).toLong, pos - lo)
+      }
+      val targets = wanted
+        .flatMap { case (_, (lo, hi, _)) => Seq(lo, hi) }.distinct.sorted
+      val targetsB = df.sparkSession.sparkContext.broadcast(targets.toArray)
+
+      // Pass 2: walk each partition once, emitting the values that
+      // cover a target index ([running, running+cnt) interval hit).
+      val found = counts.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val tg = targetsB.value
+        var running = partPrefix(pid)
+        it.flatMap { case (_, v, cnt) =>
+          val from = java.util.Arrays.binarySearch(tg, running) match {
+            case i if i >= 0 => i
+            case i           => -i - 1
+          }
+          val hits = Iterator.range(from, tg.length)
+            .takeWhile(i => tg(i) < running + cnt)
+            .map(i => (tg(i), v)).toVector
+          running += cnt
+          hits
+        }
+      }.collect().toMap
+
+      val byCol = wanted.map { case ((c, p), (lo, hi, frac)) =>
+        val vlo = found(lo)
+        (c, p) -> (vlo + (found(hi) - vlo) * frac)
+      }.toMap
+      columns.map(c => c ->
+        (if (ns(c) == 0) probs.map(_ => Double.NaN)
+         else probs.map(p => byCol((c, p))))).toMap
+    } finally counts.unpersist(blocking = false)
+  }
+
+  /** Auto-bin specs for many columns: one (n, min, max) aggregate
+    * pass + one [[exactQuantilesMulti]] sort — the scan count stays
+    * O(1) in the number of columns. */
+  def autoBinSpecs(df: DataFrame, columns: Seq[String]): Map[String, BinSpec] = {
+    val aggs = columns.flatMap(c => Seq(
+      count(col(c)).as(s"__n_$c"),
+      min(col(c)).cast("double").as(s"__lo_$c"),
+      max(col(c)).cast("double").as(s"__hi_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val ns = columns.map(c => c -> r.getAs[Long](s"__n_$c")).toMap
+    val qs = exactQuantilesMulti(df, columns, Seq(0.25, 0.75), ns)
+    columns.map { c =>
+      val n = ns(c)
+      val lo = r.getAs[Double](s"__lo_$c")
+      val hi = r.getAs[Double](s"__hi_$c")
+      val iqr = qs(c)(1) - qs(c)(0)
+      c -> binSpecFrom(n, lo, hi, iqr)
+    }.toMap
+  }
+
+  private def binSpecFrom(n: Long, lo: Double, hi: Double,
+                          iqr: Double): BinSpec = {
+    val sturges = math.ceil(round9(math.log(n.toDouble) / math.log(2.0) + 1.0)).toLong
+    val fd =
+      if (iqr > 0 && hi > lo)
+        math.ceil(round9((hi - lo) / (2.0 * iqr / math.cbrt(n.toDouble)))).toLong
+      else 0L
+    BinSpec(n, lo, hi, math.max(math.max(sturges, fd), 1L).toInt)
+  }
+
+  /** All columns' histograms in one binning pass: each row emits one
+    * (column, bin) struct per non-null column via explode, then a
+    * single map-side-combinable groupBy counts every column's bins
+    * together. Output: (column_name, bin, cnt). */
+  def histogramAll(df: DataFrame, columns: Seq[String]): DataFrame = {
+    val specs = autoBinSpecs(df, columns)
+    val entries = columns.map { c =>
+      val spec = specs(c)
+      val bin =
+        if (spec.hi > spec.lo)
+          least(
+            floor((col(c).cast("double") - lit(spec.lo)) / lit(spec.width)),
+            lit(spec.nBins - 1L)).cast("int")
+        else lit(0)
+      struct(lit(c).as("column_name"),
+        when(col(c).isNotNull, bin).as("bin"))
     }
+    df.select(explode(array(entries: _*)).as("cb"))
+      .filter(col("cb.bin").isNotNull)
+      .groupBy(col("cb.column_name").as("column_name"),
+        col("cb.bin").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
   }
 
   /** @param exactQuantiles exact IQR via the distributed sort above —

@@ -29,4 +29,32 @@ class HistogramSpec extends SparkSpec {
     val hist = Histogram.histogram(df, "x").collect()
     assert(hist.length == 1 && hist.head.getLong(1) == 50)
   }
+
+  test("multi-column path equals the per-column path (nulls, constants)") {
+    val df = Seq(
+      (1.0, 10.0, Some(5.0)), (2.0, 10.0, None), (3.0, 10.0, Some(7.0)),
+      (4.0, 10.0, Some(9.0)), (100.0, 10.0, Some(11.0)))
+      .toDF("a", "const", "withnull")
+    val cols = Seq("a", "const", "withnull")
+    val multi = Histogram.histogramAll(df, cols).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val single = cols.flatMap { c =>
+      Histogram.histogram(df, c).collect()
+        .map(r => (c, r.getInt(0)) -> r.getLong(1))
+    }.toMap
+    assert(multi == single)
+    // null rows contribute to no bin for that column
+    assert(multi.collect { case ((c, _), n) if c == "withnull" => n }.sum == 4)
+  }
+
+  test("multi-column quantiles equal single-column quantiles") {
+    val df = (1 to 100).map(i => (i.toDouble, (101 - i).toDouble * 2))
+      .toDF("x", "y")
+    val ns = Map("x" -> 100L, "y" -> 100L)
+    val multi = Histogram.exactQuantilesMulti(
+      df, Seq("x", "y"), Seq(0.25, 0.5, 0.75), ns)
+    val sx = Histogram.exactQuantiles(df, "x", Seq(0.25, 0.5, 0.75), 100L)
+    val sy = Histogram.exactQuantiles(df, "y", Seq(0.25, 0.5, 0.75), 100L)
+    assert(multi("x") == sx && multi("y") == sy)
+  }
 }
