@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Bloom-filter join pruning — the scan-side semi-join reduction for
+  * the case where the probe side is enormous (the 100 TB fact table)
+  * and the build side is selective but too large to broadcast as an
+  * exact set.
+  *
+  * Shape: build a bloom filter over the build side's join keys (one
+  * pass, mergeable sketches — `DataFrameStatFunctions.bloomFilter`
+  * aggregates per-partition filters), broadcast the ~MB-scale bitset
+  * to every probe task, and drop probe rows whose key cannot be in
+  * the build side BEFORE the shuffle. False positives (rate `fpp`)
+  * pass the filter and are eliminated by the exact join that
+  * follows — the final result is exact; the bloom stage only shrinks
+  * the shuffled volume by ~selectivity. This is what Spark's own
+  * runtime row-level filtering does inside AQE; here it is an
+  * explicit operator so the pruning applies regardless of plan shape
+  * and with a caller-chosen fpp/size trade-off.
+  */
+object BloomPrune {
+
+  /** Exact inner join with bloom-pruned probe side. */
+  def join(probe: DataFrame, build: DataFrame, probeKey: String,
+           buildKey: String, expectedItems: Long,
+           fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val pruned = filterMightContain(probe, col(probeKey), bloom)
+    pruned.join(build, col(probeKey) === col(buildKey))
+  }
+
+  /** The pruning filter alone (for semi-join aggregations where the
+    * join itself is not needed downstream). */
+  def filterMightContain(df: DataFrame, key: Column,
+                         bloom: BloomFilter): DataFrame = {
+    val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    df.filter(mightContain(key.cast("long")))
+  }
+}

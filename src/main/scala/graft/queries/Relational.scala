@@ -385,8 +385,114 @@ object Relational {
       |SELECT o_orderpriority, rnk, l_orderkey, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue
       |FROM r WHERE rnk <= 3""".stripMargin
 
+  /** Bloom-pruned semi join (operators.BloomPrune): lineitem rows
+    * whose order is URGENT, revenue per return flag. The bloom stage
+    * drops ~80% of the fact rows before any shuffle; false positives
+    * are killed by the exact join, so the plain-join oracle applies
+    * unchanged. */
+  def qBloomSemiRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"),
+        (dec4(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    graft.operators.BloomPrune
+      .join(li, urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 1000000L, fpp = 0.01)
+      .groupBy("l_returnflag")
+      .agg(moneySum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val qBloomSemiOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q4 shape (EXISTS → left-semi): orders counted per priority
+    * when at least one of their lineitems was returned. The semi join
+    * never materializes lineitem columns — one shuffle on orderkey. */
+  def q4ExistsPriority(s: SparkSession, d: String): DataFrame = {
+    val returned = t(s, d, "lineitem")
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    t(s, d, "orders")
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+  }
+
+  val q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q18 shape (large-volume orders): HAVING on an orderkey
+    * aggregate, then enrich with order + customer dims. The heavy
+    * aggregation runs FIRST so only the few surviving orderkeys join
+    * — the join input is the aggregate's output, not the fact table. */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec4(col("l_quantity"))).as("total_qty_dec"))
+      .filter(col("total_qty_dec") > lit(250).cast("decimal(18,4)"))
+    big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, d, "customer").select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("total_qty_dec").cast("double").as("total_qty"))
+  }
+
+  val q18Oracle: String =
+    """SELECT c_name, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_name, o_orderkey, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250""".stripMargin
+
+  /** TPC-H Q19 shape (disjunctive bracket predicates): revenue from
+    * part×lineitem pairs matching any of three (brand, size,
+    * quantity) brackets. The OR of AND-brackets must still push the
+    * shared part of the predicate into both scans; part is broadcast. */
+  def q19Brackets(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_partkey"), col("l_quantity"),
+      (dec4(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,4)") - dec4(col("l_discount")))).as("rev"))
+    val p = t(s, d, "part").select("p_partkey", "p_brand", "p_size")
+    val bracket1 = col("p_brand") === "Brand#1" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(1, 20)
+    val bracket2 = col("p_brand") === "Brand#13" &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 35)
+    val bracket3 = col("p_brand") === "Brand#20" &&
+      col("p_size").between(25, 50) && col("l_quantity").between(20, 50)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(bracket1 || bracket2 || bracket3)
+      .agg(moneySum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  val q19Oracle: String =
+    """SELECT
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q_bloom_semi_revenue", qBloomSemiRevenue, Some(qBloomSemiOracle)),
+    Q("q4_exists_priority", q4ExistsPriority, Some(q4Oracle)),
+    Q("q18_large_orders", q18LargeOrders, Some(q18Oracle)),
+    Q("q19_brackets", q19Brackets, Some(q19Oracle)),
     Q("q6_filtered_revenue", q6Revenue, Some(q6Oracle)),
     Q("q_rollup_revenue", qRollup, Some(qRollupOracle)),
     Q("q_cube_quantity", qCube, Some(qCubeOracle)),

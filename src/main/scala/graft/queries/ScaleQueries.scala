@@ -222,8 +222,11 @@ object ScaleQueries {
     Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", "text",
       shingleK = 2, minJaccard = 0.8)
 
-  val ngramJaccardOracle: String =
-    """WITH sh AS (
+  /** Shared CTE text: bigram shingles + brute-force Jaccard pairs —
+    * used by both the pair query's oracle and the connected-components
+    * oracle so the two stay pinned to one definition. */
+  private val jaccardPairCtes: String =
+    """sh AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) >= 2
       |      THEN list_transform(generate_series(1, len(toks) - 1),
@@ -235,8 +238,35 @@ object ScaleQueries {
       |  SELECT a.doc_id AS a, b.doc_id AS b,
       |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
       |      len(list_distinct(a.s || b.s)), 6) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-      |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)""".stripMargin
+
+  val ngramJaccardOracle: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
+
+  /** Near-dup clustering end-to-end: exact-Jaccard pair edges →
+    * distributed connected components → (doc, component) assignment.
+    * The oracle recomputes the same edges and closes them with a
+    * recursive CTE — transitive "A~B, B~C ⇒ {A,B,C} one cluster"
+    * semantics pinned across engines. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
+    graft.operators.ConnectedComponents.components(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
+  val dedupComponentsOracle: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (
+       |  SELECT a, b FROM pairs WHERE jaccard >= 0.8
+       |  UNION ALL SELECT b, a FROM pairs WHERE jaccard >= 0.8),
+       |reach(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id)
+       |SELECT id AS doc_id, MIN(comp) AS component
+       |FROM reach GROUP BY id""".stripMargin
 
   /** Document fingerprint dedup: group by the order-insensitive
     * content fingerprint (md5 of sorted distinct tokens), report each
@@ -410,6 +440,56 @@ object ScaleQueries {
        |GROUP BY source""".stripMargin
   }
 
+  /** Vocabulary build — the tokenizer-training precursor: lowercase,
+    * alpha-token split, global frequency count, rank by (freq desc,
+    * word asc), top 100 → (rank, word, freq). One explode + one
+    * map-side-combinable groupBy; the rank window runs on the
+    * already-tiny aggregate. */
+  def textVocabulary(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("word").asc)
+    t(s, d, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 100)
+      .select("rank", "word", "freq")
+  }
+
+  val textVocabularyOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |  FROM documents),
+      |freqs AS (
+      |  SELECT word, COUNT(*) AS freq FROM toks WHERE word <> ''
+      |  GROUP BY word)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word ASC) AS INT)
+      |    AS rank, word, freq
+      |FROM freqs QUALIFY rank <= 100""".stripMargin
+
+  /** Per-label embedding centroids, one row per (label, dimension) —
+    * class prototypes for nearest-centroid search / IVF seeding.
+    * posexplode + one groupBy: scan count independent of dimension;
+    * decimal-exact sums so the mean is order-independent. */
+  def embCentroids(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(
+        round((sum(col("v").cast("double").cast("decimal(27,12)")) /
+          count(lit(1)).cast("decimal(27,12)")).cast("double"), 6)
+          .as("centroid"),
+        count(lit(1)).as("n_vectors"))
+
+  val embCentroidsOracle: String =
+    """SELECT label, CAST(pos - 1 AS INT) AS pos,
+      |  ROUND(CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) /
+      |    CAST(COUNT(*) AS DECIMAL(27,12)) AS DOUBLE), 6) AS centroid,
+      |  COUNT(*) AS n_vectors
+      |FROM embeddings, range(1, 65) t(pos)
+      |GROUP BY label, pos""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensOracle)),
     Q("text_quality", textQuality, Some(textQualityOracle)),
@@ -425,6 +505,9 @@ object ScaleQueries {
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
+    Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
     Q("text_tfidf", textTfidf, Some(textTfidfOracle)),
     Q("text_bpeish", textBpeish, Some(textBpeishOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),

@@ -123,4 +123,41 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == plain)
     assert(salted.size == 3) // k=3 has no match
   }
+
+  test("connected components: chains, self-loops, isolated pairs") {
+    // 1-2-3-4 chain (diameter 3), 10-11 pair, 20-20 self loop
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connected components: long path converges past one round") {
+    // 0-1-2-...-9 path: min label must travel 9 hops
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.operators.ConnectedComponents.components(edges, "a", "b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(0L))
+  }
+
+  test("bloom-pruned join equals plain join (false positives killed)") {
+    val probe = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    val build = Seq(3L, 500L, 999L, 5000L).toDF("bk")
+    val got = graft.operators.BloomPrune
+      .join(probe, build, "k", "bk", expectedItems = 100L, fpp = 0.5)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((3L, 6.0), (500L, 1000.0), (999L, 1998.0)))
+  }
+
+  test("bloom filter pruning keeps all true members") {
+    val probe = (1 to 200).map(_.toLong).toDF("k")
+    val build = (1 to 200 by 7).map(_.toLong).toDF("bk")
+    val bloom = build.stat.bloomFilter("bk", 100L, 0.03)
+    val kept = graft.operators.BloomPrune
+      .filterMightContain(probe, col("k"), bloom)
+      .collect().map(_.getLong(0)).toSet
+    assert((1 to 200 by 7).map(_.toLong).toSet.subsetOf(kept)) // no false negatives
+  }
 }
