@@ -487,8 +487,38 @@ object Relational {
       |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
       |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
+  /** Unpivot (melt) — the wide→long reshape feeding per-measure
+    * pipelines: lineitem's four measures become (measure, value)
+    * rows, then one aggregate per measure. Spark's native `unpivot`
+    * is a zero-shuffle Expand: rows multiply map-side, the groupBy
+    * partial-aggregates before any exchange. */
+  def qUnpivotMeasures(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), dec4(col("l_quantity")).as("quantity"),
+        dec4(col("l_extendedprice")).as("extendedprice"),
+        dec4(col("l_discount")).as("discount"), dec4(col("l_tax")).as("tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("quantity"), col("extendedprice"), col("discount"),
+          col("tax")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(moneySum(col("val")).as("total"), count(lit(1)).as("n"),
+        max(col("val")).cast("double").as("max_val"))
+
+  val qUnpivotOracle: String =
+    """WITH long AS (
+      |  SELECT measure, CAST(val AS DECIMAL(18,4)) AS val FROM (
+      |    SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+      |    UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      |    UNION ALL SELECT 'discount', l_discount FROM lineitem
+      |    UNION ALL SELECT 'tax', l_tax FROM lineitem))
+      |SELECT measure, CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) AS total,
+      |  COUNT(*) AS n, CAST(MAX(val) AS DOUBLE) AS max_val
+      |FROM long GROUP BY measure""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q_unpivot_measures", qUnpivotMeasures, Some(qUnpivotOracle)),
     Q("q_bloom_semi_revenue", qBloomSemiRevenue, Some(qBloomSemiOracle)),
     Q("q4_exists_priority", q4ExistsPriority, Some(q4Oracle)),
     Q("q18_large_orders", q18LargeOrders, Some(q18Oracle)),

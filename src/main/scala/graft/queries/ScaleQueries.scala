@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.scaleops.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
@@ -490,6 +491,133 @@ object ScaleQueries {
       |FROM embeddings, range(1, 65) t(pos)
       |GROUP BY label, pos""".stripMargin
 
+  /** Sparse document cosine similarity via an INVERTED-INDEX join —
+    * the scale path for pairwise TF-IDF similarity: weights self-join
+    * on term (so only docs SHARING a term ever meet — no dense n²
+    * pair scan), partial dot products aggregate per pair, norms join
+    * in last. Weights are fixed to integer micro-units before the
+    * join, so every sum is exact decimal arithmetic and the pair
+    * scores are order-independent — the oracle is the identical
+    * formulation in SQL. */
+  def tfidfCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") < 150)
+    val terms = docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val n = docs.count()
+    val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    val weights = tf.join(dfreq, "term")
+      .withColumn("wi",
+        round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6, 0)
+          .cast("decimal(19,0)"))
+      .select("doc_id", "term", "wi")
+    val norms = weights.groupBy("doc_id")
+      .agg(sum(col("wi") * col("wi")).as("norm2"))
+    val a = weights.select(col("doc_id").as("a"), col("term"),
+      col("wi").as("wa"))
+    val b = weights.select(col("doc_id").as("b"), col("term"),
+      col("wi").as("wb"))
+    a.join(b, "term").filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(sum(col("wa") * col("wb")).as("dot"))
+      .join(norms.select(col("doc_id").as("a"), col("norm2").as("na")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("norm2").as("nb")), "b")
+      .withColumn("cos", round(col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6))
+      .filter(col("cos") >= 0.3)
+      .select("a", "b", "cos")
+  }
+
+  val tfidfCosineOracle: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+      |terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM docs),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n FROM docs),
+      |w AS (
+      |  SELECT doc_id, term,
+      |    CAST(ROUND(tf * (LN((n + 1.0) / (df + 1.0)) + 1.0) * 1e6, 0)
+      |      AS DECIMAL(19,0)) AS wi
+      |  FROM tf JOIN dfreq USING (term), n),
+      |norms AS (SELECT doc_id, SUM(wi * wi) AS norm2 FROM w GROUP BY 1),
+      |dots AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b, SUM(a.wi * b.wi) AS dot
+      |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a, b,
+      |  ROUND(CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))), 6) AS cos
+      |FROM dots
+      |JOIN norms na ON na.doc_id = a
+      |JOIN norms nb ON nb.doc_id = b
+      |WHERE ROUND(CAST(dot AS DOUBLE) /
+      |    (SQRT(CAST(na.norm2 AS DOUBLE)) * SQRT(CAST(nb.norm2 AS DOUBLE))), 6) >= 0.3""".stripMargin
+
+  /** Rolling z-score anomaly flags — the data-cleaning outlier pass a
+    * training pipeline runs per entity: each event scored against the
+    * 10 events BEFORE it (exclusive frame, so the anomaly doesn't
+    * contaminate its own baseline). Decimal-exact rolling sums make
+    * mean/variance order-independent; one shuffle on user_id. */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+    val vd = QUtil.dec6(col("value"))
+    val scored = t(s, d, "events")
+      .withColumn("s1", sum(vd).over(w))
+      .withColumn("s2", sum(vd * vd).over(w))
+      .withColumn("n10", count(col("value")).over(w))
+      .filter(col("n10") === 10)
+      .withColumn("mean", col("s1").cast("double") / 10)
+      .withColumn("vars",
+        (col("s2").cast("double") - col("s1").cast("double") *
+          col("s1").cast("double") / 10) / 9)
+      .filter(col("vars") > 0)
+      .withColumn("z", round((col("value") - col("mean")) / sqrt(col("vars")), 6))
+    scored.filter(abs(col("z")) > 3)
+      .select(col("user_id"), col("event_id"), col("value"), col("z"))
+  }
+
+  val zscoreOutliersOracle: String =
+    """WITH f AS (
+      |  SELECT user_id, event_id, value,
+      |    SUM(CAST(value AS DECIMAL(18,6))) OVER w AS s1,
+      |    SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) OVER w AS s2,
+      |    COUNT(value) OVER w AS n10
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+      |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      |scored AS (
+      |  SELECT user_id, event_id, value,
+      |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 10) / 9 AS vars,
+      |    CAST(s1 AS DOUBLE) / 10 AS mean
+      |  FROM f WHERE n10 = 10)
+      |SELECT user_id, event_id, value,
+      |  ROUND((value - mean) / SQRT(vars), 6) AS z
+      |FROM scored
+      |WHERE vars > 0 AND ABS(ROUND((value - mean) / SQRT(vars), 6)) > 3""".stripMargin
+
+  /** Deterministic per-group sampling: the first k events per user in
+    * event-time order — the reproducible "few examples per entity"
+    * sample a debugging / eval set wants. One window pass. */
+  def perGroupSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("user_id"), col("rn"), col("event_id"),
+        col("event_type"))
+  }
+
+  val perGroupSampleOracle: String =
+    """SELECT user_id, CAST(rn AS INT) AS rn, event_id, event_type
+      |FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |WHERE rn <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("text_tokens", textTokens, Some(textTokensOracle)),
     Q("text_quality", textQuality, Some(textQualityOracle)),
@@ -508,6 +636,9 @@ object ScaleQueries {
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
     Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
+    Q("text_tfidf_cosine", tfidfCosinePairs, Some(tfidfCosineOracle)),
+    Q("ts_zscore_outliers", zscoreOutliers, Some(zscoreOutliersOracle)),
+    Q("events_per_group_sample", perGroupSample, Some(perGroupSampleOracle)),
     Q("text_tfidf", textTfidf, Some(textTfidfOracle)),
     Q("text_bpeish", textBpeish, Some(textBpeishOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),

