@@ -295,8 +295,33 @@ object Events {
       countDistinct(col("event_id")).as("exact_events"),
       approx_count_distinct(col("event_id")).as("approx_events"))
 
+  /** Exact heavy hitters: the 3 most frequent integer-rounded values
+    * per event type, ties broken by value — the deterministic twin of
+    * approximate top-k sketches. One groupBy + a rank window over the
+    * (small) per-group aggregate. */
+  def topValuesByType(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("val").asc)
+    ev(s, d)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), round(col("value"), 0).as("val"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+      .select("event_type", "rank", "val", "cnt")
+  }
+
+  val topValuesOracle: String =
+    """WITH g AS (
+      |  SELECT event_type, ROUND(value, 0) AS val, COUNT(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY cnt DESC, val ASC) AS INT) AS rank, val, cnt
+      |FROM g QUALIFY rank <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
+    Q("events_top_values", topValuesByType, Some(topValuesOracle)),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
     Q("events_sessionize_builtin", sessionizeBuiltin, Some(sessionizeOracle)),

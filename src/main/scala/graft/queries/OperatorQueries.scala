@@ -2,9 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, RangeJoin, Salting}
+import graft.operators.{AsOfJoin, RangeJoin, Salting, Upsert}
 import graft.sources.Tables
-import graft.stats.Profile
+import graft.stats.{Expectations, Profile}
 
 /** Queries for the engine-level operators beyond the reference
   * surface: as-of join, skew-salted aggregation, column profiling. */
@@ -152,7 +152,77 @@ object OperatorQueries {
     ("l_returnflag", false, true), ("l_linestatus", false, true),
     ("l_shipdate", false, false)))
 
+  /** MERGE INTO over the customer snapshot: a deterministic changeset
+    * (multiples of 3 update acctbal, multiples of 7 among them
+    * delete, multiples of 11 insert shifted new keys) applied via
+    * operators.Upsert — one full-outer co-partitioned join. Oracle is
+    * the same merge written as SQL. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.load(s, d, "customer")
+      .select("c_custkey", "c_acctbal")
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        (col("c_custkey") % 7 === 0).as("del"))
+    val inserts = cust.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        lit(0.0).as("c_acctbal"), lit(false).as("del"))
+    Upsert.merge(cust, updates.unionByName(inserts),
+      key = "c_custkey", deleteCol = "del")
+  }
+
+  val mergeUpsertOracle: String =
+    """WITH changes AS (
+      |  SELECT c_custkey AS k, CAST(c_acctbal + 100 AS DOUBLE) AS acctbal,
+      |    (c_custkey % 7 = 0) AS del
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, CAST(0.0 AS DOUBLE), FALSE
+      |  FROM customer WHERE c_custkey % 11 = 0),
+      |merged AS (
+      |  SELECT COALESCE(s.c_custkey, c.k) AS c_custkey,
+      |    CASE WHEN c.k IS NOT NULL THEN c.acctbal ELSE s.c_acctbal END
+      |      AS c_acctbal,
+      |    COALESCE(c.del, FALSE) AS del
+      |  FROM customer s FULL OUTER JOIN changes c ON s.c_custkey = c.k)
+      |SELECT c_custkey, c_acctbal FROM merged WHERE NOT del""".stripMargin
+
+  /** Data-quality expectations over lineitem — N rules, ONE scan; the
+    * report row per rule carries bound/null violations and a pass
+    * flag (the l_discount cap is deliberately violated so both
+    * branches are exercised). */
+  def expectations(s: SparkSession, d: String): DataFrame =
+    Expectations.validate(Tables.load(s, d, "lineitem"), Seq(
+      Expectations.Rule("l_quantity", minValue = Some(1.0),
+        maxValue = Some(50.0), maxNullRatio = Some(0.0)),
+      Expectations.Rule("l_discount", minValue = Some(0.0),
+        maxValue = Some(0.05)),
+      Expectations.Rule("l_tax", minValue = Some(0.0),
+        maxValue = Some(0.1), maxNullRatio = Some(0.01))))
+
+  val expectationsOracle: String = {
+    def rule(c: String, lo: String, hi: String, maxNull: Option[Double]) = {
+      val passNull = maxNull
+        .map(m => s"ROUND(CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) <= $m")
+        .getOrElse("TRUE")
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(SUM(CASE WHEN $c < $lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+         |  CAST(SUM(CASE WHEN $c > $hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+         |  ROUND(CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS null_ratio,
+         |  (SUM(CASE WHEN $c < $lo THEN 1 ELSE 0 END) = 0
+         |   AND SUM(CASE WHEN $c > $hi THEN 1 ELSE 0 END) = 0
+         |   AND $passNull) AS passed
+         |FROM lineitem""".stripMargin
+    }
+    Seq(rule("l_quantity", "1.0", "50.0", Some(0.0)),
+      rule("l_discount", "0.0", "0.05", None),
+      rule("l_tax", "0.0", "0.1", Some(0.01))).mkString(" UNION ALL ")
+  }
+
   val all: Seq[Q] = Seq(
+    Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    Q("q_expectations", expectations, Some(expectationsOracle)),
     Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
     Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
     Q("range_join_clicks", rangeJoinClicks, Some(rangeJoinOracle)),

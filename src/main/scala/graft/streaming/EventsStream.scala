@@ -96,6 +96,30 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks from the preceding hour — the streaming form of
+    * `operators.RangeJoin`'s batch query. Both sides carry
+    * watermarks and the join condition bounds event-time distance,
+    * so each side's buffered state is evicted once the other side's
+    * watermark passes the interval — bounded state, the requirement
+    * for any unbounded run. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("event_id").as("c_id"),
+        col("ts").as("c_ts"), col("value").as("click_value"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_id"), col("c_id"),
+        col("click_value"))
+  }
+
   /** Drive a streaming frame to a named in-memory table (append mode
     * needs the watermark to close windows; complete mode suits tests
     * reading final counts). */

@@ -151,6 +151,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set((3L, 6.0), (500L, 1000.0), (999L, 1998.0)))
   }
 
+  test("merge upsert: update wins, delete drops, insert lands, rest kept") {
+    val snap = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0))
+      .toDF("k", "v")
+    val changes = Seq(
+      (2L, 99.0, false),  // update
+      (3L, 0.0, true),    // delete
+      (9L, 5.0, false),   // insert
+      (7L, 0.0, true))    // delete of absent key = no-op
+      .toDF("k", "v", "del")
+    val got = graft.operators.Upsert.merge(snap, changes, "k", "del")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 99.0, 4L -> 40.0, 9L -> 5.0))
+  }
+
+  test("expectations: one pass flags bound and null violations per rule") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 0.5), (2.0, null), (60.0, 0.7), (3.0, 0.9))
+      .toDF("a", "b")
+    val got = graft.stats.Expectations.validate(df, Seq(
+      graft.stats.Expectations.Rule("a", minValue = Some(0.0),
+        maxValue = Some(50.0)),
+      graft.stats.Expectations.Rule("b", maxNullRatio = Some(0.3))))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(3), r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(got("a") == ((0L, 1L, 0.0, false)))   // 60 above the cap
+    assert(got("b") == ((0L, 0L, 0.25, true)))   // 1/4 nulls <= 0.3
+  }
+
   test("bloom filter pruning keeps all true members") {
     val probe = (1 to 200).map(_.toLong).toDF("k")
     val build = (1 to 200 by 7).map(_.toLong).toDF("bk")

@@ -35,6 +35,34 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    import org.apache.spark.sql.functions._
+    val stream = EventsStream.readEvents(spark, streamDir)
+    val joined = EventsStream.purchaseClickJoin(
+      stream.filter(col("event_type") === "purchase"),
+      stream.filter(col("event_type") === "click"))
+    val q = EventsStream.startMemorySink(joined, "ssjoin_out", "append")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssjoin_out")
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val batch = p.join(c, Seq("user_id"))
+      .filter(col("c_us") >= col("p_us") - 3600000000L &&
+        col("c_us") <= col("p_us"))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming dedup drops a replayed batch of events") {
     import org.apache.spark.sql.functions._
     // stage the same file TWICE — a replayed landing-zone delivery
