@@ -40,6 +40,14 @@ object ConnectedComponents {
       .withColumn("comp", col("id"))
       .localCheckpoint(eager = true)
 
+    // Convergence probe: labels only ever DECREASE (least of self and
+    // neighbor minima), so Σ labels strictly decreases iff any label
+    // changed — one cheap aggregate per round instead of a join-based
+    // diff. Decimal sum: no overflow however large the id space.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -52,10 +60,10 @@ object ConnectedComponents {
         .select(col("id"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).limit(1).count()
+      val curSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     require(converged, s"connected components did not converge in $maxIter rounds")

@@ -319,9 +319,39 @@ object Events {
       |    ORDER BY cnt DESC, val ASC) AS INT) AS rank, val, cnt
       |FROM g QUALIFY rank <= 3""".stripMargin
 
+  /** Forecast backtest with a seasonal-naive baseline — the
+    * evaluation harness a time-series AutoML needs before any model
+    * earns its keep: predict each event's value as the value 7
+    * observations earlier (same entity), score MAE per entity over
+    * the rows where the lag exists. One window pass; per-row double
+    * ops are deterministic, the MAE sum is decimal-exact. */
+  def seasonalBaseline(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    ev(s, d)
+      .withColumn("pred", lag(col("value"), 7).over(w))
+      .filter(col("pred").isNotNull && col("value").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_scored"),
+        round(moneySum(dec6(abs(col("value") - col("pred")))) /
+          count(lit(1)), 6).as("mae"))
+      .filter(col("n_scored") >= 3)
+  }
+
+  val seasonalBaselineOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, value,
+      |    LAG(value, 7) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pred
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_scored,
+      |  ROUND(CAST(CAST(SUM(CAST(ABS(value - pred) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mae
+      |FROM p WHERE pred IS NOT NULL AND value IS NOT NULL
+      |GROUP BY user_id HAVING COUNT(*) >= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
+    Q("ts_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineOracle)),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
     Q("events_sessionize_builtin", sessionizeBuiltin, Some(sessionizeOracle)),

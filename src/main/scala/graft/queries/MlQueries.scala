@@ -43,7 +43,41 @@ object MlQueries {
     AutoML.evaluateClassification(trained, test, "hi")
   }
 
+  /** Smoothed target encoding — the categorical-feature transform a
+    * gradient-boosted pipeline wants for high-cardinality keys:
+    * enc(cat) = (Σ_cat y + m·ȳ) / (n_cat + m), m = 10. Two aggregate
+    * passes (per-category + global) and a broadcast of ONE row; the
+    * encoding table itself is the output (join it back to features at
+    * train time). Decimal sums keep it order-independent. */
+  def targetEncoding(s: SparkSession, d: String): DataFrame = {
+    val joined = Tables.load(s, d, "orders")
+      .join(broadcast(Tables.load(s, d, "customer")
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        col("o_totalprice").cast("decimal(18,4)").as("y"))
+    val global = joined.agg(
+      (sum(col("y")).cast("double") / count(lit(1))).as("gmean"))
+    joined.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sum(col("y")).as("sum_y"))
+      .crossJoin(broadcast(global))
+      .select(col("c_mktsegment"), col("n_orders"),
+        round((col("sum_y").cast("double") + lit(10.0) * col("gmean")) /
+          (col("n_orders") + lit(10.0)), 6).as("encoding"))
+  }
+
+  val targetEncodingOracle: String =
+    """WITH j AS (
+      |  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(18,4)) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |g AS (SELECT CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) / COUNT(*) AS gmean FROM j)
+      |SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  ROUND((CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) + 10.0 * gmean) /
+      |    (COUNT(*) + 10.0), 6) AS encoding
+      |FROM j, g GROUP BY c_mktsegment, gmean""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("m3_automl_train_eval", automlTrainEval, None),
-    Q("m4_automl_classify", automlClassify, None))
+    Q("m4_automl_classify", automlClassify, None),
+    Q("ml_target_encoding", targetEncoding, Some(targetEncodingOracle)))
 }
