@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Sink surface (S7-as-tables + the layouts a 100 TB deployment
   * needs): plain, date/key-partitioned, and bucketed writers.
@@ -60,4 +61,43 @@ object Sinks {
   def writeJson(df: DataFrame, path: String,
                 mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
+
+  /** Z-order clustering key over two columns: each column is
+    * quantized to a 16-bit rank against caller-supplied bounds, the
+    * bits interleaved (Morton order). Sorting by this key before
+    * writing gives every output file a bounded BOX in (c1, c2) space
+    * — so min/max footer stats prune files for predicates on EITHER
+    * column, where a plain sort only prunes its leading column. Pure
+    * bit arithmetic on codegen'd built-ins; no UDF. */
+  def zorderKey(c1: Column, c2: Column,
+                lo1: Double, hi1: Double,
+                lo2: Double, hi2: Double): Column = {
+    def quant(c: Column, lo: Double, hi: Double): Column =
+      least(greatest(
+        ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))
+          .cast("long"), lit(0L)), lit(65535L))
+    // spread 16 bits to even positions (classic Morton spreading)
+    def spread(c: Column): Column = {
+      var x = c
+      x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+      x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+      x = x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+      x
+    }
+    spread(quant(c1, lo1, hi1))
+      .bitwiseOR(shiftleft(spread(quant(c2, lo2, hi2)), 1))
+  }
+
+  /** Write parquet range-partitioned + sorted by the Z-order key of
+    * (c1, c2) — `repartitionByRange` gives disjoint key ranges per
+    * file, i.e. disjoint spatial boxes. */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    lo1: Double, hi1: Double, lo2: Double, hi2: Double,
+                    numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.withColumn("_z", zorderKey(col(c1), col(c2), lo1, hi1, lo2, hi2))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode(mode).parquet(path)
 }

@@ -137,4 +137,51 @@ class SourcesSinksSpec extends SparkSpec {
     val back = spark.read.schema(df.schema).json(dir)
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
+
+  test("zorder key: adjacent keys stay spatially local; both dims interleave") {
+    import org.apache.spark.sql.functions._
+    // 64x64 grid; Morton order must map equal keys only for equal cells
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x.toDouble, y.toDouble)
+    val df = grid.toDF("x", "y")
+      .withColumn("z", Sinks.zorderKey(col("x"), col("y"), 0, 63, 0, 63))
+    assert(df.select("z").distinct().count() == 64L * 64)
+    // quadrant property: the top bit pair splits the plane into 4 boxes
+    val q = df.withColumn("quad", (col("z") / lit(1L << 30)).cast("int"))
+      .groupBy("quad")
+      .agg(max("x").as("mx"), min("x").as("nx"),
+        max("y").as("my"), min("y").as("ny"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(q.size == 4)
+    q.values.foreach { case (mx, nx, my, ny) =>
+      assert(mx - nx <= 31.0 && my - ny <= 31.0) // each quad is a 32x32 box
+    }
+  }
+
+  test("zorder write: every file is a bounded box in BOTH columns") {
+    import org.apache.spark.sql.functions._
+    val dir = tmp() + "/zorder"
+    val n = 4096
+    // deterministic scatter over [0,256)x[0,256)
+    val pts = (0 until n).map { i =>
+      (((i * 2654435761L) % 256).toDouble, ((i * 40503L) % 256).toDouble)
+    }
+    Sinks.writeZOrdered(pts.toDF("x", "y"), dir, "x", "y",
+      0, 255, 0, 255, numFiles = 16)
+    val boxes = spark.read.parquet(dir)
+      .withColumn("file", input_file_name())
+      .groupBy("file")
+      .agg(max("x").as("mx"), min("x").as("nx"),
+        max("y").as("my"), min("y").as("ny"))
+      .collect()
+    assert(boxes.length > 4)
+    // single-column sort would give full-range y spans (~255) in every
+    // file; Morton boxes must be materially tighter on BOTH dims
+    val spans = boxes.map(r => (r.getDouble(1) - r.getDouble(2),
+      r.getDouble(3) - r.getDouble(4)))
+    val avgX = spans.map(_._1).sum / spans.length
+    val avgY = spans.map(_._2).sum / spans.length
+    assert(avgX < 160, s"avg x-span $avgX not clustered")
+    assert(avgY < 160, s"avg y-span $avgY not clustered")
+  }
 }
