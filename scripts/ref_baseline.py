@@ -123,5 +123,82 @@ def _():
                 hits += 1
 
 
+@bench("tfidf_cosine_pairs")
+def _():
+    # single-node sparse cosine: dict-of-dicts inverted index
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    docs = docs[docs.doc_id < 150]
+    from collections import Counter, defaultdict
+    import math
+    tfs, dfc = {}, Counter()
+    for doc_id, t in zip(docs.doc_id, docs.text):
+        tf = Counter(t.strip().lower().split())
+        tfs[doc_id] = tf
+        dfc.update(tf.keys())
+    n = len(tfs)
+    w = {d: {t: c * (math.log((n + 1) / (dfc[t] + 1)) + 1)
+             for t, c in tf.items()} for d, tf in tfs.items()}
+    norms = {d: math.sqrt(sum(v * v for v in ws.values()))
+             for d, ws in w.items()}
+    inv = defaultdict(list)
+    for d, ws in w.items():
+        for t, v in ws.items():
+            inv[t].append((d, v))
+    dots = defaultdict(float)
+    for t, posting in inv.items():
+        for i in range(len(posting)):
+            for j in range(i + 1, len(posting)):
+                (a, va), (b, vb) = posting[i], posting[j]
+                if a > b:
+                    a, b, va, vb = b, a, vb, va
+                dots[(a, b)] += va * vb
+    _ = [(a, b, d / (norms[a] * norms[b]))
+         for (a, b), d in dots.items() if d / (norms[a] * norms[b]) >= 0.3]
+
+
+@bench("connected_components_pairs")
+def _():
+    # single-node union-find over near-dup pairs (pairs precomputed
+    # above in jaccard_naive_pairs; here re-derived on fingerprints
+    # for a self-contained timing)
+    docs = pd.read_parquet(f"{sf}/documents.parquet")
+    fp = docs.text.map(lambda t: " ".join(sorted(set(t.strip().lower().split()))))
+    groups = docs.groupby(fp).doc_id.apply(list)
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for ids in groups:
+        for b in ids[1:]:
+            ra, rb = find(ids[0]), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    _ = {d: find(d) for d in docs.doc_id}
+
+
+@bench("zscore_outliers")
+def _():
+    g = ev.sort_values(["user_id", "ts", "event_id"]).groupby("user_id")["value"]
+    mean10 = g.transform(lambda s: s.shift(1).rolling(10).mean())
+    std10 = g.transform(lambda s: s.shift(1).rolling(10).std())
+    z = (ev["value"] - mean10) / std10
+    _ = ev[z.abs() > 3]
+
+
+@bench("target_encoding")
+def _():
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    j = orders.merge(cust[["c_custkey", "c_mktsegment"]],
+                     left_on="o_custkey", right_on="c_custkey")
+    gmean = j.o_totalprice.mean()
+    agg = j.groupby("c_mktsegment").o_totalprice.agg(["sum", "size"])
+    _ = (agg["sum"] + 10 * gmean) / (agg["size"] + 10)
+
+
 print(json.dumps({"sf": sf, "pandas_seconds": results,
                   "total": round(sum(results.values()), 3)}))
