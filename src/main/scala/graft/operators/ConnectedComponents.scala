@@ -39,6 +39,7 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(eager = true)
+    if (labels.isEmpty) return labels // no edges → no vertices, no rounds
 
     // Convergence probe: labels only ever DECREASE (least of self and
     // neighbor minima), so Σ labels strictly decreases iff any label

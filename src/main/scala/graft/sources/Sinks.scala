@@ -72,6 +72,8 @@ object Sinks {
   def zorderKey(c1: Column, c2: Column,
                 lo1: Double, hi1: Double,
                 lo2: Double, hi2: Double): Column = {
+    require(hi1 > lo1 && hi2 > lo2,
+      s"zorder bounds must be non-degenerate: [$lo1,$hi1] x [$lo2,$hi2]")
     def quant(c: Column, lo: Double, hi: Double): Column =
       least(greatest(
         ((c.cast("double") - lit(lo)) / lit(hi - lo) * lit(65535.0))

@@ -23,6 +23,9 @@ object Expectations {
   /** @return one row per rule: (column, n_rows, n_null, n_below,
     *         n_above, null_ratio, passed). */
   def validate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.map(_.column).distinct.size == rules.size,
+      "one rule per column (aggregate aliases are column-keyed); " +
+        "fold multiple bounds into one Rule")
     val aggs = rules.flatMap { r =>
       val c = col(r.column)
       Seq(

@@ -134,6 +134,12 @@ class OperatorsSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connected components: empty edge list returns empty, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.ConnectedComponents
+      .components(edges, "a", "b").isEmpty)
+  }
+
   test("connected components: long path converges past one round") {
     // 0-1-2-...-9 path: min label must travel 9 hops
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
