@@ -92,6 +92,15 @@ final case class AnalysisSession(
     graft.stats.Acf.acf(cur, g, orderCols, feature, nLags)
   }
 
+  /** D4 — per-group line-series data (reference data_analysis.py:56-79):
+    * one ordered projection for ALL groups × the feature, not G
+    * filter-scans. */
+  def seriesOf(feature: String, orderCols: Seq[Column]): DataFrame = {
+    val g = config.groupBy.getOrElse(sys.error("group_by not set"))
+    cur.select(col(g) +: orderCols :+ col(feature): _*)
+      .orderBy(col(g) +: orderCols: _*)
+  }
+
   def featureCols: Seq[String] = {
     val l = config.label.getOrElse(sys.error("label not set"))
     Cleaning.featureColumns(cur, l,

@@ -60,6 +60,16 @@ class AutoMLSpec extends SparkSpec {
     val ts = AutoML.trainScore(trained.trained.get,
       cmapss().filter($"engine_no" <= 2), "RUL", AutoML.Regression)
     assert(!ts.isNaN && ts < rmse + 5.0) // train rmse ≲ test rmse
+
+    // D4: per-group line data, ordered (one projection for all groups)
+    val tsConfigured = base.setSupervisedOptions("RUL",
+      excluded = Seq("op_setting_3"), isTimeSeries = true,
+      groupBy = Some("engine_no"))
+    val series = tsConfigured.seriesOf("sensor_2", Seq($"time_in_cycles"))
+      .collect()
+    assert(series.map(_.getInt(0)).distinct.sorted.toSeq == Seq(1, 2))
+    val cycles = series.filter(_.getInt(0) == 1).map(_.getInt(1)).toSeq
+    assert(cycles == cycles.sorted) // ordered within group
   }
 
   test("M3/M4 protocol: full grid is 18 combos (3 iters × 3 depths × 2 steps)") {
