@@ -506,11 +506,16 @@ object ScaleQueries {
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val n = docs.count()
     val dfreq = terms.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // Materialized once (lazy local checkpoint): three consumers
+    // (norms, both join sides) would otherwise recompute the
+    // tf × df join — AQE's exchange reuse only caches the shuffles,
+    // not the join itself.
     val weights = tf.join(dfreq, "term")
       .withColumn("wi",
         round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0) * 1e6, 0)
           .cast("decimal(19,0)"))
       .select("doc_id", "term", "wi")
+      .localCheckpoint(eager = false)
     val norms = weights.groupBy("doc_id")
       .agg(sum(col("wi") * col("wi")).as("norm2"))
     val a = weights.select(col("doc_id").as("a"), col("term"),

@@ -141,10 +141,14 @@ object Dedup {
     // collision within one corpus' vocabulary is ~2⁻⁶⁴·|V|² — far
     // below the float-rounding noise floor), and 8-byte join keys cut
     // the shuffled bytes several-fold.
+    // Materialized once (lazy local checkpoint): the shingle arrays
+    // feed the inverted index AND both verification joins — without
+    // pinning, the per-doc tokenize+hash+sort runs up to 4×.
     val sh = docs.select(col(idCol),
       sort_array(transform(shingles(col(textCol), shingleK),
         x => xxhash64(x))).as("hs"))
       .withColumn("sz", size(col("hs")))
+      .localCheckpoint(eager = false)
     val inv = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
@@ -153,6 +157,7 @@ object Dedup {
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <=
         col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)
+      .localCheckpoint(eager = false) // consumed by both join sides
     // PPJoin-style pruning on each matched posting, both safe under
     // float rounding (0.5 slack; sizes are integers, true bounds are
     // rational, float error ≪ 0.5 — a qualifying pair can never be
