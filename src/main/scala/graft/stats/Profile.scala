@@ -40,28 +40,30 @@ object Profile {
       })
     }
     val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
-    val rows = cols.map { f =>
+    // Pure DataFrame assembly (struct-explode) — no temp view, so
+    // concurrent profiles on one SparkSession cannot clobber each
+    // other's registration.
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val reports = cols.map { f =>
       val (minNum, maxNum, mean, minStr, maxStr) = f.dataType match {
         case _: NumericType =>
-          (s"${f.name}__min_num", s"${f.name}__max_num", s"${f.name}__mean",
-            "NULL", "NULL")
+          (col(s"${f.name}__min_num"), col(s"${f.name}__max_num"),
+            col(s"${f.name}__mean"), nullS, nullS)
         case StringType =>
-          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-            s"${f.name}__min_str", s"${f.name}__max_str")
-        case _ =>
-          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-            "NULL", "NULL")
+          (nullD, nullD, nullD,
+            col(s"${f.name}__min_str"), col(s"${f.name}__max_str"))
+        case _ => (nullD, nullD, nullD, nullS, nullS)
       }
-      s"SELECT '${f.name}' AS column_name, ${f.name}__n AS n, " +
-        s"${f.name}__nulls AS n_null, ${f.name}__distinct AS n_distinct, " +
-        s"$minNum AS min_num, $maxNum AS max_num, $mean AS mean, " +
-        s"CAST($minStr AS STRING) AS min_str, CAST($maxStr AS STRING) AS max_str"
+      struct(lit(f.name).as("column_name"),
+        col(s"${f.name}__n").as("n"),
+        col(s"${f.name}__nulls").as("n_null"),
+        col(s"${f.name}__distinct").as("n_distinct"),
+        minNum.as("min_num"), maxNum.as("max_num"), mean.as("mean"),
+        minStr.cast("string").as("min_str"),
+        maxStr.cast("string").as("max_str"))
     }
-    wide.createOrReplaceTempView("__profile_wide")
-    val sql = rows
-      .map(r => r + " FROM __profile_wide")
-      .mkString(" UNION ALL ")
-    df.sparkSession.sql(sql)
+    wide.select(explode(array(reports.toSeq: _*)).as("r")).select("r.*")
   }
 
   /** DuckDB oracle for `profile` over a known schema:
