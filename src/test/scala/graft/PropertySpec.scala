@@ -96,4 +96,49 @@ class PropertySpec extends SparkSpec {
         assert(r.getAs[Double]("f1") == expF1)
       }
   }
+
+  test("connected components equal a driver-side union-find on random graphs") {
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
+    samples(edgeGen, 4).foreach { edges =>
+      val got = graft.operators.ConnectedComponents
+        .components(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // oracle: plain union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val expected = verts.map(v => v -> find(v)).toMap
+      assert(got == expected)
+    }
+  }
+
+  test("upsert key algebra: survivors = (snapshot ∪ inserts) − deletes") {
+    val snapGen = Gen.listOfN(12, Gen.choose(0L, 19L)).map(_.distinct)
+    val chgGen = Gen.listOfN(10,
+      Gen.zip(Gen.choose(0L, 24L), Gen.oneOf(true, false)))
+      .map(_.distinctBy(_._1))
+    samples(Gen.zip(snapGen, chgGen), 4).foreach { case (snapKeys, chgs) =>
+      val snap = snapKeys.map(k => (k, k * 1.0)).toDF("k", "v")
+      val changes = chgs.map { case (k, del) => (k, k * 2.0, del) }
+        .toDF("k", "v", "del")
+      val got = graft.operators.Upsert.merge(snap, changes, "k", "del")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val chgMap = chgs.toMap
+      val expectedKeys = (snapKeys ++ chgs.filter(!_._2).map(_._1)).distinct
+        .filterNot(k => chgMap.getOrElse(k, false))
+      assert(got.keySet == expectedKeys.toSet)
+      got.foreach { case (k, v) =>
+        if (chgMap.contains(k)) assert(v == k * 2.0) // changeset wins
+        else assert(v == k * 1.0)                    // snapshot kept
+      }
+    }
+  }
 }
