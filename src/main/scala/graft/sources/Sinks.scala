@@ -91,6 +91,27 @@ object Sinks {
       .bitwiseOR(shiftleft(spread(quant(c2, lo2, hi2)), 1))
   }
 
+  /** Small-files compaction — the table-maintenance op every
+    * streaming/incremental sink eventually needs: rewrite a parquet
+    * directory into ~targetBytes files. Uses the scan's own size
+    * statistics (no driver file listing beyond what the scan does),
+    * coalesce (no shuffle) when shrinking the file count. Returns the
+    * file count after compaction. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(path)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1,
+      (bytes / BigInt(targetBytes)).toInt + (if (bytes % targetBytes > 0) 1 else 0))
+    val tmp = path + "_compacting"
+    df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    files
+  }
+
   /** Write parquet range-partitioned + sorted by the Z-order key of
     * (c1, c2) — `repartitionByRange` gives disjoint key ranges per
     * file, i.e. disjoint spatial boxes. */

@@ -138,6 +138,23 @@ class SourcesSinksSpec extends SparkSpec {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("compaction folds many small files into few; data survives intact") {
+    val dir = tmp() + "/compact"
+    val df = (1 to 5000).map(i => (i.toLong, s"row$i")).toDF("k", "v")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    Sinks.compact(spark, dir, targetBytes = 512L << 20)
+    val after = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(after < 8, s"still $after files")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+      == 5000L * 5001 / 2)
+  }
+
   test("zorder key: adjacent keys stay spatially local; both dims interleave") {
     import org.apache.spark.sql.functions._
     // 64x64 grid; Morton order must map equal keys only for equal cells
