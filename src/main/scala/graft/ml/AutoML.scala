@@ -128,27 +128,28 @@ object AutoML {
       .setInputCols(featureCols.toArray).setOutputCol("features_raw")
     val scaler = new StandardScaler().setInputCol("features_raw")
       .setOutputCol("features_scaled").setWithMean(true).setWithStd(true)
-    val candidates = modelZoo(mode, quick).filter(_.enabled).map { entry =>
-      val pipeline = new Pipeline()
-        .setStages(Array(assembler, scaler, entry.estimator))
-      val cv = new CrossValidator()
-        .setEstimator(pipeline)
-        .setEvaluator(evaluator(mode))
-        .setEstimatorParamMaps(entry.grid)
-        .setNumFolds(numFolds)
-        .setParallelism(parallelism)
-        .setSeed(42)
-      val model = cv.fit(prepared)
-      // The winning grid combo's CV metric: rmse is minimized,
-      // f1 maximized — avgMetrics.max would report the WORST combo
-      // for regression.
-      val best = mode match {
-        case Regression     => model.avgMetrics.min
-        case Classification => model.avgMetrics.max
+    val candidates =
+      try modelZoo(mode, quick).filter(_.enabled).map { entry =>
+        val pipeline = new Pipeline()
+          .setStages(Array(assembler, scaler, entry.estimator))
+        val cv = new CrossValidator()
+          .setEstimator(pipeline)
+          .setEvaluator(evaluator(mode))
+          .setEstimatorParamMaps(entry.grid)
+          .setNumFolds(numFolds)
+          .setParallelism(parallelism)
+          .setSeed(42)
+        val model = cv.fit(prepared)
+        // The winning grid combo's CV metric: rmse is minimized,
+        // f1 maximized — avgMetrics.max would report the WORST combo
+        // for regression.
+        val best = mode match {
+          case Regression     => model.avgMetrics.min
+          case Classification => model.avgMetrics.max
+        }
+        Trained(entry.name, model, best, featureCols)
       }
-      Trained(entry.name, model, best, featureCols)
-    }
-    prepared.unpersist(blocking = false)
+      finally prepared.unpersist(blocking = false) // even on a failed fit
     mode match {
       case Regression     => candidates.minBy(_.cvMetric)
       case Classification => candidates.maxBy(_.cvMetric)

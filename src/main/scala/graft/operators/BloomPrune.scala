@@ -33,11 +33,17 @@ object BloomPrune {
   }
 
   /** The pruning filter alone (for semi-join aggregations where the
-    * join itself is not needed downstream). */
+    * join itself is not needed downstream). Probes with the generic
+    * `mightContain`, which dispatches integral types to the long path
+    * and strings to the UTF-8 byte path — the SAME dispatch
+    * `stat.bloomFilter` used at build time, so string keys are safe
+    * (a long-only probe would hash them differently and silently drop
+    * true matches). */
   def filterMightContain(df: DataFrame, key: Column,
                          bloom: BloomFilter): DataFrame = {
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
-    df.filter(mightContain(key.cast("long")))
+    val mightContain =
+      udf((k: Any) => k != null && bloomB.value.mightContain(k))
+    df.filter(mightContain(key))
   }
 }

@@ -28,7 +28,7 @@ object ConnectedComponents {
     * @return (id, component) for every vertex that appears in any
     *         edge; component = min vertex id reachable. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 20): DataFrame = {
+                 maxIter: Int = 50): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
@@ -62,11 +62,16 @@ object ConnectedComponents {
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint(eager = true)
       val curSum = labelSum(next)
+      // Release the superseded round's checkpoint blocks now — at
+      // O(rounds) retained copies of the vertex set, a deep graph
+      // would otherwise pin memory/spill disk until driver GC.
+      labels.unpersist(blocking = false)
       labels = next
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       iter += 1
     }
+    sym.unpersist(blocking = false)
     require(converged, s"connected components did not converge in $maxIter rounds")
     labels
   }

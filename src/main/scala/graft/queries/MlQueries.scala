@@ -56,10 +56,14 @@ object MlQueries {
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"),
         col("o_totalprice").cast("decimal(18,4)").as("y"))
-    val global = joined.agg(
-      (sum(col("y")).cast("double") / count(lit(1))).as("gmean"))
-    joined.groupBy("c_mktsegment")
+    val grouped = joined.groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), sum(col("y")).as("sum_y"))
+    // global mean from the (tiny) grouped output — decimal sums are
+    // associative, so Σ sum_y / Σ n is exactly the raw-row mean and
+    // the orders scan + join run once, not twice
+    val global = grouped.agg(
+      (sum(col("sum_y")).cast("double") / sum(col("n_orders"))).as("gmean"))
+    grouped
       .crossJoin(broadcast(global))
       .select(col("c_mktsegment"), col("n_orders"),
         round((col("sum_y").cast("double") + lit(10.0) * col("gmean")) /

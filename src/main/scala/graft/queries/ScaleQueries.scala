@@ -447,14 +447,18 @@ object ScaleQueries {
     * map-side-combinable groupBy; the rank window runs on the
     * already-tiny aggregate. */
   def textVocabulary(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("freq").desc, col("word").asc)
+    // Top-k FIRST (sort+limit plans as a distributed
+    // TakeOrderedAndProject — per-partition top-100s, merged), THEN
+    // the rank window over the 100 surviving rows. A global
+    // row_number window over the raw aggregate would funnel the whole
+    // vocabulary through one task.
+    val w = Window.orderBy(col("freq").desc, col("word").asc)
     t(s, d, "documents")
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 100)
+      .orderBy(col("freq").desc, col("word").asc).limit(100)
+      .withColumn("rank", row_number().over(w).cast("int"))
       .select("rank", "word", "freq")
   }
 

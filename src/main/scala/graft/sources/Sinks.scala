@@ -105,10 +105,20 @@ object Sinks {
       (bytes / BigInt(targetBytes)).toInt + (if (bytes % targetBytes > 0) 1 else 0))
     val tmp = path + "_compacting"
     df.coalesce(files).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // Swap via rename-aside so the data always exists under SOME
+    // path: old → *_old, new → path, then drop *_old. Every FS call
+    // is checked — an unchecked false from rename would otherwise
+    // report success while the table sat under a temp name.
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    if (fs.exists(old)) require(fs.delete(old, true), s"cannot clear $old")
+    require(fs.rename(hp, old), s"rename $path -> $old failed")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hp)) {
+      fs.rename(old, hp) // restore; best effort before failing
+      sys.error(s"rename $tmp -> $path failed; original restored")
+    }
+    require(fs.delete(old, true), s"compacted OK but cannot remove $old")
     files
   }
 

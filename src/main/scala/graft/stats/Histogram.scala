@@ -198,12 +198,9 @@ object Histogram {
         val qs = this.exactQuantiles(df, column, Seq(0.25, 0.75), n)
         qs(1) - qs(0)
       } else r.getAs[Double]("q3") - r.getAs[Double]("q1")
-    val sturges = math.ceil(round9(math.log(n.toDouble) / math.log(2.0) + 1.0)).toLong
-    val fd =
-      if (iqr > 0 && hi > lo)
-        math.ceil(round9((hi - lo) / (2.0 * iqr / math.cbrt(n.toDouble)))).toLong
-      else 0L
-    BinSpec(n, lo, hi, math.max(math.max(sturges, fd), 1L).toInt)
+    // one formula, shared with the multi-column path — the oracle SQL
+    // is pinned to binSpecFrom and must never diverge per path
+    binSpecFrom(n, lo, hi, iqr)
   }
 
   private def round9(x: Double): Double =
