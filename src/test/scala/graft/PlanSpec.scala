@@ -94,6 +94,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("vocabulary: top-k plans as distributed TakeOrdered, not a global window sort") {
+    val p = plan("text_vocabulary")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("bloom semi join: the pruning filter sits under the join, over the scan") {
+    val p = plan("q_bloom_semi_revenue")
+    val filterIdx = p.indexOf("UDF")              // bloom mightContain probe
+    val joinIdx = p.indexOf("Join")
+    assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx,
+      "filter must appear deeper in the printed tree than the join")
+  }
+
   test("stratified sample: the mod predicate reaches the scan's data filters") {
     val p = plan("events_stratified_sample")
     // not pushable into parquet (CASE on another column), but must sit
