@@ -348,9 +348,59 @@ object Events {
       |FROM p WHERE pred IS NOT NULL AND value IS NOT NULL
       |GROUP BY user_id HAVING COUNT(*) >= 3""".stripMargin
 
+  /** OHLC resample — downsampling a tick stream to 1-hour bars per
+    * event type: open/close are the first/last values in (ts,
+    * event_id) order (deterministic ties), high/low/volume are plain
+    * aggregates. One window pass + one groupBy, both sharing the
+    * (type, bucket) partitioning. */
+  def ohlcResample(s: SparkSession, d: String): DataFrame = {
+    val bucketed = ev(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("bucket", (floor(col("us") / 3600000000L) * 3600L).cast("long"))
+    val w = Window.partitionBy("event_type", "bucket")
+      .orderBy(col("us"), col("event_id"))
+    bucketed
+      .withColumn("rn_a", row_number().over(w))
+      .withColumn("rn_d", row_number().over(
+        Window.partitionBy("event_type", "bucket")
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .groupBy("event_type", "bucket")
+      .agg(
+        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        moneySum(dec6(col("value"))).as("volume"),
+        count(lit(1)).as("n_ticks"))
+  }
+
+  val ohlcOracle: String =
+    """WITH b AS (
+      |  SELECT event_type, value,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 3600000000) * 3600 AS BIGINT) AS bucket,
+      |    event_id
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT event_type, bucket, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY us, event_id) AS rn_a,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+      |      ORDER BY us DESC, event_id DESC) AS rn_d
+      |  FROM b)
+      |SELECT event_type, bucket,
+      |  MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_ticks
+      |FROM r GROUP BY 1, 2""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
+    Q("ts_ohlc_resample", ohlcResample, Some(ohlcOracle)),
     Q("ts_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineOracle)),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
     Q("events_sessionize", sessionize, Some(sessionizeOracle), bench = true),
