@@ -397,9 +397,56 @@ object Events {
       |  COUNT(*) AS n_ticks
       |FROM r GROUP BY 1, 2""".stripMargin
 
+  /** Typed cogroup: clicks and purchases meet per user WITHOUT a join
+    * blow-up — `KeyValueGroupedDataset.cogroup` delivers both sides'
+    * iterators for each key after one co-partitioned shuffle. State
+    * per key is O(1): one pass over purchases finds the first
+    * purchase time, then clicks stream past it. (A join would
+    * materialize clicks × purchase-rows before aggregating.) */
+  def cogroupClickPurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = ev(s, d).select(col("user_id").cast("long"),
+      col("event_type"), unix_micros(col("ts")).as("us"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select($"user_id", $"us").as[(Long, Long)]
+      .groupByKey(_._1)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select($"user_id", $"us").as[(Long, Long)]
+      .groupByKey(_._1)
+    clicks.cogroup(purchases) { (user, cs, ps) =>
+      var firstP = Long.MaxValue
+      var nP = 0L
+      ps.foreach { p => nP += 1; if (p._2 < firstP) firstP = p._2 }
+      var nC = 0L
+      var nBefore = 0L
+      cs.foreach { c => nC += 1; if (c._2 < firstP) nBefore += 1 }
+      Iterator.single((user, nC, nP, nBefore))
+    }.toDF("user_id", "n_clicks", "n_purchases", "clicks_before_first_purchase")
+  }
+
+  val cogroupOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |fp AS (SELECT user_id, MIN(us) AS first_p, COUNT(*) AS n_p
+      |       FROM p GROUP BY user_id),
+      |cc AS (SELECT c.user_id, COUNT(*) AS n_c,
+      |         COUNT(CASE WHEN fp.first_p IS NULL OR c.us < fp.first_p
+      |           THEN 1 END) AS n_before
+      |       FROM c LEFT JOIN fp USING (user_id) GROUP BY c.user_id)
+      |SELECT COALESCE(cc.user_id, fp.user_id) AS user_id,
+      |  COALESCE(cc.n_c, 0) AS n_clicks,
+      |  COALESCE(fp.n_p, 0) AS n_purchases,
+      |  COALESCE(cc.n_before, 0) AS clicks_before_first_purchase
+      |FROM cc FULL OUTER JOIN fp ON cc.user_id = fp.user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
+    Q("events_cogroup_funnel", cogroupClickPurchase, Some(cogroupOracle)),
     Q("ts_ohlc_resample", ohlcResample, Some(ohlcOracle)),
     Q("ts_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineOracle)),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),
