@@ -388,11 +388,17 @@ object ScaleQueries {
     * stats. Each stage reuses an already-oracled operator; the
     * composition itself is what this query pins. */
   def docsCleanPipeline(s: SparkSession, d: String): DataFrame = {
+    // project to the 4 surviving columns, THEN pin: the scored frame
+    // feeds both the keep-aggregation and the semi join — without the
+    // checkpoint all the regex/tokenize scoring runs twice, and
+    // without the projection the checkpoint would materialize text
     val docs = t(s, d, "documents")
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
       .filter(col("quality") >= 0.5 && col("pred_lang") === col("lang"))
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .select("doc_id", "source", "quality", "fp")
+      .localCheckpoint(eager = false)
     val keep = docs.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
     docs.join(keep, Seq("fp", "doc_id"), "left_semi")
       .groupBy("source")
