@@ -443,10 +443,45 @@ object Events {
       |  COALESCE(cc.n_before, 0) AS clicks_before_first_purchase
       |FROM cc FULL OUTER JOIN fp ON cc.user_id = fp.user_id""".stripMargin
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events
+    * per user (the rn − rn_per_type difference trick — an island is
+    * where the two row numbers advance in lockstep). Reports runs of
+    * length ≥ 3. Two window passes over ONE user_id shuffle. */
+  def gapIslands(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us"), col("event_id"))
+    ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("island",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("run_len"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+      .filter(col("run_len") >= 3)
+      .select("user_id", "event_type", "run_len", "start_us", "end_us")
+  }
+
+  val gapIslandsOracle: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS island
+      |  FROM events)
+      |SELECT user_id, event_type, COUNT(*) AS run_len,
+      |  MIN(us) AS start_us, MAX(us) AS end_us
+      |FROM r GROUP BY user_id, event_type, island
+      |HAVING COUNT(*) >= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
     Q("events_cogroup_funnel", cogroupClickPurchase, Some(cogroupOracle)),
+    Q("events_gap_islands", gapIslands, Some(gapIslandsOracle)),
     Q("ts_ohlc_resample", ohlcResample, Some(ohlcOracle)),
     Q("ts_seasonal_baseline", seasonalBaseline, Some(seasonalBaselineOracle)),
     Q("events_sliding_window", sliding, Some(slidingOracle), bench = true),

@@ -516,8 +516,37 @@ object Relational {
       |  COUNT(*) AS n, CAST(MAX(val) AS DOUBLE) AS max_val
       |FROM long GROUP BY measure""".stripMargin
 
+  /** RANGE-frame window (value-based, not row-based): per customer,
+    * each order's trailing-7-day revenue — peers at equal dates all
+    * enter the frame, which ROWS frames can't express. One shuffle on
+    * custkey. */
+  def qWindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("date_s"))
+      .rangeBetween(-7L * 86400, 0)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).divide(1000000L)
+          .cast("long").as("date_s"),
+        dec4(col("o_totalprice")).as("price"))
+      .withColumn("trailing_7d_revenue",
+        sum(col("price")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("date_s"),
+        col("trailing_7d_revenue"))
+  }
+
+  val qWindowRangeOracle: String =
+    """SELECT o_custkey, o_orderkey,
+      |  epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000 AS date_s,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 1000000
+      |    RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+      |    AS trailing_7d_revenue
+      |FROM orders""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q_window_range_frame", qWindowRangeFrame, Some(qWindowRangeOracle)),
     Q("q_unpivot_measures", qUnpivotMeasures, Some(qUnpivotOracle)),
     Q("q_bloom_semi_revenue", qBloomSemiRevenue, Some(qBloomSemiOracle)),
     Q("q4_exists_priority", q4ExistsPriority, Some(q4Oracle)),
