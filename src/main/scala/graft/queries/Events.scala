@@ -295,6 +295,24 @@ object Events {
       countDistinct(col("event_id")).as("exact_events"),
       approx_count_distinct(col("event_id")).as("approx_events"))
 
+  /** RE-AGGREGATABLE sketches — the 100 TB cardinality pattern:
+    * build one DataSketches HLL per (day, type) partition, then
+    * union the BINARY sketches for any rollup without rescanning the
+    * raw data. Sketch bytes are engine-specific → rows-only check;
+    * the spec bounds the estimate against exact counts. */
+  def hllDailyMerge(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .withColumn("day", floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+      .groupBy("day", "event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"),
+        countDistinct(col("user_id")).as("exact_day_users"))
+    daily.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
+        .as("est_users_all_days"),
+        sum(col("exact_day_users")).as("sum_daily_exact"),
+        count(lit(1)).as("n_days"))
+  }
+
   /** Exact heavy hitters: the 3 most frequent integer-rounded values
     * per event type, ties broken by value — the deterministic twin of
     * approximate top-k sketches. One groupBy + a rank window over the
@@ -494,5 +512,6 @@ object Events {
     Q("events_funnel", funnel, Some(funnelOracle)),
     Q("events_dow_hourly", dowHourly, Some(dowHourlyOracle)),
     Q("events_retention", retention, Some(retentionOracle)),
-    Q("events_approx_distinct", approxDistinct, None))
+    Q("events_approx_distinct", approxDistinct, None),
+    Q("events_hll_daily_merge", hllDailyMerge, None))
 }

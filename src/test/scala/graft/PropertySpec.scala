@@ -97,6 +97,29 @@ class PropertySpec extends SparkSpec {
       }
   }
 
+  test("HLL estimates stay within relative-error bounds of exact counts") {
+    val approx = graft.queries.Events.approxDistinct(spark, sf).head()
+    val exactU = approx.getAs[Long]("exact_users").toDouble
+    assert(math.abs(approx.getAs[Long]("approx_users") - exactU) / exactU
+      < 0.1) // default rsd 0.05 → 2σ margin
+    // merged daily sketches estimate the ALL-DAYS distinct, not the
+    // sum of daily distincts (a user active on k days counts once)
+    val merged = graft.queries.Events.hllDailyMerge(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1).toDouble, r.getLong(2))).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val exactByType = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (tpe, (est, sumDaily)) =>
+      val exact = exactByType(tpe).toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"$tpe: est $est vs exact $exact")
+      assert(sumDaily >= exactByType(tpe)) // daily sum double-counts
+    }
+  }
+
   test("connected components equal a driver-side union-find on random graphs") {
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
