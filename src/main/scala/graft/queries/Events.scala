@@ -371,27 +371,23 @@ object Events {
     * event_id) order (deterministic ties), high/low/volume are plain
     * aggregates. One window pass + one groupBy, both sharing the
     * (type, bucket) partitioning. */
-  def ohlcResample(s: SparkSession, d: String): DataFrame = {
-    val bucketed = ev(s, d)
+  def ohlcResample(s: SparkSession, d: String): DataFrame =
+    // single map-side-combinable aggregate: open/close via
+    // min_by/max_by on the (us, event_id) tuple — deterministic ties,
+    // zero sorts (the window-rank formulation sorts every partition
+    // twice before aggregating)
+    ev(s, d)
       .filter(col("value").isNotNull)
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("bucket", (floor(col("us") / 3600000000L) * 3600L).cast("long"))
-    val w = Window.partitionBy("event_type", "bucket")
-      .orderBy(col("us"), col("event_id"))
-    bucketed
-      .withColumn("rn_a", row_number().over(w))
-      .withColumn("rn_d", row_number().over(
-        Window.partitionBy("event_type", "bucket")
-          .orderBy(col("us").desc, col("event_id").desc)))
       .groupBy("event_type", "bucket")
       .agg(
-        max(when(col("rn_a") === 1, col("value"))).as("open"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
         max(col("value")).as("high"),
         min(col("value")).as("low"),
-        max(when(col("rn_d") === 1, col("value"))).as("close"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
         moneySum(dec6(col("value"))).as("volume"),
         count(lit(1)).as("n_ticks"))
-  }
 
   val ohlcOracle: String =
     """WITH b AS (

@@ -525,8 +525,10 @@ object Relational {
       .rangeBetween(-7L * 86400, 0)
     t(s, d, "orders")
       .select(col("o_custkey"), col("o_orderkey"),
-        unix_micros(col("o_orderdate").cast("timestamp")).divide(1000000L)
-          .cast("long").as("date_s"),
+        // DIV (floor division) to match the oracle's `//` — a
+        // truncating double-divide cast would shift pre-epoch dates
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 1000000")
+          .as("date_s"),
         dec4(col("o_totalprice")).as("price"))
       .withColumn("trailing_7d_revenue",
         sum(col("price")).over(w).cast("double"))

@@ -100,11 +100,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bloom semi join: the pruning filter sits under the join, over the scan") {
-    val p = plan("q_bloom_semi_revenue")
-    val filterIdx = p.indexOf("UDF")              // bloom mightContain probe
-    val joinIdx = p.indexOf("Join")
+    val lines = plan("q_bloom_semi_revenue").linesIterator.toVector
+    // anchor on the Filter NODE carrying the bloom probe, not any
+    // stray UDF string elsewhere in the printed plan
+    val filterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("UDF"))
+    val joinIdx = lines.indexWhere(_.contains("Join"))
     assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx,
-      "filter must appear deeper in the printed tree than the join")
+      "bloom Filter node must print deeper in the tree than the join")
   }
 
   test("stratified sample: the mod predicate reaches the scan's data filters") {

@@ -116,8 +116,13 @@ class PropertySpec extends SparkSpec {
       val exact = exactByType(tpe).toDouble
       assert(math.abs(est - exact) / exact < 0.05,
         s"$tpe: est $est vs exact $exact")
-      assert(sumDaily >= exactByType(tpe)) // daily sum double-counts
     }
+    // STRICT double-counting check: users span multiple days in this
+    // data, so the per-day sum must EXCEED the all-days distinct for
+    // at least one type (≥ alone would hold vacuously for any impl)
+    assert(merged.exists { case (tpe, (_, sumDaily)) =>
+      sumDaily > exactByType(tpe)
+    })
   }
 
   test("connected components equal a driver-side union-find on random graphs") {
