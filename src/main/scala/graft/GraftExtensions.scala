@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, SortedIntersectCount, WordShingles}
+import graft.functions.{ArrayDot, ReservoirSample, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: exposes the engine's custom
   * Catalyst expressions to plain SQL users —
@@ -36,6 +36,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count(a, b) takes 2 arguments")
         SortedIntersectCount(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("reservoir_sample"),
+      new ExpressionInfo(classOf[ReservoirSample].getName, "reservoir_sample"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "reservoir_sample(value, k, seed) takes 3 arguments")
+        (children(1), children(2)) match {
+          case (Literal(k: Int, _), Literal(seed, _)) =>
+            ReservoirSample(children.head, k,
+              seed.toString.toLong).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"reservoir_sample: k and seed must be literals, got $other")
+        }
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),

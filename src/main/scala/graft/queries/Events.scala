@@ -491,6 +491,20 @@ object Events {
       |FROM r GROUP BY user_id, event_type, island
       |HAVING COUNT(*) >= 3""".stripMargin
 
+  /** One-pass uniform k-sample of event ids per type via the custom
+    * mergeable ReservoirSample aggregate — O(k) state at every stage.
+    * The sample depends on the input partitioning (as any parallel
+    * reservoir's does) → rows-only; ExtensionsSpec pins exactness,
+    * membership, and spread. */
+  def reservoirPerType(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy("event_type")
+      .agg(graft.functions.ReservoirSample(col("event_id"), 100, 42L)
+        .as("sampled_ids"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), size(col("sampled_ids")).as("n_sampled"),
+        col("n_events"), col("sampled_ids"))
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
@@ -509,5 +523,6 @@ object Events {
     Q("events_dow_hourly", dowHourly, Some(dowHourlyOracle)),
     Q("events_retention", retention, Some(retentionOracle)),
     Q("events_approx_distinct", approxDistinct, None),
-    Q("events_hll_daily_merge", hllDailyMerge, None))
+    Q("events_hll_daily_merge", hllDailyMerge, None),
+    Q("events_reservoir_sample", reservoirPerType, None))
 }

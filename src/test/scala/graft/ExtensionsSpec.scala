@@ -73,4 +73,40 @@ class ExtensionsSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql("SELECT array_dot(array(1.0d))"))
     assert(e.getMessage.contains("array_dot"))
   }
+
+  test("reservoir_sample: exact set when k >= n; k members otherwise; SQL path") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (i % 5, i)).toDF("g", "id")
+    df.createOrReplaceTempView("rs_in")
+    val rows = spark.sql(
+      "SELECT g, reservoir_sample(id, 10, 42) AS s FROM rs_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(rows.size == 5)
+    rows.foreach { case (g, s) =>
+      assert(s.length == 10)
+      assert(s.distinct.length == 10)           // sampled w/o replacement
+      assert(s.forall(id => id % 5 == g))       // group isolation
+      assert(s == s.sorted)                     // stable presentation
+    }
+    // k >= group size → the full set, exactly
+    val full = spark.sql(
+      "SELECT g, reservoir_sample(id, 1000, 42) AS s FROM rs_in GROUP BY g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    full.foreach { case (g, s) =>
+      assert(s == (1L to 500L).filter(_ % 5 == g).toSet)
+    }
+  }
+
+  test("reservoir_sample spreads over the stream (no positional bias)") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("id").repartition(4)
+    val s = df.agg(graft.functions.ReservoirSample(
+      org.apache.spark.sql.functions.col("id"), 200, 7L).as("s"))
+      .head().getSeq[Long](0)
+    assert(s.length == 200 && s.distinct.length == 200)
+    // both halves of the id space must be represented substantially —
+    // a take-first or take-last bug would concentrate in one half
+    val firstHalf = s.count(_ <= 1000L)
+    assert(firstHalf > 40 && firstHalf < 160, s"firstHalf=$firstHalf")
+  }
 }
