@@ -105,7 +105,12 @@ object Similarity {
   def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double, dim: Int, numPlanes: Int = 4,
                       numTables: Int = 8): DataFrame = {
+    // pinned: vectors+norms feed all table builds and both verify
+    // joins; the bucket table feeds both sides of its own self-join —
+    // without the checkpoints the plane projections run ~2× and the
+    // scan+norms ~10×
     val base = prepped(emb, idCol, vecCol, "a")
+      .localCheckpoint(eager = false)
     // candidate generation on BARE IDS: the pair-dedup shuffle carries
     // 16 bytes/row, never the vectors (carrying them was ~4× slower);
     // vectors re-attach afterwards via broadcast-able joins
@@ -115,6 +120,7 @@ object Similarity {
         .withColumn("table", lit(t))
     }
     val bucketed = tables.reduce(_ unionByName _)
+      .localCheckpoint(eager = false)
     val cands = bucketed
       .join(bucketed.select(col("table"), col("bucket"),
         col("a_id").as("b_id")), Seq("table", "bucket"))
