@@ -146,8 +146,8 @@ object Multimodal {
     // unknown). Dimension scaling applies to images only — audio/text
     // "dims" (channels/sample-rate or hash pseudo-dims) pass through
     // unchanged rather than collapsing to 1×1.
-    media.toDF
-      .join(meta.toDF.select("media_id", "width", "height"),
+    media.toDF()
+      .join(meta.toDF().select("media_id", "width", "height"),
         Seq("media_id"), "left")
       .select(col("media_id"), col("modality"), col("payload"),
         coalesce(col("width"), lit(0)).as("width"),
