@@ -505,8 +505,55 @@ object Events {
       .select(col("event_type"), size(col("sampled_ids")).as("n_sampled"),
         col("n_events"), col("sampled_ids"))
 
+  /** Behavioral path mining: the 10 most common event-type TRIGRAMS
+    * across user journeys. Each user's ordered sequence forms via
+    * `array_sort(collect_list(struct(...)))` — deterministic without
+    * a window sort; trigram MULTISET (not the distinct shingle set
+    * WordShingles produces for Jaccard) via sequence+transform; one
+    * explode + count + TakeOrdered top-k. */
+  def pathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val seqs = ev(s, d)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy("user_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"),
+          col("event_type")))),
+        x => x.getField("event_type")).as("path"))
+    val p = col("path")
+    val trigrams = when(size(p) >= 3,
+      transform(sequence(lit(1), size(p) - 2), i =>
+        concat_ws(" ", element_at(p, i), element_at(p, i + 1),
+          element_at(p, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val w = Window.orderBy(col("cnt").desc, col("trigram").asc)
+    seqs
+      .select(explode(trigrams).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("trigram").asc).limit(10)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .select("rank", "trigram", "cnt")
+  }
+
+  val pathTrigramsOracle: String =
+    """WITH seqs AS (
+      |  SELECT user_id,
+      |    list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+      |      AS path
+      |  FROM events GROUP BY user_id),
+      |tri AS (
+      |  SELECT unnest(CASE WHEN len(path) >= 3
+      |    THEN list_transform(generate_series(1, len(path) - 2),
+      |      i -> path[i] || ' ' || path[i+1] || ' ' || path[i+2])
+      |    ELSE [] END) AS trigram
+      |  FROM seqs),
+      |c AS (SELECT trigram, COUNT(*) AS cnt FROM tri GROUP BY trigram)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, trigram ASC) AS INT)
+      |    AS rank, trigram, cnt
+      |FROM c QUALIFY rank <= 10""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
+    Q("events_path_trigrams", pathTrigrams, Some(pathTrigramsOracle)),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
     Q("events_cogroup_funnel", cogroupClickPurchase, Some(cogroupOracle)),
     Q("events_gap_islands", gapIslands, Some(gapIslandsOracle)),
