@@ -43,13 +43,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3,
           "reservoir_sample(value, k, seed) takes 3 arguments")
-        (children(1), children(2)) match {
-          case (Literal(k: Int, _), Literal(seed, _)) =>
-            ReservoirSample(children.head, k,
-              seed.toString.toLong).toAggregateExpression()
+        def intLit(e: Expression, name: String): Long = e match {
+          case Literal(v: Int, _) => v.toLong
+          case Literal(v: Long, _) => v
+          case Literal(v: Short, _) => v.toLong
+          case Literal(v: Byte, _) => v.toLong
           case other => throw new IllegalArgumentException(
-            s"reservoir_sample: k and seed must be literals, got $other")
+            s"reservoir_sample: $name must be a non-null integral literal, got $other")
         }
+        val k = intLit(children(1), "k")
+        require(k > 0 && k <= Int.MaxValue, s"reservoir_sample: bad k $k")
+        // cast the value like the Scala-side apply() does — without it
+        // an INT column passes analysis and crashes in update()
+        ReservoirSample(
+          org.apache.spark.sql.catalyst.expressions.Cast(children.head,
+            org.apache.spark.sql.types.LongType),
+          k.toInt, intLit(children(2), "seed")).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),

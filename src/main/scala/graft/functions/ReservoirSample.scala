@@ -61,8 +61,11 @@ case class ReservoirSample(
       buf.seen += 1
       if (buf.items.length < k) buf.items += x
       else {
-        // algorithm R: replace a random slot with prob k/seen
-        val j = math.floorMod(mix(seed, buf.seen), buf.seen)
+        // algorithm R: replace a random slot with prob k/seen. The
+        // element value feeds the hash so two groups scanning the
+        // same stream positions do NOT make identical decisions
+        // (seed+count alone position-correlates every group's sample)
+        val j = math.floorMod(mix(seed ^ x, buf.seen), buf.seen)
         if (j < k) buf.items(j.toInt) = x
       }
     }
@@ -85,7 +88,11 @@ case class ReservoirSample(
     while (out.length < target) {
       step += 1
       val total = ra + rb
-      val pick = math.floorMod(mix(seed ^ 0x5DEECE66DL, a.seen + b.seen + step), total)
+      // candidate values enter the hash (same decorrelation as update)
+      val aHead = if (ia < a.items.length) a.items(ia) else 0L
+      val bHead = if (ib < b.items.length) b.items(ib) else 0L
+      val pick = math.floorMod(
+        mix(seed ^ aHead ^ java.lang.Long.rotateLeft(bHead, 17), step), total)
       val takeA = (pick < ra && ia < a.items.length) || ib >= b.items.length
       if (takeA) { out += a.items(ia); ia += 1; ra = math.max(ra - 1, 0) }
       else { out += b.items(ib); ib += 1; rb = math.max(rb - 1, 0) }

@@ -119,13 +119,16 @@ object AutoML {
     // the cluster has. Partition count is sized by ROWS, not cores:
     // every tree level is a barriered stats job, so tasks below
     // ~64k rows pay more scheduling than compute (measured 8.4→7.0 s
-    // at 600k rows going 32→8 partitions), while at real data scale
-    // the row-count term takes over, capped at 2× the parallelism.
+    // at 600k rows going 32→8 partitions); at real data scale the
+    // row-count term takes over, capped at 2× the parallelism. `base`
+    // is persisted BEFORE the sizing count so the source is scanned
+    // exactly once, and the count doubles as cache materialization.
     val sc = df.sparkSession.sparkContext
     val base = df
       .withColumn("label", col(labelCol).cast("double"))
       .select(("label" +: featureCols).map(col): _*)
-    val parts = math.max(8, math.min(sc.defaultParallelism * 2,
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = math.max(1, math.min(sc.defaultParallelism * 2,
       (base.count() / 64000L).toInt + 1))
     val prepared = base
       .repartition(parts)
@@ -155,7 +158,10 @@ object AutoML {
         }
         Trained(entry.name, model, best, featureCols)
       }
-      finally prepared.unpersist(blocking = false) // even on a failed fit
+      finally { // even on a failed fit
+        prepared.unpersist(blocking = false)
+        base.unpersist(blocking = false)
+      }
     mode match {
       case Regression     => candidates.minBy(_.cvMetric)
       case Classification => candidates.maxBy(_.cvMetric)

@@ -113,7 +113,11 @@ object Similarity {
       .localCheckpoint(eager = false)
     // candidate generation on BARE IDS: the pair-dedup shuffle carries
     // 16 bytes/row, never the vectors (carrying them was ~4× slower);
-    // vectors re-attach afterwards via broadcast-able joins
+    // vectors re-attach via id-keyed joins afterwards. NOTE: the
+    // checkpoint truncates plan-time size stats, so static broadcast
+    // won't fire for those joins — AQE's runtime conversion picks
+    // broadcast at small sizes, and at corpus scale they're shuffle
+    // joins on compact ids either way
     val tables = (0 until numTables).map { t =>
       base.select(col("a_id"),
         lshBucket(col("av"), dim, numPlanes, seed = 42L + t).as("bucket"))

@@ -65,9 +65,14 @@ object Demo {
     println(s"== trained: ${trained.trained.get.zooName}, " +
       s"cv rmse ${trained.trained.get.cvMetric} ==")
 
-    // evaluate @ threshold (P8 binarize < threshold, D7-D9 metrics)
-    val testClean = test.drop(
-      "sensor_16" +: "engine_no" +: "time_in_cycles" +: "op_setting_3" +: Nil: _*)
+    // evaluate @ threshold (P8 binarize < threshold, D7-D9 metrics).
+    // Test columns to drop come from the SESSION (NaN-dropped +
+    // user-excluded), not a hardcoded list — on real CSVs the
+    // all-null set is data-dependent.
+    val dropCols = (trained.config.nanColumns ++
+      trained.config.excludedFeatures).distinct
+      .filter(test.columns.contains)
+    val testClean = test.drop(dropCols: _*)
     println("== evaluation @ RUL<20 ==")
     trained.uploadTest(testClean).evaluate(Some(20.0)).show(truncate = false)
 
