@@ -551,8 +551,37 @@ object Events {
       |    AS rank, trigram, cnt
       |FROM c QUALIFY rank <= 10""".stripMargin
 
+  /** Dynamic pivot — the two-phase form for when the column set
+    * isn't known ahead: a driver-side distinct discovers the pivot
+    * values (tiny: one column's domain), then the pivot itself runs
+    * with explicit values so Spark skips its own implicit discovery
+    * pass AND the output schema is deterministic (sorted). Day-of-
+    * week × event-type counts. */
+  def pivotDynamic(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+      .withColumn("dow",
+        ((floor(unix_micros(col("ts")) / 86400000000L) + 4) % 7).cast("long"))
+    val types = e.select("event_type").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    e.groupBy("dow")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val pivotDynamicOracle: String =
+    """SELECT
+      |  CAST((FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
+      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |FROM events GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
+    Q("events_pivot_dynamic", pivotDynamic, Some(pivotDynamicOracle)),
     Q("events_path_trigrams", pathTrigrams, Some(pathTrigramsOracle)),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
     Q("events_cogroup_funnel", cogroupClickPurchase, Some(cogroupOracle)),
