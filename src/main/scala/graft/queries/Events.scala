@@ -579,8 +579,43 @@ object Events {
       |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
       |FROM events GROUP BY 1""".stripMargin
 
+  /** Exact rolling 7-day active users (WAU) per day — rolling
+    * DISTINCT can't be window-aggregated, so each (user, active-day)
+    * pair explodes into the 7 report days it covers and the rolling
+    * distinct becomes a plain per-day countDistinct: one dedup, one
+    * bounded 7× explode, one aggregate — every stage distributed. */
+  def wauExact(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .select(col("user_id"),
+        floor(unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .distinct()
+    val bounds = broadcast(daily.agg(min(col("day")).as("lo"),
+      max(col("day")).as("hi")))
+    daily
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+      .crossJoin(bounds)
+      .filter(col("report_day").between(col("lo"), col("hi")))
+      .groupBy("report_day")
+      .agg(countDistinct(col("user_id")).as("wau"))
+  }
+
+  val wauOracle: String =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day
+      |  FROM events),
+      |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM e),
+      |cov AS (
+      |  SELECT user_id, UNNEST(generate_series(day, day + 6)) AS report_day
+      |  FROM e)
+      |SELECT report_day, COUNT(DISTINCT user_id) AS wau
+      |FROM cov, b WHERE report_day BETWEEN lo AND hi
+      |GROUP BY report_day""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
+    Q("events_wau_exact", wauExact, Some(wauOracle)),
     Q("events_pivot_dynamic", pivotDynamic, Some(pivotDynamicOracle)),
     Q("events_path_trigrams", pathTrigrams, Some(pathTrigramsOracle)),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
