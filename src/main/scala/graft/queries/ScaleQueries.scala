@@ -269,6 +269,52 @@ object ScaleQueries {
        |SELECT id AS doc_id, MIN(comp) AS component
        |FROM reach GROUP BY id""".stripMargin
 
+  /** Survivorship — the dedup end-cap: within each near-dup cluster,
+    * the canonical document wins by RULE (longest text, then lowest
+    * id) and the cluster report carries member count + chars saved.
+    * Composes components → broadcast-join doc metadata → one rank
+    * window over the (tiny) clustered subset. */
+  def dedupSurvivorship(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
+    val comps = graft.operators.ConnectedComponents.components(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val meta = t(s, d, "documents").select("doc_id", "n_chars")
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    comps.join(meta, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_doc"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(when(col("rk") =!= 1, col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+  }
+
+  val dedupSurvivorshipOracle: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (
+       |  SELECT a, b FROM pairs WHERE jaccard >= 0.8
+       |  UNION ALL SELECT b, a FROM pairs WHERE jaccard >= 0.8),
+       |reach(id, comp) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+       |cc AS (SELECT id AS doc_id, MIN(comp) AS component
+       |       FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT cc.component, cc.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cc.component
+       |      ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rk
+       |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
+       |SELECT component, COUNT(*) AS n_members,
+       |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
+       |  SUM(n_chars) AS total_chars,
+       |  COALESCE(SUM(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END), 0)
+       |    AS chars_removed
+       |FROM ranked GROUP BY component""".stripMargin
+
   /** Document fingerprint dedup: group by the order-insensitive
     * content fingerprint (md5 of sorted distinct tokens), report each
     * duplicate group. Catches token-reordered near-copies that exact
@@ -649,6 +695,7 @@ object ScaleQueries {
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    Q("dedup_survivorship", dedupSurvivorship, Some(dedupSurvivorshipOracle)),
     Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
     Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
     Q("text_tfidf_cosine", tfidfCosinePairs, Some(tfidfCosineOracle)),
