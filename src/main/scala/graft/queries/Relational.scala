@@ -546,8 +546,36 @@ object Relational {
       |    AS trailing_7d_revenue
       |FROM orders""".stripMargin
 
+  /** Supplier balance ranking per nation — dense_rank (gap-free over
+    * ties), the one ranking window not covered by q_window_rank's
+    * ntile/percent_rank/cume_dist set. Balances are ranked on the
+    * exact decimal so ties are well-defined cross-engine. */
+  def qSupplierRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("s_nationkey")
+      .orderBy(col("bal_dec").desc, col("s_suppkey").asc)
+    t(s, d, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        dec4(col("s_acctbal")).as("bal_dec"))
+      .withColumn("bal_rank", dense_rank().over(w).cast("int"))
+      .filter(col("bal_rank") <= 3)
+      .select(col("s_nationkey"), col("bal_rank"), col("s_suppkey"),
+        col("bal_dec").cast("double").as("s_acctbal"))
+  }
+
+  val qSupplierRankOracle: String =
+    """SELECT s_nationkey, bal_rank, s_suppkey,
+      |  CAST(bal AS DOUBLE) AS s_acctbal
+      |FROM (
+      |  SELECT s_nationkey, s_suppkey, CAST(s_acctbal AS DECIMAL(18,4)) AS bal,
+      |    CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey
+      |      ORDER BY CAST(s_acctbal AS DECIMAL(18,4)) DESC, s_suppkey ASC)
+      |      AS INT) AS bal_rank
+      |  FROM supplier)
+      |WHERE bal_rank <= 3""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q1_pricing_summary", q1PricingSummary, Some(q1Oracle), bench = true),
+    Q("q_supplier_rank", qSupplierRank, Some(qSupplierRankOracle)),
     Q("q_window_range_frame", qWindowRangeFrame, Some(qWindowRangeOracle)),
     Q("q_unpivot_measures", qUnpivotMeasures, Some(qUnpivotOracle)),
     Q("q_bloom_semi_revenue", qBloomSemiRevenue, Some(qBloomSemiOracle)),
