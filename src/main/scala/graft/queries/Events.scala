@@ -495,7 +495,9 @@ object Events {
     * mergeable ReservoirSample aggregate — O(k) state at every stage.
     * The sample depends on the input partitioning (as any parallel
     * reservoir's does) → rows-only; ExtensionsSpec pins exactness,
-    * membership, and spread. */
+    * membership, and spread. The harness row carries a sortable
+    * scalar DIGEST of the sample (xxhash64 of the sorted id list),
+    * not the raw array — arrays crash the driver's rows-only sort. */
   def reservoirPerType(s: SparkSession, d: String): DataFrame =
     ev(s, d)
       .groupBy("event_type")
@@ -503,7 +505,10 @@ object Events {
         .as("sampled_ids"),
         count(lit(1)).as("n_events"))
       .select(col("event_type"), size(col("sampled_ids")).as("n_sampled"),
-        col("n_events"), col("sampled_ids"))
+        col("n_events"),
+        xxhash64(concat_ws(",",
+          transform(array_sort(col("sampled_ids")), _.cast("string"))))
+          .as("sample_digest"))
 
   /** Behavioral path mining: the 10 most common event-type TRIGRAMS
     * across user journeys. Each user's ordered sequence forms via
@@ -572,11 +577,11 @@ object Events {
   val pivotDynamicOracle: String =
     """SELECT
       |  CAST((FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) + 4) % 7 AS BIGINT) AS dow,
-      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
       |FROM events GROUP BY 1""".stripMargin
 
   /** Exact rolling 7-day active users (WAU) per day — rolling

@@ -310,9 +310,9 @@ object ScaleQueries {
        |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id)
        |SELECT component, COUNT(*) AS n_members,
        |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
-       |  SUM(n_chars) AS total_chars,
-       |  COALESCE(SUM(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END), 0)
-       |    AS chars_removed
+       |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(COALESCE(SUM(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END), 0)
+       |    AS BIGINT) AS chars_removed
        |FROM ranked GROUP BY component""".stripMargin
 
   /** Document fingerprint dedup: group by the order-insensitive
