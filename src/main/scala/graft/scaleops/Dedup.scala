@@ -112,7 +112,6 @@ object Dedup {
     val cands = candidatePairs(lshBands(sigs, idCol), idCol)
     // shingle arrays feed BOTH verification joins — materialize once
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleK).as("sh"))
-      .localCheckpoint(eager = false)
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sh_a")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("sh_b")), "b")
