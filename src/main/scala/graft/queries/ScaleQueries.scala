@@ -134,21 +134,83 @@ object ScaleQueries {
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.6""".stripMargin
 
-  /** maxDist = 3 is the regime where the 4×16-bit chunk banding has
-    * guaranteed recall (pigeonhole); beyond it recall is partial. */
-  def dedupSimHash(s: SparkSession, d: String): DataFrame =
-    Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxDist = 3)
+  /** SimHash certification: the bucketed pipeline must equal a
+    * brute-force all-pairs hamming scan EXACTLY — maxDist = 3 is the
+    * regime where 4×16-bit chunk banding has pigeonhole-guaranteed
+    * recall (any pair within 3 differing bits shares an intact
+    * chunk), so approx ≡ brute is a theorem the engine must witness.
+    * Signature values are engine hashes (not SQL-derivable), so the
+    * oracle checks the DuckDB-computable document count plus the
+    * protocol constants and the Spark-verified equality flags; a
+    * broken bucketing flips `equals_brute` to false → hash mismatch.
+    * The O(n²) brute twin is harness-SF-only certification cost —
+    * production callers use [[Dedup.simHashNearDups]] alone. */
+  def dedupSimHash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup.simHashSignatures(t(s, d, "documents"), "doc_id", "text")
+      .localCheckpoint(eager = false) // feeds approx + both brute sides
+    val approx = Dedup.simHashNearDupsFromSigs(sigs, "doc_id", maxDist = 3)
+    val brute = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+      .crossJoin(sigs.select(col("doc_id").as("b"), col("sig").as("sig_b")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        Dedup.hamming(col("sig_a"), col("sig_b")).as("dist"))
+      .filter(col("dist") <= 3)
+    val missing = brute.join(approx, Seq("a", "b", "dist"), "left_anti")
+    val extra = approx.join(brute, Seq("a", "b", "dist"), "left_anti")
+    t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .crossJoin(extra.agg(count(lit(1)).as("n_extra")))
+      .select(col("n_docs"), lit(4).as("n_chunks"), lit(3).as("max_dist"),
+        (col("n_missing") === 0 && col("n_extra") === 0).as("equals_brute"))
+  }
+
+  val dedupSimHashOracle: String =
+    """SELECT COUNT(*) AS n_docs, 4 AS n_chunks, 3 AS max_dist,
+      |  TRUE AS equals_brute
+      |FROM documents""".stripMargin
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.nearDupPairs(t(s, d, "embeddings"), "vec_id", "embedding",
       threshold = 0.4)
 
-  /** The bucketed scale path — deterministic (seeded planes, exact
-    * verify) but recall < 1 by design, so rows-only; SimilaritySpec
-    * pins subset-of-brute and score equality. */
-  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), "vec_id", "embedding",
+  /** Certification of the bucketed scale path against its exact
+    * twin: every LSH-found pair must appear in the brute set with an
+    * identical score (`subset_ok` — candidates are exact-verified, so
+    * a false here means broken scoring), and measured recall must
+    * clear 0.8 (measured 0.864/0.908/0.955 at sf0.01/0.1/0.001 with
+    * 3 planes × 8 tables on the fixed seed-42 corpus). The oracle
+    * recomputes the DuckDB-computable exact-pair count; the booleans
+    * flip on any engine defect → hash mismatch. The brute twin is
+    * harness-SF certification cost — production callers use
+    * [[Similarity.nearDupPairsLsh]] alone. */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val approx = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
       threshold = 0.4, dim = 64, numPlanes = 3, numTables = 8)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.4)
+    val notInExact = approx.join(exact, Seq("a", "b", "cos"), "left_anti")
+    val common = approx.select("a", "b")
+      .join(exact.select("a", "b"), Seq("a", "b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(notInExact.agg(count(lit(1)).as("n_bad")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"),
+        (col("n_bad") === 0).as("subset_ok"),
+        (col("n_common").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+  }
+
+  val dedupEmbeddingLshOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT COUNT(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok
+      |FROM p WHERE cos >= 0.4""".stripMargin
 
   val dedupEmbeddingOracle: String =
     """WITH e AS (
@@ -184,22 +246,97 @@ object ScaleQueries {
       |  FROM s)
       |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5""".stripMargin
 
-  /** Bucket count must track corpus size: 2^numPlanes buckets should
-    * be ≪ n or every bucket is a singleton and recall collapses —
-    * 4 planes / 16 buckets suits the harness corpus; at 100 TB you
-    * raise planes so bucket size stays bounded. */
-  def knnLsh(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    Similarity.knnLsh(emb, "vec_id", "embedding",
-      queries = emb.filter(col("vec_id") < 10), k = 5, dim = 64, numPlanes = 4)
+  /** One-row ANN certification vs the exact twin: exact-side counts
+    * the oracle recomputes in SQL, plus Spark-witnessed properties —
+    * recall over exact top-k ≥ `minRecall`, and per-query ranks dense
+    * from 1 (min(rank)=1, max(rank)=count). `min` over the boolean
+    * column is conjunction. Returned ANN scores are exact cosines by
+    * construction (candidates are exact-scored), so score equality
+    * needs no separate witness. */
+  private def knnCertify(approx: DataFrame, exact: DataFrame,
+                         minRecall: Double): DataFrame = {
+    val common = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+    val ranks = approx.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .agg(min(col("mn") === 1 && col("mx") === col("c")).as("ranks_dense"))
+    exact.agg(countDistinct("query_id").as("n_queries"),
+        max("rank").as("k"), count(lit(1)).as("n_exact"))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .crossJoin(ranks)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        (col("n_common").cast("double") / col("n_exact") >= minRecall)
+          .as("recall_ok"),
+        col("ranks_dense"))
   }
 
+  /** Exact-top-k CTE shared by the ANN certification oracles. */
+  private val knnExactTopkCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s),
+      |topk AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5)""".stripMargin
+
+  /** Multi-table LSH ANN certified against brute top-k. Recall with
+    * 4 planes × 8 tables on the fixed seed-42 corpus: 0.52 / 0.66 /
+    * 0.78 at sf0.01 / 0.001 / 0.1 — bound 0.5 (single-table recall
+    * was 0.04–0.26; tables are the recall dial, planes the cost
+    * dial). Bucket count must track corpus size: 2^planes ≪ n or
+    * buckets go singleton; at 100 TB raise planes so bucket size
+    * stays bounded, then raise tables to recover recall. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    knnCertify(
+      Similarity.knnLsh(emb, "vec_id", "embedding", q, k = 5, dim = 64,
+        numPlanes = 4, numTables = 8),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.5)
+  }
+
+  val knnLshOracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
+  /** IVF ANN (nProbe 3 of nList 8) certified against brute top-k —
+    * measured recall 0.66 / 0.84 / 0.70 at sf0.01 / 0.001 / 0.1 on
+    * the fixed corpus; bound 0.6. `n_list`/`n_probe` pin the
+    * protocol. The exact-search regime is pinned separately by
+    * knn_ivf_full (nProbe = nList ≡ brute, hash-matched). */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.knnIvf(emb, "vec_id", "embedding",
-      queries = emb.filter(col("vec_id") < 10), k = 5,
-      nList = 8, nProbe = 3)
+    val q = emb.filter(col("vec_id") < 10)
+    knnCertify(
+      Similarity.knnIvf(emb, "vec_id", "embedding", q, k = 5,
+        nList = 8, nProbe = 3),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.6)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(8).as("n_list"), lit(3).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
   }
+
+  val knnIvfOracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  8 AS n_list, 3 AS n_probe,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
 
   /** IVF at nProbe = nList degenerates to exact search, so the
     * brute-force oracle applies — this pins the whole IVF path
@@ -685,12 +822,12 @@ object ScaleQueries {
     Q("text_langid", textLangId, Some(textLangIdOracle)),
     Q("dedup_exact", dedupExact, Some(dedupExactOracle)),
     Q("dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
-    Q("dedup_simhash", dedupSimHash, None, bench = true),
+    Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle), bench = true),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
-    Q("dedup_embedding_lsh", dedupEmbeddingLsh, None),
+    Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
-    Q("knn_lsh", knnLsh, None),
-    Q("knn_ivf", knnIvf, None),
+    Q("knn_lsh", knnLsh, Some(knnLshOracle)),
+    Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),

@@ -259,8 +259,15 @@ object Dedup {
     * found: pigeonhole over four 16-bit chunks — any pair within 3
     * differing bits shares at least one intact chunk bucket). */
   def simHashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(docs, idCol, textCol)
+                      maxDist: Int = 3): DataFrame =
+    simHashNearDupsFromSigs(simHashSignatures(docs, idCol, textCol),
+      idCol, maxDist)
+
+  /** Same, over precomputed signatures — lets a caller share one
+    * signature pass between this and other consumers (e.g. the
+    * certification query's brute-force twin). */
+  def simHashNearDupsFromSigs(sigs: DataFrame, idCol: String,
+                              maxDist: Int = 3): DataFrame = {
     val chunks = sigs.select(col(idCol), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

@@ -235,16 +235,33 @@ object Similarity {
     ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed), idCol, vecCol,
       queries, k, nProbe)
 
+  /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
+    * candidate if ANY of `numTables` independent plane sets buckets
+    * it with the query (single-table recall at moderate cosine is
+    * poor — per-table collision is (1−θ/π)^planes; tables union it
+    * up toward 1). One corpus pass computes all table buckets
+    * (exploded), candidates dedup on bare ids, and every candidate
+    * is scored with the exact cosine — returned scores are exact,
+    * only the candidate set is approximate. */
   def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
-             numPlanes: Int = 16): DataFrame = {
-    val bucketed = prepped(emb, idCol, vecCol, "neighbor")
-      .withColumn("bucket", lshBucket(col("neighborv"), dim, numPlanes))
-    val q = broadcast(prepped(queries, idCol, vecCol, "query")
-      .withColumn("bucket", lshBucket(col("queryv"), dim, numPlanes)))
-    val scored = bucketed
-      .join(q, "bucket")
+             numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("table"),
+          lshBucket(col(vec), dim, numPlanes, seed = 42L + t).as("bucket"))): _*))
+        .as("tb"))
+        .select(col(id), col("tb.table"), col("tb.bucket"))
+    val n = prepped(emb, idCol, vecCol, "neighbor")
+    val q = prepped(queries, idCol, vecCol, "query")
+    val cands = withBuckets(n, "neighbor_id", "neighborv")
+      .join(broadcast(withBuckets(q, "query_id", "queryv")),
+        Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(broadcast(q), "query_id")
+      .join(n, "neighbor_id")
       .withColumn("cos", pairCos("query", "neighbor"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

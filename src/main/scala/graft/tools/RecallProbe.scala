@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.Sessions
+import graft.scaleops.{Dedup, Similarity}
+import graft.sources.Tables
+
+/** One-off: measured recall of each approximate operator vs its
+  * exact twin, per SF — used to calibrate the certification bounds
+  * in ScaleQueries (bounds must hold with margin at every SF the
+  * driver checks). */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local(appName = "recall-probe")
+    val sfs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    for (d <- sfs) {
+      val emb = Tables.load(spark, d, "embeddings")
+      val docs = Tables.load(spark, d, "documents")
+      val q = emb.filter(col("vec_id") < 10)
+
+      val exactKnn = Similarity.knnBrute(emb, "vec_id", "embedding", q, 5)
+        .select("query_id", "neighbor_id")
+      def recallOf(approx: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+        val a = approx.select("query_id", "neighbor_id")
+        val common = a.join(exactKnn, Seq("query_id", "neighbor_id")).count()
+        (common, exactKnn.count(), a.count())
+      }
+      val (lc, le, la) = recallOf(
+        Similarity.knnLsh(emb, "vec_id", "embedding", q, 5, 64, 4))
+      println(f"$d knn_lsh  common=$lc exact=$le approx=$la recall=${lc.toDouble / le}%.3f")
+      val (ic, ie, ia) = recallOf(
+        Similarity.knnIvf(emb, "vec_id", "embedding", q, 5, nList = 8, nProbe = 3))
+      println(f"$d knn_ivf  common=$ic exact=$ie approx=$ia recall=${ic.toDouble / ie}%.3f")
+
+      val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+        .select("a", "b")
+      val lshPairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
+        0.4, 64, 3, 8).select("a", "b")
+      val pc = lshPairs.join(exactPairs, Seq("a", "b")).count()
+      val pe = exactPairs.count(); val pa = lshPairs.count()
+      println(f"$d emb_lsh  common=$pc exact=$pe approx=$pa recall=${pc.toDouble / pe}%.3f")
+
+      val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+      val l = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
+      val r = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))
+      val brute = l.crossJoin(r).filter(col("a") < col("b"))
+        .select(col("a"), col("b"),
+          Dedup.hamming(col("sig_a"), col("sig_b")).as("dist"))
+        .filter(col("dist") <= 3)
+      val approxSim = Dedup.simHashNearDups(docs, "doc_id", "text", 3)
+      val sc = approxSim.select("a", "b").join(brute.select("a", "b"), Seq("a", "b")).count()
+      val se = brute.count(); val sa = approxSim.count()
+      println(f"$d simhash  common=$sc brute=$se approx=$sa (must be equal)")
+    }
+    spark.stop()
+  }
+}

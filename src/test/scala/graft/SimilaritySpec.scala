@@ -94,16 +94,33 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
-  test("lsh knn returns a subset of brute-force results (same scoring)") {
-    val brute = Similarity.knnBrute(emb(), "vec_id", "embedding",
-      emb().filter(col("vec_id") === 0), k = 3)
-      .select("neighbor_id", "cos").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    val lsh = Similarity.knnLsh(emb(), "vec_id", "embedding",
-      emb().filter(col("vec_id") === 0), k = 3, dim = 3, numPlanes = 2)
-      .select("neighbor_id", "cos").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(lsh.keySet.subsetOf(brute.keySet))
-    lsh.foreach { case (id, c) => assert(brute(id) == c) }
+  test("multi-table lsh knn scores candidates exactly; recall vs brute on real corpus") {
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = real.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(real, "vec_id", "embedding", queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.knnLsh(real, "vec_id", "embedding", queries,
+      k = 5, dim = 64, numPlanes = 4, numTables = 8)
+    // every returned score must be the exact cosine of that pair
+    val n = real.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val q = real.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mismatched = lsh.join(n, "neighbor_id").join(q, "query_id")
+      .withColumn("expected",
+        round(Similarity.cosine(col("qv"), col("nv")), 6))
+      .filter(col("cos") =!= col("expected")).count()
+    assert(mismatched == 0)
+    // ranks dense from 1 per query
+    lsh.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt)
+      }
+    // multi-table recall is substantial (single-table was ~0.1)
+    val common = lsh.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute)
+    assert(common.size.toDouble / brute.size >= 0.4,
+      s"recall collapsed: ${common.size}/${brute.size}")
   }
 }
