@@ -13,7 +13,15 @@ object MlQueries {
 
   /** M3/M8 shape on harness data: quick CV (1-combo grid, 2 folds)
     * on a deterministic 80/20 hash split of lineitem, predicting
-    * price from line attributes; emits the metric report row. */
+    * price from line attributes. Output is a one-row PROTOCOL
+    * certification the DuckDB oracle can adjudicate: split counts and
+    * test-label min/max are recomputed in SQL; grid size / fold count
+    * / winning family are introspected from the fitted
+    * CrossValidatorModel (oracle pins the expected protocol); the
+    * booleans witness a finite positive CV metric and a finite
+    * non-negative test RMSE, so a broken fit flips the hash compare
+    * red. Fitted metric VALUES are not SQL-expressible (SURVEY §8.7)
+    * and stay pinned by AutoMLSpec. */
   def automlTrainEval(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
@@ -22,8 +30,36 @@ object MlQueries {
     val features = Seq("l_quantity", "l_discount", "l_tax")
     val trained = AutoML.train(train, "l_extendedprice", features,
       AutoML.Regression, numFolds = 2, parallelism = 4, quick = true)
-    AutoML.evaluate(trained, test, "l_extendedprice", threshold = Some(30000.0))
+    val report = AutoML.evaluate(trained, test, "l_extendedprice",
+      threshold = Some(30000.0))
+    val metricOk = java.lang.Double.isFinite(trained.cvMetric) &&
+      trained.cvMetric > 0
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(test.agg(count(lit(1)).as("n_test"),
+        round(min(col("l_extendedprice").cast("double")), 6).as("y_min"),
+        round(max(col("l_extendedprice").cast("double")), 6).as("y_max")))
+      .crossJoin(report.select(
+        (col("rmse").isNotNull && !isnan(col("rmse")) && col("rmse") >= 0)
+          .as("rmse_ok")))
+      .select(col("n_train"), col("n_test"), col("y_min"), col("y_max"),
+        lit(trained.model.getEstimatorParamMaps.length).as("grid_size"),
+        lit(trained.model.getNumFolds).as("n_folds"),
+        lit(trained.zooName).as("family"),
+        lit(metricOk).as("cv_metric_ok"), col("rmse_ok"))
   }
+
+  val automlTrainEvalOracle: String =
+    """WITH tr AS (
+      |  SELECT COUNT(*) AS n_train FROM lineitem WHERE l_orderkey % 10 < 8),
+      |te AS (
+      |  SELECT COUNT(*) AS n_test,
+      |    ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS y_min,
+      |    ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS y_max
+      |  FROM lineitem WHERE l_orderkey % 10 >= 8)
+      |SELECT n_train, n_test, y_min, y_max,
+      |  1 AS grid_size, 2 AS n_folds, 'gbt' AS family,
+      |  TRUE AS cv_metric_ok, TRUE AS rmse_ok
+      |FROM tr, te""".stripMargin
 
   /** Classification mode end-to-end (the reference's silent no-op,
     * implemented for real — SURVEY.md §8.5): binarized price label,
@@ -40,8 +76,39 @@ object MlQueries {
     val features = Seq("l_quantity", "l_discount", "l_tax")
     val trained = AutoML.train(train, "hi", features,
       AutoML.Classification, numFolds = 2, parallelism = 4, quick = true)
-    AutoML.evaluateClassification(trained, test, "hi")
+    val report = AutoML.evaluateClassification(trained, test, "hi")
+    val metricOk = java.lang.Double.isFinite(trained.cvMetric) &&
+      trained.cvMetric >= 0 && trained.cvMetric <= 1
+    // confusion_total_ok: tp+fp+fn+tn must tile the test split exactly
+    // — an engine-witnessed consistency between transform output and
+    // the split the oracle counts independently
+    train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(test.agg(count(lit(1)).as("n_test"),
+        sum(col("hi")).cast("long").as("n_test_pos")))
+      .crossJoin(report.select(
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("confusion_total"),
+        (col("f1") >= 0 && col("f1") <= 1).as("f1_ok")))
+      .select(col("n_train"), col("n_test"), col("n_test_pos"),
+        (col("confusion_total") === col("n_test")).as("confusion_total_ok"),
+        lit(trained.model.getEstimatorParamMaps.length).as("grid_size"),
+        lit(trained.model.getNumFolds).as("n_folds"),
+        lit(trained.zooName).as("family"),
+        lit(metricOk).as("cv_metric_ok"), col("f1_ok"))
   }
+
+  val automlClassifyOracle: String =
+    """WITH tr AS (
+      |  SELECT COUNT(*) AS n_train FROM lineitem
+      |  WHERE l_orderkey % 10 < 8 AND l_orderkey % 5 = 0),
+      |te AS (
+      |  SELECT COUNT(*) AS n_test,
+      |    CAST(SUM(CASE WHEN l_extendedprice < 30000.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_test_pos
+      |  FROM lineitem WHERE l_orderkey % 10 >= 8)
+      |SELECT n_train, n_test, n_test_pos, TRUE AS confusion_total_ok,
+      |  1 AS grid_size, 2 AS n_folds, 'gbt' AS family,
+      |  TRUE AS cv_metric_ok, TRUE AS f1_ok
+      |FROM tr, te""".stripMargin
 
   /** Smoothed target encoding — the categorical-feature transform a
     * gradient-boosted pipeline wants for high-cardinality keys:
@@ -81,7 +148,7 @@ object MlQueries {
       |FROM j, g GROUP BY c_mktsegment, gmean""".stripMargin
 
   val all: Seq[Q] = Seq(
-    Q("m3_automl_train_eval", automlTrainEval, None),
-    Q("m4_automl_classify", automlClassify, None),
+    Q("m3_automl_train_eval", automlTrainEval, Some(automlTrainEvalOracle)),
+    Q("m4_automl_classify", automlClassify, Some(automlClassifyOracle)),
     Q("ml_target_encoding", targetEncoding, Some(targetEncodingOracle)))
 }
