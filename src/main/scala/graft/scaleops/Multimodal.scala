@@ -35,19 +35,23 @@ object Multimodal {
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("modality"),
       encode(col(textCol), "UTF-8").as("payload"))
 
-  /** Container-header decode. REAL parsing for the two formats whose
-    * headers are pure byte layout — JPEG (SOF0/SOF2 frame dimensions)
-    * and WAV (RIFF fmt chunk: sample rate/channels → frame count);
-    * payloads that are neither fall back to the clearly-marked
-    * DETERMINISTIC STUB (pseudo-dims from a payload hash) so the
-    * pipeline stays total. Runs per partition: one iterator pass, no
+  /** Container-header decode. REAL parsing for the formats whose
+    * headers are pure byte layout — JPEG (SOF0/SOF2 frame
+    * dimensions), PNG (IHDR width/height), GIF (logical screen
+    * descriptor), and WAV (RIFF fmt chunk: sample rate/channels →
+    * frame count); payloads that are none of these fall back to the
+    * clearly-marked DETERMINISTIC STUB (pseudo-dims from a payload
+    * hash) so the pipeline stays total — the stub surface is now only
+    * codecs that genuinely need decoder libraries (video frames,
+    * compressed audio). Runs per partition: one iterator pass, no
     * per-row task overhead — the shape a full codec (JNI) drops into. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { m =>
         val n = m.payload.length
-        parseJpeg(m.payload).orElse(parseWav(m.payload)) match {
+        parseJpeg(m.payload).orElse(parsePng(m.payload))
+          .orElse(parseGif(m.payload)).orElse(parseWav(m.payload)) match {
           case Some((w, h, frames)) =>
             MediaMeta(m.media_id, m.modality, n, w, h, frames)
           case None => // ---- DECODE STUB (non-container payloads) ----
@@ -71,7 +75,7 @@ object Multimodal {
 
   /** JPEG: walk the marker stream to the first SOF0/SOF2 frame header;
     * height/width are big-endian at offsets +3/+5 of the segment. */
-  private[scaleops] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[graft] def parseJpeg(p: Array[Byte]): Option[(Int, Int, Int)] = {
     if (p.length < 4 || u8(p(0)) != 0xFF || u8(p(1)) != 0xD8) return None
     var i = 2
     while (i + 3 < p.length && u8(p(i)) == 0xFF) {
@@ -86,10 +90,36 @@ object Multimodal {
     None
   }
 
+  private def be32(p: Array[Byte], i: Int): Long =
+    (u8(p(i)).toLong << 24) | (u8(p(i + 1)).toLong << 16) |
+      (u8(p(i + 2)).toLong << 8) | u8(p(i + 3)).toLong
+
+  /** PNG: 8-byte signature then the IHDR chunk (required first):
+    * 4-byte length, "IHDR", then width and height as big-endian
+    * 32-bit at data offsets +0/+4 (PNG spec §11.2.2). */
+  private[graft] def parsePng(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+    if (p.length < 24 || !sig.indices.forall(i => u8(p(i)) == sig(i))) return None
+    if (new String(p.slice(12, 16)) != "IHDR") return None
+    val (w, h) = (be32(p, 16), be32(p, 20))
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt, 1))
+  }
+
+  /** GIF: "GIF87a"/"GIF89a" then the logical screen descriptor —
+    * width/height little-endian 16-bit at offsets 6/8. */
+  private[graft] def parseGif(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 10) return None
+    val hdr = new String(p.slice(0, 6))
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    val (w, h) = (le16(p, 6), le16(p, 8))
+    if (w == 0 || h == 0) None else Some((w, h, 1))
+  }
+
   /** WAV: RIFF/WAVE with an fmt chunk — channels and sample rate are
     * little-endian; width=channels, height=sampleRate, frames = data
     * bytes / block align. */
-  private[scaleops] def parseWav(p: Array[Byte]): Option[(Int, Int, Int)] = {
+  private[graft] def parseWav(p: Array[Byte]): Option[(Int, Int, Int)] = {
     if (p.length < 44) return None
     if (!(p.startsWith("RIFF".getBytes) &&
         new String(p.slice(8, 12)) == "WAVE")) return None

@@ -40,6 +40,31 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.width == 640 && meta.height == 480 && meta.n_frames == 1)
   }
 
+  test("PNG IHDR parses width/height; truncated or non-IHDR-first rejected") {
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + 4 + 13 + 4)
+    bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      .map(_.toByte))
+    bb.putInt(13).put("IHDR".getBytes)
+      .putInt(800).putInt(600)                       // width, height (BE)
+      .put(8.toByte).put(6.toByte)                   // bit depth, color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)     // comp, filter, interlace
+      .putInt(0)                                     // CRC (unchecked)
+    val ds = Seq(Multimodal.MediaRow(11L, "image", bb.array())).toDS()
+    val meta = Multimodal.decodeMeta(ds).collect().head
+    assert(meta.width == 800 && meta.height == 600 && meta.n_frames == 1)
+    assert(Multimodal.parsePng(bb.array().take(20)).isEmpty)
+    val badChunk = bb.array().clone()
+    System.arraycopy("IDAT".getBytes, 0, badChunk, 12, 4)
+    assert(Multimodal.parsePng(badChunk).isEmpty)
+  }
+
+  test("GIF logical screen descriptor parses width/height") {
+    val gif = "GIF89a".getBytes ++
+      Array[Int](0x40, 0x01, 0xF0, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(Multimodal.parseGif(gif).contains((320, 240, 1)))
+    assert(Multimodal.parseGif("GIF99a1234".getBytes).isEmpty)
+  }
+
   test("WAV RIFF header parses channels/rate/frames") {
     val bb = java.nio.ByteBuffer.allocate(44 + 8)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
