@@ -557,21 +557,15 @@ object Events {
       |FROM c QUALIFY rank <= 10""".stripMargin
 
   /** Dynamic pivot — the two-phase form for when the column set
-    * isn't known ahead: a driver-side distinct discovers the pivot
-    * values (tiny: one column's domain), then the pivot itself runs
-    * with explicit values so Spark skips its own implicit discovery
-    * pass AND the output schema is deterministic (sorted). Day-of-
-    * week × event-type counts. */
+    * isn't known ahead (see [[graft.operators.DynamicPivot]]: bounded
+    * domain discovery, fail-fast above the cap, deterministic sorted
+    * schema). Day-of-week × event-type counts. */
   def pivotDynamic(s: SparkSession, d: String): DataFrame = {
     val e = ev(s, d)
       .withColumn("dow",
         ((floor(unix_micros(col("ts")) / 86400000000L) + 4) % 7).cast("long"))
-    val types = e.select("event_type").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    e.groupBy("dow")
-      .pivot("event_type", types)
-      .agg(count(lit(1)))
-      .na.fill(0L, types)
+    graft.operators.DynamicPivot.pivot(e, Seq("dow"), "event_type",
+      count(lit(1)), fill = Some(0L))
   }
 
   val pivotDynamicOracle: String =

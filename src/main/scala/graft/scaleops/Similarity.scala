@@ -142,20 +142,29 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id (`numPlanes`-bit signature).
-    * Plane components come from a seeded driver-side RNG — cheap,
-    * deterministic, broadcast implicitly as literals. */
+    * Plane components come from a seeded driver-side RNG — cheap and
+    * deterministic. The whole plane matrix ships as ONE `typedlit`
+    * array-of-arrays literal (serialized once per plan), not
+    * numPlanes×dim scalar literal nodes — at dim ≥ 1024 the per-node
+    * form bloats every plan that touches the bucket expression.
+    * Projections fold in array order with the same arithmetic as the
+    * per-plane form, so bucket ids are unchanged. */
   def lshBucket(vecCol: Column, dim: Int, numPlanes: Int = 16,
                 seed: Long = 42L): Column = {
+    require(numPlanes >= 1 && numPlanes <= 50,
+      s"numPlanes=$numPlanes outside [1, 50]: bucket bits are summed as " +
+        "exact powers of two in a double-safe range")
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian())
-    val bits = planes.zipWithIndex.map { case (plane, p) =>
-      val proj = aggregate(
-        zip_with(toDouble(vecCol),
-          array(plane.map(w => lit(w)).toSeq: _*), (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val planesLit = typedlit(planes.map(_.toSeq).toSeq)
+    val projs = transform(planesLit, p =>
+      aggregate(zip_with(toDouble(vecCol), p, (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v))
+    aggregate(
+      zip_with(projs, sequence(lit(0), lit(numPlanes - 1)),
+        (p, i) => when(p > 0, pow(lit(2.0), i).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc + v)
   }
 
   /** ANN top-k via LSH buckets: exact search within each query's

@@ -194,4 +194,22 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert((1 to 200 by 7).map(_.toLong).toSet.subsetOf(kept)) // no false negatives
   }
+
+  test("dynamic pivot: sorted deterministic schema, filled cells") {
+    val df = Seq((1, "b", 10), (1, "a", 20), (2, "b", 5)).toDF("g", "p", "v")
+    val got = graft.operators.DynamicPivot.pivot(
+      df, Seq("g"), "p", sum(col("v")), fill = Some(0L))
+    assert(got.columns.toSeq == Seq("g", "a", "b"))
+    val byG = got.collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byG(1) == (20L, 10L) && byG(2) == (0L, 5L))
+  }
+
+  test("dynamic pivot fails fast above the domain cap without collecting it") {
+    val wide = (1 to 50).map(i => (i % 3, s"val_$i", 1)).toDF("g", "p", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.DynamicPivot.pivot(
+        wide, Seq("g"), "p", sum(col("v")), maxDomain = 10)
+    }
+    assert(e.getMessage.contains("exceeds 10"))
+  }
 }

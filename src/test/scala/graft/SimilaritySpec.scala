@@ -94,6 +94,29 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${lsh.size}/${brute.size}")
   }
 
+  test("lshBucket: single-literal plane matrix reproduces per-plane sign buckets") {
+    val df = Seq((0L, Array(1.0f, 2.0f, -1.0f)), (1L, Array(-0.5f, 0.25f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), dim = 3, numPlanes = 5, seed = 7L)
+        .as("bucket")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent reference computation with the same seeded planes
+    val rnd = new scala.util.Random(7L)
+    val planes = Array.fill(5, 3)(rnd.nextGaussian())
+    val vecs = Map(0L -> Array(1.0, 2.0, -1.0), 1L -> Array(-0.5, 0.25, 3.0))
+    vecs.foreach { case (id, v0) =>
+      val v = v0.indices.map(i => v0(i).toFloat.toDouble)
+      val expected = planes.zipWithIndex.map { case (plane, p) =>
+        val proj = v.indices.foldLeft(0.0)((acc, i) => acc + v(i) * plane(i))
+        if (proj > 0) 1L << p else 0L
+      }.sum
+      assert(got(id) == expected, s"bucket mismatch for vec $id")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.lshBucket(col("embedding"), dim = 3, numPlanes = 64)
+    }
+  }
+
   test("multi-table lsh knn scores candidates exactly; recall vs brute on real corpus") {
     val real = graft.sources.Tables.load(spark, sf, "embeddings")
     val queries = real.filter(col("vec_id") < 5)
