@@ -41,6 +41,21 @@ object BloomPrune {
     * true matches). */
   def filterMightContain(df: DataFrame, key: Column,
                          bloom: BloomFilter): DataFrame = {
+    // Fail at plan time with the dispatch contract, not at task time:
+    // other types (decimal, date, …) pass analysis but would throw an
+    // opaque IllegalArgumentException from sketch.BloomFilter inside
+    // executor tasks.
+    import org.apache.spark.sql.types._
+    val dt = df.select(key).schema.head.dataType
+    val supported = dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           StringType | BinaryType => true
+      case _ => false
+    }
+    require(supported,
+      s"bloom probe key has type ${dt.simpleString}; BloomFilter " +
+        "supports integral (long path), string (UTF-8 path) and binary " +
+        "keys — cast the key to one of these on BOTH build and probe sides")
     val bloomB = df.sparkSession.sparkContext.broadcast(bloom)
     val mightContain =
       udf((k: Any) => k != null && bloomB.value.mightContain(k))

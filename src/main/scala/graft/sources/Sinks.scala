@@ -96,9 +96,20 @@ object Sinks {
     * directory into ~targetBytes files. Uses the scan's own size
     * statistics (no driver file listing beyond what the scan does),
     * coalesce (no shuffle) when shrinking the file count. Returns the
-    * file count after compaction. */
+    * file count after compaction.
+    *
+    * Durability contract: directory renames are not transactional on
+    * Hadoop filesystems, so the swap has a reader-visible gap — for
+    * an instant between the two renames `path` does not exist
+    * (readers race a FileNotFoundException; coordinate compaction
+    * with readers, or use a table format with a metadata pointer —
+    * this operator is for plain-directory tables). Data is never
+    * lost: a crash inside the window parks the original intact at
+    * `path + "_old"`, and the next `compact` call on the same path
+    * self-heals by restoring it before doing anything else. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               targetBytes: Long = 128L << 20): Int = {
+    recoverInterrupted(spark, path)
     val df = spark.read.parquet(path)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1,
@@ -120,6 +131,22 @@ object Sinks {
     }
     require(fs.delete(old, true), s"compacted OK but cannot remove $old")
     files
+  }
+
+  /** Crash recovery for [[compact]]: if a previous run died between
+    * its two renames, the table sits intact at `path + "_old"` with
+    * nothing at `path` — put it back. Leftover `_compacting` output
+    * is discarded (it may be partial; the original is authoritative).
+    */
+  private def recoverInterrupted(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    val tmp = new org.apache.hadoop.fs.Path(path + "_compacting")
+    if (!fs.exists(hp) && fs.exists(old))
+      require(fs.rename(old, hp), s"recovery rename $old -> $path failed")
+    if (fs.exists(tmp)) require(fs.delete(tmp, true), s"cannot clear $tmp")
   }
 
   /** Write parquet range-partitioned + sorted by the Z-order key of

@@ -195,6 +195,16 @@ class OperatorsSpec extends SparkSpec {
     assert((1 to 200 by 7).map(_.toLong).toSet.subsetOf(kept)) // no false negatives
   }
 
+  test("bloom prune rejects unsupported key types at plan time") {
+    val build = Seq(1L, 2L).toDF("k")
+    val bloom = build.stat.bloomFilter("k", 10, 0.01)
+    val probe = Seq(java.sql.Date.valueOf("2026-01-01")).toDF("d")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.BloomPrune.filterMightContain(probe, col("d"), bloom)
+    }
+    assert(e.getMessage.contains("date"))
+  }
+
   test("dynamic pivot: sorted deterministic schema, filled cells") {
     val df = Seq((1, "b", 10), (1, "a", 20), (2, "b", 5)).toDF("g", "p", "v")
     val got = graft.operators.DynamicPivot.pivot(

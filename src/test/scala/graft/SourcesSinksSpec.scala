@@ -155,6 +155,25 @@ class SourcesSinksSpec extends SparkSpec {
       == 5000L * 5001 / 2)
   }
 
+  test("compact self-heals a crash window: _old restored, stale tmp cleared") {
+    val dir = tmp() + "/compact_recover"
+    val df = (1 to 100).map(i => (i.toLong, s"r$i")).toDF("k", "v")
+    df.repartition(8).write.parquet(dir)
+    // simulate a crash between the two swap renames: table parked at
+    // _old, nothing at dir, a partial tmp left behind
+    val f = new java.io.File(dir)
+    assert(f.renameTo(new java.io.File(dir + "_old")))
+    val staleTmp = new java.io.File(dir + "_compacting")
+    staleTmp.mkdirs()
+    new java.io.FileOutputStream(
+      new java.io.File(staleTmp, "partial.parquet")).close()
+    Sinks.compact(spark, dir, targetBytes = 512L << 20)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(!new java.io.File(dir + "_old").exists())
+    assert(!staleTmp.exists())
+  }
+
   test("zorder key: adjacent keys stay spatially local; both dims interleave") {
     import org.apache.spark.sql.functions._
     // 64x64 grid; Morton order must map equal keys only for equal cells
