@@ -452,6 +452,73 @@ object ScaleQueries {
        |    AS BIGINT) AS chars_removed
        |FROM ranked GROUP BY component""".stripMargin
 
+  /** The dedup pipeline END-TO-END in one corpus pass: pair edges →
+    * connected components → survivorship + per-cluster edge stats.
+    * The standalone queries (text_ngram_jaccard / dedup_components /
+    * dedup_survivorship) each recompute the pair table — fine as
+    * focused surfaces, but at 100 TB that is three shingle passes
+    * over the corpus where one suffices. Here the pair table is
+    * materialized ONCE (eager local checkpoint — the iterative CC
+    * scans it every round, the edge stats scan it once more) and
+    * every downstream stage reuses the materialized blocks. Decimal
+    * sum keeps the per-cluster jaccard total order-independent. */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+      shingleK = 2, minJaccard = 0.8)
+      .localCheckpoint(eager = true)
+    val comps = graft.operators.ConnectedComponents.components(pairs, "a", "b")
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+    val meta = docs.select("doc_id", "n_chars")
+    val w = Window.partitionBy("component")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val memberStats = comps.join(meta, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("survivor_doc"),
+        sum(when(col("rk") =!= 1, col("n_chars")).otherwise(0L))
+          .as("chars_removed"))
+    val edgeStats = pairs
+      .join(comps.withColumnRenamed("doc_id", "a"), "a")
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_edges"),
+        round(sum(col("jaccard").cast("decimal(18,6)")).cast("double"), 6)
+          .as("sum_jaccard"))
+    memberStats.join(edgeStats, "component")
+  }
+
+  val dedupPipelineOracle: String =
+    s"""WITH RECURSIVE $jaccardPairCtes,
+       |edges AS (SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8),
+       |sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+       |reach(id, comp) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT e.a, r.comp FROM sym e JOIN reach r ON e.b = r.id),
+       |cc AS (SELECT id AS doc_id, MIN(comp) AS component
+       |       FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT cc.component, cc.doc_id, d.n_chars,
+       |    ROW_NUMBER() OVER (PARTITION BY cc.component
+       |      ORDER BY d.n_chars DESC, cc.doc_id ASC) AS rk
+       |  FROM cc JOIN documents d ON cc.doc_id = d.doc_id),
+       |members AS (
+       |  SELECT component, COUNT(*) AS n_members,
+       |    MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc,
+       |    CAST(COALESCE(SUM(CASE WHEN rk <> 1 THEN n_chars ELSE 0 END), 0)
+       |      AS BIGINT) AS chars_removed
+       |  FROM ranked GROUP BY component),
+       |estats AS (
+       |  SELECT cc.component, COUNT(*) AS n_edges,
+       |    ROUND(CAST(SUM(CAST(e.jaccard AS DECIMAL(18,6))) AS DOUBLE), 6)
+       |      AS sum_jaccard
+       |  FROM edges e JOIN cc ON e.a = cc.doc_id
+       |  GROUP BY cc.component)
+       |SELECT m.component, m.n_members, m.survivor_doc, m.chars_removed,
+       |  s.n_edges, s.sum_jaccard
+       |FROM members m JOIN estats s ON m.component = s.component""".stripMargin
+
   /** Document fingerprint dedup: group by the order-insensitive
     * content fingerprint (md5 of sorted distinct tokens), report each
     * duplicate group. Catches token-reordered near-copies that exact
@@ -833,6 +900,7 @@ object ScaleQueries {
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_survivorship", dedupSurvivorship, Some(dedupSurvivorshipOracle)),
+    Q("dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle), bench = true),
     Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
     Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
     Q("text_tfidf_cosine", tfidfCosinePairs, Some(tfidfCosineOracle)),
