@@ -285,33 +285,75 @@ object Events {
       |  COUNT(DISTINCT e.user_id) AS n_users
       |FROM e JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
 
-  /** Cardinality sketching: exact vs HLL distinct counts. The approx
-    * column is engine-specific, so the check is rows-only; the spec
-    * bounds the HLL error instead. */
+  /** Cardinality sketching certified: exact distinct counts (the
+    * DuckDB oracle recomputes them) plus engine-witnessed booleans
+    * that the HLL++ estimates land within the sketch's design error
+    * (rsd 0.05 → |est−exact|/exact ≤ 0.05; deterministic for fixed
+    * input). The raw estimates are engine-specific so they certify
+    * rather than print; PropertySpec bounds them numerically. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     ev(s, d).agg(
       countDistinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("user_id")).as("approx_users"),
+      approx_count_distinct(col("user_id")).as("au"),
       countDistinct(col("event_id")).as("exact_events"),
-      approx_count_distinct(col("event_id")).as("approx_events"))
+      approx_count_distinct(col("event_id")).as("ae"))
+      .select(col("exact_users"), col("exact_events"),
+        (abs(col("au") - col("exact_users")).cast("double") /
+          col("exact_users") <= 0.05).as("approx_users_ok"),
+        (abs(col("ae") - col("exact_events")).cast("double") /
+          col("exact_events") <= 0.05).as("approx_events_ok"))
+
+  val approxDistinctOracle: String =
+    """SELECT COUNT(DISTINCT user_id) AS exact_users,
+      |  COUNT(DISTINCT event_id) AS exact_events,
+      |  TRUE AS approx_users_ok, TRUE AS approx_events_ok
+      |FROM events""".stripMargin
 
   /** RE-AGGREGATABLE sketches — the 100 TB cardinality pattern:
     * build one DataSketches HLL per (day, type) partition, then
     * union the BINARY sketches for any rollup without rescanning the
-    * raw data. Sketch bytes are engine-specific → rows-only check;
-    * the spec bounds the estimate against exact counts. */
+    * raw data. Certified: per-day exact sums and the TRUE all-days
+    * distinct count are recomputed by the oracle; the merged-sketch
+    * estimate certifies within 5% of the true rollup (engine-
+    * witnessed boolean — a broken union flips it). Raw sketch bytes
+    * stay engine-specific; PropertySpec bounds the estimate
+    * numerically. */
   def hllDailyMerge(s: SparkSession, d: String): DataFrame = {
-    val daily = ev(s, d)
+    val e = ev(s, d)
       .withColumn("day", floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
-      .groupBy("day", "event_type")
+    val daily = e.groupBy("day", "event_type")
       .agg(hll_sketch_agg(col("user_id")).as("sketch"),
         countDistinct(col("user_id")).as("exact_day_users"))
-    daily.groupBy("event_type")
+    val merged = daily.groupBy("event_type")
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch")))
         .as("est_users_all_days"),
         sum(col("exact_day_users")).as("sum_daily_exact"),
         count(lit(1)).as("n_days"))
+    val truth = e.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users_all_days"))
+    merged.join(truth, "event_type")
+      .select(col("event_type"), col("n_days"), col("sum_daily_exact"),
+        col("exact_users_all_days"),
+        (abs(col("est_users_all_days") - col("exact_users_all_days"))
+          .cast("double") / col("exact_users_all_days") <= 0.05)
+          .as("merged_est_ok"))
   }
+
+  val hllDailyMergeOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id,
+      |    CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT) AS day
+      |  FROM events),
+      |daily AS (
+      |  SELECT event_type, day, COUNT(DISTINCT user_id) AS du
+      |  FROM e GROUP BY 1, 2)
+      |SELECT d.event_type, COUNT(*) AS n_days,
+      |  CAST(SUM(d.du) AS BIGINT) AS sum_daily_exact,
+      |  t.exact_users_all_days, TRUE AS merged_est_ok
+      |FROM daily d JOIN (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_users_all_days
+      |  FROM e GROUP BY 1) t USING (event_type)
+      |GROUP BY d.event_type, t.exact_users_all_days""".stripMargin
 
   /** Exact heavy hitters: the 3 most frequent integer-rounded values
     * per event type, ties broken by value — the deterministic twin of
@@ -493,22 +535,35 @@ object Events {
 
   /** One-pass uniform k-sample of event ids per type via the custom
     * mergeable ReservoirSample aggregate — O(k) state at every stage.
-    * The sample depends on the input partitioning (as any parallel
-    * reservoir's does) → rows-only; ExtensionsSpec pins exactness,
-    * membership, and spread. The harness row carries a sortable
-    * scalar DIGEST of the sample (xxhash64 of the sorted id list),
-    * not the raw array — arrays crash the driver's rows-only sort. */
-  def reservoirPerType(s: SparkSession, d: String): DataFrame =
-    ev(s, d)
-      .groupBy("event_type")
+    * Certified: per-type sample size must be exactly min(k, n_type)
+    * and every sampled id must belong to that type's event-id set
+    * (`membership_ok`, an anti-join witness) — both adjudicable by
+    * the oracle since n_type is SQL-computable. WHICH ids land in the
+    * sample depends on the input partitioning (as for any parallel
+    * reservoir), so sample content is pinned by ExtensionsSpec, not
+    * the oracle. */
+  def reservoirPerType(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val sampled = e.groupBy("event_type")
       .agg(graft.functions.ReservoirSample(col("event_id"), 100, 42L)
         .as("sampled_ids"),
         count(lit(1)).as("n_events"))
+    val exploded = sampled.select(col("event_type"),
+      explode(col("sampled_ids")).as("event_id"))
+    val foreign = exploded.join(e.select("event_type", "event_id"),
+      Seq("event_type", "event_id"), "left_anti")
+      .groupBy("event_type").agg(count(lit(1)).as("n_foreign"))
+    sampled.join(foreign, Seq("event_type"), "left")
       .select(col("event_type"), size(col("sampled_ids")).as("n_sampled"),
         col("n_events"),
-        xxhash64(concat_ws(",",
-          transform(array_sort(col("sampled_ids")), _.cast("string"))))
-          .as("sample_digest"))
+        (coalesce(col("n_foreign"), lit(0L)) === 0).as("membership_ok"))
+  }
+
+  val reservoirOracle: String =
+    """SELECT event_type,
+      |  CAST(LEAST(100, COUNT(*)) AS INT) AS n_sampled,
+      |  COUNT(*) AS n_events, TRUE AS membership_ok
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** Behavioral path mining: the 10 most common event-type TRIGRAMS
     * across user journeys. Each user's ordered sequence forms via
@@ -632,7 +687,7 @@ object Events {
     Q("events_funnel", funnel, Some(funnelOracle)),
     Q("events_dow_hourly", dowHourly, Some(dowHourlyOracle)),
     Q("events_retention", retention, Some(retentionOracle)),
-    Q("events_approx_distinct", approxDistinct, None),
-    Q("events_hll_daily_merge", hllDailyMerge, None),
-    Q("events_reservoir_sample", reservoirPerType, None))
+    Q("events_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
+    Q("events_hll_daily_merge", hllDailyMerge, Some(hllDailyMergeOracle)),
+    Q("events_reservoir_sample", reservoirPerType, Some(reservoirOracle)))
 }

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.Sessions
+import graft.queries.Registry
+
+/** Warm per-query benchmark artifact: every registered query runs
+  * `reps` times in one session; rep 1 is the cold number (parquet
+  * footers, codegen, JIT), the min of reps 2+ is the warm
+  * steady-state — the signal to trust when comparing rounds (the
+  * single-rep driver bench inherits host noise and session residue;
+  * see TODO.md).
+  *
+  * `runMain graft.tools.BenchWarm [sfDir] [outPath] [reps]` — writes
+  * one JSON object: {"sf":…, "reps":…, "queries": {name:
+  * {"cold":…, "warm":…}}, "warm_total":…}.
+  */
+object BenchWarm {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val outPath = if (args.length > 1) args(1) else "BENCH_WARM.json"
+    val reps = if (args.length > 2) args(2).toInt else 2
+    require(reps >= 2, "need at least 2 reps for a warm number")
+    val spark = Sessions.local(appName = "graft-bench-warm")
+    val results = Registry.all.map { q =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"BENCHWARM ${q.name} FAILED: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"BENCHWARM ${q.name}%-28s cold=${times.head}%6.2f warm=${times.tail.min}%6.2f")
+      (q.name, times.head, times.tail.min)
+    }
+    val qjson = results.map { case (n, cold, warm) =>
+      f"""    "$n": {"cold": $cold%.3f, "warm": $warm%.3f}"""
+    }.mkString(",\n")
+    val total = results.map(_._3).sum
+    val json =
+      f"""{
+         |  "sf": "$sfDir",
+         |  "reps": $reps,
+         |  "warm_total": $total%.3f,
+         |  "queries": {
+         |$qjson
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes("UTF-8"))
+    println(s"BENCHWARM wrote $outPath (warm_total ${f"$total%.1f"} s)")
+    spark.stop()
+  }
+}
