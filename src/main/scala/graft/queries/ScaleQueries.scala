@@ -466,7 +466,7 @@ object ScaleQueries {
     val docs = t(s, d, "documents")
     val pairs = Dedup.exactJaccardPairs(docs, "doc_id", "text",
       shingleK = 2, minJaccard = 0.8)
-      .localCheckpoint(eager = true)
+      .localCheckpoint(eager = false) // materialized by CC's first pass
     val comps = graft.operators.ConnectedComponents.components(pairs, "a", "b")
       .select(col("id").as("doc_id"), col("comp").as("component"))
     val meta = docs.select("doc_id", "n_chars")
