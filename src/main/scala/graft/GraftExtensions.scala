@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, ReservoirSample, SortedIntersectCount, WordShingles}
+import graft.functions.{ArrayDot, KllMergeAgg, KllQuantile, KllSketchAgg, ReservoirSample, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: exposes the engine's custom
   * Catalyst expressions to plain SQL users —
@@ -59,6 +59,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(children.head,
             org.apache.spark.sql.types.LongType),
           k.toInt, intLit(children(2), "seed")).toAggregateExpression()
+      }))
+    // the mergeable-quantile trio: build / union / query (see
+    // graft.functions.KllSketch — the percentile twin of Spark's
+    // hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
+    def intLit(e: Expression, fn: String, name: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: $name must be an integral literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "kll_sketch_agg(value[, k[, seed]])")
+        val k = if (children.length >= 2)
+          intLit(children(1), "kll_sketch_agg", "k").toInt else 256
+        val seed = if (children.length == 3)
+          intLit(children(2), "kll_sketch_agg", "seed") else 42L
+        KllSketchAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(children.head,
+            org.apache.spark.sql.types.DoubleType),
+          k, seed).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_merge_agg"),
+      new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
+      (children: Seq[Expression]) => {
+        require(children.nonEmpty && children.length <= 3,
+          "kll_merge_agg(sketch[, k[, seed]])")
+        val k = if (children.length >= 2)
+          intLit(children(1), "kll_merge_agg", "k").toInt else 256
+        val seed = if (children.length == 3)
+          intLit(children(2), "kll_merge_agg", "seed") else 42L
+        KllMergeAgg(children.head, k, seed).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "kll_quantile(sketch, q) takes 2 arguments")
+        KllQuantile(children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.DoubleType))
       }))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),

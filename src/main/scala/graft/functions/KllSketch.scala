@@ -1,0 +1,285 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Mergeable multi-level quantile sketch — the re-aggregatable
+  * percentile primitive for the 100 TB rollup pattern, the quantile
+  * twin of the DataSketches HLL trio already used for cardinality
+  * (`hll_sketch_agg` / `hll_union_agg` / `hll_sketch_estimate`;
+  * Spark 4 ships no equivalent for quantiles, and the built-in
+  * `percentile_approx` state cannot be persisted and re-merged
+  * across jobs).
+  *
+  * Construction is the classic multi-level random-halving sketch
+  * (Manku–Rajagopalan–Lindsay; the KLL family's uniform-capacity
+  * ancestor): level `i` holds up to `k` values each representing
+  * `2^i` originals; a full level sorts and keeps every other element
+  * (random offset), promoting the survivors one level up. Properties
+  * that matter at scale:
+  *   - state is O(k·log(n/k)) per group at EVERY stage — partials,
+  *     shuffle, merge — never O(n);
+  *   - merge is level-wise concatenation + the same compaction, so
+  *     per-partition sketches (or per-day sketches persisted as
+  *     BINARY columns) roll up to any coarser grain without
+  *     rescanning raw data;
+  *   - normalized rank error after L compaction levels is ≤ about
+  *     L/(2k): k=256 at n=10^9 gives L≈22, error ≲ 4.3% — certified
+  *     at 5% by the harness query's rank-error witness.
+  *
+  * Randomness (the compaction offset) is a deterministic splitmix of
+  * (seed, compaction-ordinal), so a given plan over a given
+  * partitioning reproduces its sketch exactly — same contract as
+  * [[ReservoirSample]].
+  */
+object KllSketch {
+  /** Sketch state: `levels(i)` holds values of weight `2^i`. */
+  final class State(var n: Long, var compactions: Long,
+                    val levels: ArrayBuffer[ArrayBuffer[Double]]) {
+
+    def this() = this(0L, 0L, ArrayBuffer(ArrayBuffer.empty[Double]))
+
+    private def mix(a: Long, b: Long): Long = {
+      var z = a ^ (b * 0x9E3779B97F4A7C15L)
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+
+    def update(v: Double, k: Int, seed: Long): Unit = {
+      levels(0) += v
+      n += 1
+      compactAll(k, seed)
+    }
+
+    /** Cascade: halve any level at/over capacity into the next. */
+    def compactAll(k: Int, seed: Long): Unit = {
+      var i = 0
+      while (i < levels.length) {
+        if (levels(i).length >= k) {
+          if (i + 1 == levels.length) levels += ArrayBuffer.empty[Double]
+          val buf = levels(i).sorted
+          compactions += 1
+          val off = (mix(seed, compactions) & 1L).toInt
+          var j = off
+          while (j < buf.length) { levels(i + 1) += buf(j); j += 2 }
+          levels(i).clear()
+        }
+        i += 1
+      }
+    }
+
+    def merge(other: State, k: Int, seed: Long): Unit = {
+      while (levels.length < other.levels.length)
+        levels += ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < other.levels.length) {
+        levels(i) ++= other.levels(i)
+        i += 1
+      }
+      n += other.n
+      // decorrelate the two streams' compaction ordinals
+      compactions = mix(compactions, other.compactions)
+      compactAll(k, seed)
+    }
+
+    /** Weighted rank query: smallest retained value whose cumulative
+      * weight reaches `q·n` (percentile_disc semantics over the
+      * weighted sample — the returned value is always a real input
+      * value). */
+    def quantile(q: Double): Double = {
+      if (n == 0L) return Double.NaN
+      val items = ArrayBuffer.empty[(Double, Long)]
+      var i = 0
+      while (i < levels.length) {
+        val w = 1L << i
+        levels(i).foreach(v => items += ((v, w)))
+        i += 1
+      }
+      val sorted = items.sortBy(_._1)
+      val total = sorted.iterator.map(_._2).sum
+      val target = math.max(1L, math.ceil(q * total).toLong)
+      var cum = 0L
+      var j = 0
+      while (j < sorted.length) {
+        cum += sorted(j)._2
+        if (cum >= target) return sorted(j)._1
+        j += 1
+      }
+      sorted.last._1
+    }
+
+    def serialize(): Array[Byte] = {
+      val nItems = levels.iterator.map(_.length).sum
+      val bb = ByteBuffer.allocate(8 + 8 + 4 + levels.length * 4 + nItems * 8)
+      bb.putLong(n)
+      bb.putLong(compactions)
+      bb.putInt(levels.length)
+      levels.foreach { lvl =>
+        bb.putInt(lvl.length)
+        lvl.foreach(bb.putDouble)
+      }
+      bb.array()
+    }
+  }
+
+  def deserialize(bytes: Array[Byte]): State = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val compactions = bb.getLong
+    val nLevels = bb.getInt
+    val levels = ArrayBuffer.fill(nLevels)(ArrayBuffer.empty[Double])
+    var i = 0
+    while (i < nLevels) {
+      val len = bb.getInt
+      var j = 0
+      while (j < len) { levels(i) += bb.getDouble; j += 1 }
+      i += 1
+    }
+    new State(n, compactions, levels)
+  }
+
+  /** `kll_sketch_agg(col)` — build a sketch over a double column;
+    * result is the BINARY sketch state (persist it, roll it up). */
+  def agg(value: Column, k: Int = 256, seed: Long = 42L): Column =
+    GraftBridge.column(
+      KllSketchAgg(GraftBridge.expression(value.cast("double")), k, seed)
+        .toAggregateExpression())
+
+  /** `kll_merge_agg(sketchCol)` — union BINARY sketches. */
+  def mergeAgg(sketch: Column, k: Int = 256, seed: Long = 42L): Column =
+    GraftBridge.column(
+      KllMergeAgg(GraftBridge.expression(sketch), k, seed)
+        .toAggregateExpression())
+
+  /** `kll_quantile(sketchCol, q)` — rank query over a BINARY sketch.
+    * Runs on aggregated rows (O(groups), off the row-at-a-time hot
+    * path), so interpreted eval is the right cost tier. */
+  def quantileOf(sketch: Column, q: Double): Column =
+    GraftBridge.column(KllQuantile(
+      GraftBridge.expression(sketch),
+      org.apache.spark.sql.catalyst.expressions.Literal(q)))
+}
+
+/** Aggregate: values → BINARY sketch. O(k·log(n/k)) buffer. */
+case class KllSketchAgg(
+    value: Expression,
+    k: Int,
+    seed: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch.State] {
+
+  require(k >= 8, "kll_sketch_agg: k must be >= 8")
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllSketch.State = new KllSketch.State()
+
+  override def update(buf: KllSketch.State, input: InternalRow): KllSketch.State = {
+    val v = value.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double], k, seed)
+    buf
+  }
+
+  override def merge(a: KllSketch.State, b: KllSketch.State): KllSketch.State = {
+    a.merge(b, k, seed); a
+  }
+
+  override def eval(buf: KllSketch.State): Any = buf.serialize()
+  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch.State =
+    KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(value = newChildren.head)
+}
+
+/** Aggregate: BINARY sketches → merged BINARY sketch (the rollup
+  * half of the pattern — per-partition sketches union to any coarser
+  * grain without touching raw data). */
+case class KllMergeAgg(
+    sketch: Expression,
+    k: Int,
+    seed: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllSketch.State] {
+
+  override def children: Seq[Expression] = Seq(sketch)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): KllSketch.State = new KllSketch.State()
+
+  override def update(buf: KllSketch.State, input: InternalRow): KllSketch.State = {
+    val v = sketch.eval(input)
+    if (v != null)
+      buf.merge(KllSketch.deserialize(v.asInstanceOf[Array[Byte]]), k, seed)
+    buf
+  }
+
+  override def merge(a: KllSketch.State, b: KllSketch.State): KllSketch.State = {
+    a.merge(b, k, seed); a
+  }
+
+  override def eval(buf: KllSketch.State): Any = buf.serialize()
+  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch.State =
+    KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllMergeAgg =
+    copy(sketch = newChildren.head)
+}
+
+/** Scalar rank query over a BINARY sketch column. Interpreted eval
+  * by design: it runs on post-aggregation rows (one per group), so
+  * codegen would buy nothing and the fallback keeps the surrounding
+  * project inside WholeStageCodegen via the standard fallback hop. */
+case class KllQuantile(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"kll_quantile needs (binary, double), got " +
+            s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(sketch: Any, q: Any): Any = {
+    val st = KllSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    if (st.n == 0L) null else st.quantile(q.asInstanceOf[Double])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}

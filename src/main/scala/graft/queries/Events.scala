@@ -355,6 +355,48 @@ object Events {
       |  FROM e GROUP BY 1) t USING (event_type)
       |GROUP BY d.event_type, t.exact_users_all_days""".stripMargin
 
+  /** RE-AGGREGATABLE quantile sketches — the percentile twin of
+    * [[hllDailyMerge]], via the custom mergeable [[graft.functions.KllSketch]]
+    * (Spark 4 has no persistable/re-mergeable quantile state): one
+    * BINARY sketch per (day, type), merged per type, then p50/p90
+    * rank queries over the merged sketch. Certified: n_values and
+    * n_days are exact (oracle recomputes), and the TRUE normalized
+    * rank of each estimate — count(value <= est)/n, computed by a
+    * second pass in-engine — must land within the k=256 sketch's 5%
+    * design error (a broken compaction or merge flips the witness).
+    * Raw estimates are engine-specific; ExtensionsSpec bounds them
+    * numerically. */
+  def quantileDailyMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllSketch
+    val e = ev(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("day", floor(unix_micros(col("ts")) / 86400000000L).cast("long"))
+    val daily = e.groupBy("day", "event_type")
+      .agg(KllSketch.agg(col("value")).as("sketch"))
+    val merged = daily.groupBy("event_type")
+      .agg(KllSketch.mergeAgg(col("sketch")).as("sk"),
+        count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_days"),
+        KllSketch.quantileOf(col("sk"), 0.5).as("p50_est"),
+        KllSketch.quantileOf(col("sk"), 0.9).as("p90_est"))
+    e.join(broadcast(merged), "event_type")
+      .groupBy("event_type", "n_days")
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90_est"), 1L).otherwise(0L)).as("r90"))
+      .select(col("event_type"), col("n_days"), col("n_values"),
+        (abs(col("r50").cast("double") / col("n_values") - 0.5) <= 0.05)
+          .as("p50_rank_ok"),
+        (abs(col("r90").cast("double") / col("n_values") - 0.9) <= 0.05)
+          .as("p90_rank_ok"))
+  }
+
+  val quantileDailyMergeOracle: String =
+    """SELECT event_type,
+      |  COUNT(DISTINCT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) AS BIGINT)) AS n_days,
+      |  COUNT(*) AS n_values, TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
+
   /** Exact heavy hitters: the 3 most frequent integer-rounded values
     * per event type, ties broken by value — the deterministic twin of
     * approximate top-k sketches. One groupBy + a rank window over the
@@ -689,5 +731,7 @@ object Events {
     Q("events_retention", retention, Some(retentionOracle)),
     Q("events_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
     Q("events_hll_daily_merge", hllDailyMerge, Some(hllDailyMergeOracle)),
+    Q("events_quantile_daily_merge", quantileDailyMerge,
+      Some(quantileDailyMergeOracle)),
     Q("events_reservoir_sample", reservoirPerType, Some(reservoirOracle)))
 }

@@ -338,6 +338,29 @@ object ScaleQueries {
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk""".stripMargin
 
+  /** SQ8-quantized ANN (int8 codes + exact re-rank, refine=4)
+    * certified against brute top-k — see [[Similarity.knnSq8]]: the
+    * candidate scan reads 64 B codes instead of 256 B floats (the
+    * 100 TB IO dial, complementary to LSH/IVF's candidate dial).
+    * int8 on this corpus barely perturbs ranking, so the bound is
+    * high: measured recall (RecallProbe) 1.000 at every SF
+    * (sf0.001 / 0.01 / 0.1); bound 0.9. */
+  def knnSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    knnCertify(
+      Similarity.knnSq8(emb, "vec_id", "embedding", q, k = 5, refine = 4),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.9)
+  }
+
+  val knnSq8Oracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
   /** IVF at nProbe = nList degenerates to exact search, so the
     * brute-force oracle applies — this pins the whole IVF path
     * (build, cell routing, scoring) to a hash-match, while `knn_ivf`
@@ -894,6 +917,7 @@ object ScaleQueries {
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
+    Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),

@@ -244,6 +244,55 @@ object Similarity {
     ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed), idCol, vecCol,
       queries, k, nProbe)
 
+  /** ANN top-k via int8 scalar quantization + exact re-rank — the
+    * memory/IO-bound regime's tool, complementary to LSH/IVF (which
+    * cut CANDIDATES; SQ8 cuts BYTES PER CANDIDATE 4×). Stage 1 scans
+    * only (id, 64 B codes) and ranks by quantized cosine — integer
+    * multiply-adds in one codegen'd loop, per-vector scales cancel
+    * (see [[graft.functions.Sq8]]); stage 2 fetches float vectors by
+    * id for the k·refine survivors per query and re-ranks with the
+    * exact cosine, so returned scores are exact and the top-k is
+    * wrong only where quantization reorders a true top-k neighbor
+    * past rank k·refine. At 100 TB the codes table (25 TB) is the
+    * only full scan; the refine join touches |Q|·k·refine rows. */
+  def knnSq8(emb: DataFrame, idCol: String, vecCol: String,
+             queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
+    import graft.functions.Sq8
+    def coded(df: DataFrame, as: String): DataFrame = {
+      val v = toDouble(col(vecCol))
+      val scale = array_max(transform(v, x => abs(x))) / 127.0
+      df.select(col(idCol).as(s"${as}_id"), Sq8.encode(v, scale).as(s"${as}q"))
+        .withColumn(s"${as}qn",
+          sqrt(Sq8.intDot(col(s"${as}q"), col(s"${as}q")).cast("double")))
+    }
+    val n = coded(emb, "neighbor").repartition(col("neighbor_id"))
+    val q = broadcast(coded(queries, "query"))
+    val approx = n.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        Sq8.intDot(col("queryq"), col("neighborq")).cast("double") /
+          (col("queryqn") * col("neighborqn")))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = approx
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: float vectors re-attach by id — a candidate-set
+    // join, never a second corpus scan
+    val scored = cands
+      .join(broadcast(prepped(queries, idCol, vecCol, "query")), "query_id")
+      .join(prepped(emb, idCol, vecCol, "neighbor"), "neighbor_id")
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
     * candidate if ANY of `numTables` independent plane sets buckets
     * it with the query (single-table recall at moderate cosine is

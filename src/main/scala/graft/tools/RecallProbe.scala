@@ -32,6 +32,9 @@ object RecallProbe {
       val (ic, ie, ia) = recallOf(
         Similarity.knnIvf(emb, "vec_id", "embedding", q, 5, nList = 8, nProbe = 3))
       println(f"$d knn_ivf  common=$ic exact=$ie approx=$ia recall=${ic.toDouble / ie}%.3f")
+      val (qc, qe, qa) = recallOf(
+        Similarity.knnSq8(emb, "vec_id", "embedding", q, 5, refine = 4))
+      println(f"$d knn_sq8  common=$qc exact=$qe approx=$qa recall=${qc.toDouble / qe}%.3f")
 
       val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b")

@@ -97,6 +97,55 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("kll sketch: exact below capacity; SQL path") {
+    import spark.implicits._
+    // n < k → nothing ever compacts → rank queries are exact
+    // percentile_disc answers
+    (1L to 100L).map(_.toDouble).toDF("v").createOrReplaceTempView("kll_small")
+    val r = spark.sql(
+      """SELECT kll_quantile(kll_sketch_agg(v), 0.5) AS p50,
+        |       kll_quantile(kll_sketch_agg(v), 0.9) AS p90,
+        |       kll_quantile(kll_sketch_agg(v), 0.0) AS p0,
+        |       kll_quantile(kll_sketch_agg(v), 1.0) AS p100
+        |FROM kll_small""".stripMargin).head()
+    assert(r.getDouble(0) == 50.0)
+    assert(r.getDouble(1) == 90.0)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 100.0)
+  }
+
+  test("kll sketch: two-level rollup rank error within design bound") {
+    import spark.implicits._
+    // 50k skewed values in 10 groups; per-group sketches merged must
+    // answer global quantiles within the k=256 design error (~5%).
+    val rnd = new scala.util.Random(11)
+    val vals = (1 to 50000).map(_ => math.pow(rnd.nextDouble(), 3.0) * 1000.0)
+    vals.zipWithIndex.map { case (v, i) => (i % 10, v) }
+      .toDF("g", "v").repartition(4).createOrReplaceTempView("kll_big")
+    val merged = spark.sql(
+      """WITH daily AS (
+        |  SELECT g, kll_sketch_agg(v) AS sk FROM kll_big GROUP BY g)
+        |SELECT kll_quantile(kll_merge_agg(sk), 0.5) AS p50,
+        |       kll_quantile(kll_merge_agg(sk), 0.99) AS p99
+        |FROM daily""".stripMargin).head()
+    val sorted = vals.sorted
+    def trueRank(x: Double): Double =
+      sorted.count(_ <= x).toDouble / sorted.length
+    assert(math.abs(trueRank(merged.getDouble(0)) - 0.5) <= 0.05,
+      s"p50 rank ${trueRank(merged.getDouble(0))}")
+    assert(math.abs(trueRank(merged.getDouble(1)) - 0.99) <= 0.05,
+      s"p99 rank ${trueRank(merged.getDouble(1))}")
+  }
+
+  test("kll sketch: state stays O(k log n), not O(n)") {
+    import spark.implicits._
+    val bytes = (1L to 200000L).map(_.toDouble).toDF("v")
+      .selectExpr("kll_sketch_agg(v) AS sk")
+      .head().getAs[Array[Byte]](0)
+    // 200k doubles = 1.6 MB raw; the sketch must stay a few KB
+    assert(bytes.length < 64 * 1024, s"sketch is ${bytes.length} bytes")
+  }
+
   test("reservoir_sample spreads over the stream (no positional bias)") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id").repartition(4)

@@ -117,6 +117,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sq8: encode/intdot round-trip approximates the float dot") {
+    val df = Seq((Array(0.5f, -1.25f, 3.0f, 0.0f), Array(2.0f, 0.75f, -0.5f, 1.0f)))
+      .toDF("a", "b")
+      .select(transform(col("a"), x => x.cast("double")).as("a"),
+        transform(col("b"), x => x.cast("double")).as("b"))
+    def scale(c: org.apache.spark.sql.Column) =
+      array_max(transform(c, x => abs(x))) / 127.0
+    val r = df.select(
+      (scale(col("a")) * scale(col("b")) *
+        graft.functions.Sq8.intDot(
+          graft.functions.Sq8.encode(col("a"), scale(col("a"))),
+          graft.functions.Sq8.encode(col("b"), scale(col("b"))))
+          .cast("double")).as("approx"),
+      graft.functions.ArrayDot(col("a"), col("b")).as("exact")).head()
+    // max-abs int8: relative error per term ≲ 1/127
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) <=
+      math.abs(r.getDouble(1)) * 0.05 + 0.05,
+      s"approx=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    // zero vector → zero codes, no divide-by-zero
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+      .select(graft.functions.Sq8.intDot(
+        graft.functions.Sq8.encode(col("a"), scale(col("a"))),
+        graft.functions.Sq8.encode(col("b"), scale(col("b")))).as("d"))
+      .head().getLong(0)
+    assert(z == 0L)
+  }
+
+  test("sq8 knn: exact scores, dense ranks, high recall vs brute on real corpus") {
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = real.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(real, "vec_id", "embedding", queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq8 = Similarity.knnSq8(real, "vec_id", "embedding", queries,
+      k = 5, refine = 4)
+    // returned scores must be the exact float cosine of that pair
+    val n = real.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val q = real.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val mismatched = sq8.join(n, "neighbor_id").join(q, "query_id")
+      .withColumn("expected",
+        round(Similarity.cosine(col("qv"), col("nv")), 6))
+      .filter(col("cos") =!= col("expected")).count()
+    assert(mismatched == 0)
+    sq8.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .collect().foreach { r =>
+        assert(r.getInt(1) == 1 && r.getInt(2) == r.getLong(3).toInt)
+      }
+    // int8 barely perturbs 64-dim rankings; with refine=4 recall ≈ 1
+    val common = sq8.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute)
+    assert(common.size.toDouble / brute.size >= 0.9,
+      s"recall collapsed: ${common.size}/${brute.size}")
+  }
+
   test("multi-table lsh knn scores candidates exactly; recall vs brute on real corpus") {
     val real = graft.sources.Tables.load(spark, sf, "embeddings")
     val queries = real.filter(col("vec_id") < 5)
