@@ -5,7 +5,8 @@ package graft.queries
 object Registry {
   lazy val all: Seq[Q] =
     Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
-      MlQueries.all ++ MultimodalQueries.all ++ OperatorQueries.all
+      MlQueries.all ++ MultimodalQueries.all ++ OperatorQueries.all ++
+      TrainingDataQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

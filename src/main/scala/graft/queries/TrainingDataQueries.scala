@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.scaleops.TrainingData
+import graft.sources.Tables
+
+/** Harness queries for the training-data curation operators
+  * ([[graft.scaleops.TrainingData]]). The synthetic corpus carries no
+  * real PII, so the PII query injects deterministic synthetic PII
+  * derived from `doc_id` — both engines derive the identical text, so
+  * detection AND redaction stay hash-checkable. */
+object TrainingDataQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** doc_id-keyed synthetic PII: every 5th doc an email, 7th a phone,
+    * 11th an IP, 13th a card. */
+  private def withPii(d: DataFrame): DataFrame =
+    d.withColumn("text2", concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" from 192.168.1.77")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" card 4111 1111 1111 1111"))
+        .otherwise(lit(""))))
+
+  /** Per-source PII audit: hit counts per class on the raw text, and
+    * the engine-witnessed `all_redacted` flag — re-running detection
+    * on the REDACTED text must find zero residual hits (a broken
+    * pattern or replacement order flips it). */
+  def piiRedact(s: SparkSession, d: String): DataFrame = {
+    val base = withPii(docs(s, d))
+    val counts = TrainingData.piiCounts(col("text2"))
+    val redacted = TrainingData.piiRedact(col("text2"))
+    val residual = TrainingData.piiCounts(redacted)
+      .map(_._2).reduce(_ + _)
+    base
+      .select(Seq(col("source"), residual.as("resid")) ++
+        counts.map { case (n, c) => c.as(n) }: _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("n_card")).as("n_cards"),
+        (sum(col("resid")) === 0).as("all_redacted"))
+  }
+
+  private val piiInjectSql: String =
+    """SELECT source,
+      |  text
+      |  || CASE WHEN doc_id % 5 = 0
+      |       THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |  || CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END
+      |  || CASE WHEN doc_id % 11 = 0 THEN ' from 192.168.1.77' ELSE '' END
+      |  || CASE WHEN doc_id % 13 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+      |  AS text2
+      |FROM documents""".stripMargin
+
+  val piiRedactOracle: String = {
+    val pats = TrainingData.piiPatterns.map { case (pat, tag) =>
+      val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      // single-quoted SQL string: escape embedded quotes (none) only
+      s"CAST(SUM(len(regexp_extract_all(text2, '$pat'))) AS BIGINT) AS n_${name}s"
+    }
+    // assembled with plain concatenation — stripMargin over interpolated
+    // SQL would eat the leading `|` of a `||` concat at line starts
+    "WITH t AS (" + piiInjectSql + ")\n" +
+      "SELECT source, COUNT(*) AS n_docs,\n  " +
+      pats.mkString(",\n  ") +
+      ",\n  TRUE AS all_redacted\nFROM t GROUP BY source"
+  }
+
+  // ---- repetition metrics ----------------------------------------------
+
+  /** Per-doc repetition metrics for a bounded id range (the detail
+    * report shape; the thresholds are the Gopher-style gate). */
+  def repetition(s: SparkSession, d: String): DataFrame =
+    TrainingData.repetitionMetrics(
+      docs(s, d).filter(col("doc_id") < 20), "doc_id", "text")
+
+  val repetitionOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 20),
+      |m AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(generate_series(1, len(toks) - 1),
+      |        i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE [] END AS bigrams
+      |  FROM base),
+      |bg AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, UNNEST(bigrams) AS bigram FROM m)
+      |  GROUP BY doc_id, bigram),
+      |top AS (SELECT doc_id, MAX(cnt) AS top_cnt FROM bg GROUP BY doc_id)
+      |SELECT m.doc_id, CAST(m.n_tokens AS INT) AS n_tokens,
+      |  ROUND(1.0 - CAST(m.n_distinct AS DOUBLE) / NULLIF(m.n_tokens, 0), 6)
+      |    AS dup_token_fraction,
+      |  ROUND(CAST(COALESCE(top.top_cnt, 0) AS DOUBLE) * 2.0
+      |    / NULLIF(m.n_tokens, 0), 6) AS top_bigram_fraction,
+      |  (ROUND(1.0 - CAST(m.n_distinct AS DOUBLE) / NULLIF(m.n_tokens, 0), 6) <= 0.95
+      |   AND ROUND(CAST(COALESCE(top.top_cnt, 0) AS DOUBLE) * 2.0
+      |     / NULLIF(m.n_tokens, 0), 6) <= 0.2) AS passed
+      |FROM m LEFT JOIN top USING (doc_id)""".stripMargin
+
+  // ---- deterministic mixture sampling -----------------------------------
+
+  private val mixFractions = Map(
+    "src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.1, "src3" -> 0.75)
+
+  /** Per-source kept counts under the deterministic mixture filter —
+    * the oracle reproduces the keep rule arithmetically, so the whole
+    * sample is pinned (not just its size). */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    TrainingData.mixtureSample(docs(s, d), "doc_id", "source", mixFractions)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+
+  val mixtureSampleOracle: String = {
+    val fracSql = mixFractions.foldLeft("1.0") { case (acc, (g, f)) =>
+      s"CASE WHEN source = '$g' THEN $f ELSE $acc END"
+    }
+    s"""SELECT source, COUNT(*) AS n_kept,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |FROM documents
+       |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < ($fracSql) * 1000
+       |GROUP BY source""".stripMargin
+  }
+
+  // ---- contamination screen ---------------------------------------------
+
+  /** Benchmark-contamination screen: src19 is the held-out benchmark;
+    * corpus docs sharing ≥ 2 distinct word trigrams with any
+    * benchmark doc are flagged with their strongest match (this
+    * corpus' trigram overlap tops out at 3 shared — threshold 2
+    * flags the ~90-doc tail, exercising both branches). */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    TrainingData.contamination(
+      all.filter(col("source") =!= "src19"),
+      all.filter(col("source") === "src19"),
+      "doc_id", "text", shingleK = 3, minShared = 2)
+  }
+
+  val contaminationOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(CASE WHEN len(toks) >= 3
+      |      THEN list_transform(generate_series(1, len(toks) - 2),
+      |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END) AS s
+      |  FROM (SELECT doc_id, source,
+      |          string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)),
+      |hits AS (
+      |  SELECT c.doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+      |  FROM (SELECT doc_id, UNNEST(s) AS shingle FROM sh
+      |        WHERE source <> 'src19') c
+      |  JOIN (SELECT doc_id, UNNEST(s) AS shingle FROM sh
+      |        WHERE source = 'src19') b USING (shingle)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT doc_id, bench_id AS top_bench_id, n_shared
+      |FROM hits
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+      |  ORDER BY n_shared DESC, bench_id ASC) = 1""".stripMargin
+
+  // ---- sequence packing -------------------------------------------------
+
+  /** Concatenate-then-chunk packing into 512-token sequences, shards
+    * = sources (per-shard windows — no global sort at any scale). */
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    TrainingData.packSequences(docs(s, d), "doc_id", "text",
+      shardCol = "source", seqLen = 512)
+
+  val packSequencesOracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM t),
+      |q AS (
+      |  SELECT source, n_tokens,
+      |    CAST(FLOOR(prior / 512) AS BIGINT) AS seq_id
+      |  FROM p)
+      |SELECT source AS shard, seq_id,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  seq_id * 512 AS starts_at_token
+      |FROM q GROUP BY 1, 2""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("text_pii_redact", piiRedact, Some(piiRedactOracle)),
+    Q("text_repetition", repetition, Some(repetitionOracle)),
+    Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
+    Q("docs_contamination", contamination, Some(contaminationOracle)),
+    Q("docs_pack_sequences", packSequences, Some(packSequencesOracle)))
+}

@@ -1,0 +1,196 @@
+package graft.scaleops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators — the pipeline stages between raw
+  * crawl and tokenizer that the reference's analytics surface never
+  * had but any 100 TB corpus build needs (north-star additions,
+  * SURVEY.md §2.5): PII redaction, repetition-based quality gates,
+  * deterministic mixture sampling, contamination screening, and
+  * sequence packing.
+  *
+  * Design rules shared by every op here:
+  *   - pure codegen'd built-ins on the per-row path (regexes, array
+  *     ops) — zero shuffles until an aggregate the caller asks for;
+  *   - any randomness is replaced by deterministic arithmetic on ids
+  *     (reproducible AND expressible in the DuckDB oracle);
+  *   - window functions are always partitioned (per-source), never a
+  *     global single-task sort.
+  */
+object TrainingData {
+
+  // ---- PII redaction ----------------------------------------------------
+
+  /** (pattern, replacement) pairs — simple RE2/Java-common syntax so
+    * the same regex runs in Spark and the SQL oracle. Order matters:
+    * cards before phones (a 16-digit run would otherwise match the
+    * phone pattern first). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
+    "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}" -> "<CARD>",
+    "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+
+  /** Replace every PII occurrence with its tag. One pass per pattern
+    * class, all inside WholeStageCodegen. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Count of PII hits per class (before redaction) — the audit
+    * columns a curation report needs. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (pat, tag) =>
+      val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      s"n_$name" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+
+  // ---- repetition / quality gates ---------------------------------------
+
+  /** Gopher-style repetition metrics per document:
+    *   - dup_token_fraction: 1 − distinct/total tokens (word-level
+    *     repetition);
+    *   - top_bigram_fraction: tokens covered by the single most
+    *     frequent bigram / total tokens (boilerplate loops);
+    * plus the pass flag at the given thresholds. All relational
+    * (explode → count → max), so the oracle can recompute exactly. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+                        maxDupTokens: Double = 0.95,
+                        maxTopBigram: Double = 0.2): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val base = docs.select(col(idCol), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_distinct", size(array_distinct(col("toks"))))
+    val bigrams = base.select(col(idCol), col("n_tokens"),
+      explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    val topBigram = bigrams.groupBy(idCol, "n_tokens", "bigram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(idCol, "n_tokens").agg(max(col("cnt")).as("top_bigram_cnt"))
+    base.join(topBigram, Seq(idCol, "n_tokens"), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          nullif(col("n_tokens"), lit(0)), 6).as("dup_token_fraction"),
+        round(coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") * 2.0 /
+          nullif(col("n_tokens"), lit(0)), 6).as("top_bigram_fraction"))
+      .withColumn("passed",
+        col("dup_token_fraction") <= maxDupTokens &&
+          col("top_bigram_fraction") <= maxTopBigram)
+  }
+
+  // ---- deterministic mixture sampling -----------------------------------
+
+  /** Domain-mixture downsampling with deterministic id arithmetic in
+    * place of RNG: keep a row iff `((id mod 1000003) · PRIME) mod
+    * 1000 < fraction · 1000`. Reproducible across engines and runs,
+    * stable under repartitioning (a fraction-based `sample` is
+    * neither), and exactly expressible in the oracle. The inner mod
+    * bounds the product at ~2.6·10^15, so 64-bit arithmetic never
+    * overflows under ANSI mode however large the id space grows. At
+    * 100 TB this is a pure map-side filter — no shuffle, no state. */
+  val mixPrime = 2654435761L // Knuth multiplicative-hash constant
+
+  def mixtureKeep(id: Column, fraction: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * mixPrime, lit(1000L)) < fraction * 1000.0
+
+  /** Apply per-group target fractions (groupCol value → fraction);
+    * groups absent from the map keep everything. */
+  def mixtureSample(docs: DataFrame, idCol: String, groupCol: String,
+                    fractions: Map[String, Double]): DataFrame = {
+    val frac = fractions.foldLeft(lit(1.0)) { case (c, (g, f)) =>
+      when(col(groupCol) === g, lit(f)).otherwise(c)
+    }
+    docs.filter(mixtureKeep(col(idCol), frac))
+  }
+
+  // ---- contamination screening ------------------------------------------
+
+  /** Benchmark-contamination screen: corpus docs sharing at least
+    * `minShared` distinct word k-shingles with ANY benchmark doc.
+    * Both sides explode to (shingle, id) and meet in one equi-join on
+    * the shingle — an inverted-index probe, not a pairwise scan; the
+    * benchmark side is small (broadcast). Returns one row per
+    * contaminated corpus doc with the strongest benchmark match.
+    *
+    * `maxDf` is the skew guard for corpus scale: a shingle occurring
+    * in more than `maxDf` corpus docs (a boilerplate phrase) would
+    * fan the probe join out by its document frequency — at 100 TB a
+    * single hot trigram can emit billions of join rows while carrying
+    * no contamination signal. Capped shingles are dropped from BOTH
+    * sides (the screen loses only matches made exclusively of
+    * boilerplate). None = exact semantics, what the oracle checks. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, shingleK: Int = 3,
+                    minShared: Int = 2, maxDf: Option[Long] = None): DataFrame = {
+    def shingled(df: DataFrame, as: String) =
+      df.select(col(idCol).as(s"${as}_id"),
+        explode(graft.functions.WordShingles(lower(col(textCol)), shingleK))
+          .as("shingle"))
+        .distinct()
+    val corpusSh = maxDf match {
+      case None => shingled(corpus, "doc")
+      case Some(cap) =>
+        val sh = shingled(corpus, "doc")
+        val hot = sh.groupBy("shingle")
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap)
+          .select("shingle")
+        // left_anti keeps the inverted index bounded per key
+        sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val benchSh = maxDf match {
+      case None => shingled(benchmark, "bench")
+      case Some(_) =>
+        // same cap on the broadcast side, by corpus df
+        shingled(benchmark, "bench")
+          .join(corpusSh.select("shingle").distinct(), Seq("shingle"),
+            "left_semi")
+    }
+    val hits = corpusSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    hits.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("bench_id").as("top_bench_id"),
+        col("n_shared"))
+  }
+
+  // ---- sequence packing -------------------------------------------------
+
+  /** Pack documents into fixed-length training sequences by
+    * concatenate-then-chunk (the standard LM pretraining layout): an
+    * in-shard running token total assigns each doc a starting
+    * sequence `floor(prior_tokens / seqLen)`. The cumsum window is
+    * PARTITIONED (per `shardCol` — shards pack independently, as
+    * real tokenizer jobs do), so no global single-task sort exists at
+    * any scale. Returns per-sequence occupancy: docs whose text
+    * STARTS in the sequence, token fill, and the fill ratio
+    * (sequences except each shard's last should be ≥ 1.0 − fit
+    * slack). */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, seqLen: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(shardCol).orderBy(col(idCol))
+    val packed = docs
+      .select(col(shardCol), col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("prior",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("seq_id", floor(col("prior") / seqLen))
+    packed.groupBy(col(shardCol).as("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("starts_at_token", col("seq_id") * seqLen)
+  }
+}

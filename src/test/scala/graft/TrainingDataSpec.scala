@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scaleops.TrainingData
+
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pii: each class detected and redacted; order protects card digits") {
+    val df = Seq(
+      (1L, "mail me at a.b-c@mail.example.org today"),
+      (2L, "call +1 555-123-4567 or 555-987-6543"),
+      (3L, "server 10.0.255.3 responded"),
+      (4L, "card 4111 1111 1111 1111 on file"),
+      (5L, "nothing sensitive here")).toDF("id", "text")
+    val counted = df.select(Seq(col("id"),
+      TrainingData.piiRedact(col("text")).as("red")) ++
+      TrainingData.piiCounts(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(counted(1L).getAs[String]("red").contains("<EMAIL>"))
+    assert(counted(2L).getAs[Int]("n_phone") == 2)
+    assert(counted(3L).getAs[String]("red") == "server <IP> responded")
+    // the 16-digit run must become CARD, not a partial PHONE match
+    assert(counted(4L).getAs[String]("red") == "card <CARD> on file")
+    assert(counted(4L).getAs[Int]("n_card") == 1)
+    assert(counted(5L).getAs[String]("red") == "nothing sensitive here")
+    // residual scan of redacted text finds nothing
+    val resid = df.select(TrainingData.piiCounts(
+      TrainingData.piiRedact(col("text"))).map(_._2).reduce(_ + _).as("r"))
+      .agg(sum("r")).head().getLong(0)
+    assert(resid == 0L)
+  }
+
+  test("repetition metrics: clean vs degenerate documents separate") {
+    val df = Seq(
+      // 24 distinct tokens: top bigram covers 2/24 < 0.2 (the gate is
+      // meant for documents, not fragments — at n < 10 even unique
+      // text has top-bigram fraction 2/n > 0.2)
+      (1L, ('a' to 'x').map(c => s"$c$c").mkString(" ")),
+      (2L, "spam spam spam spam spam spam spam spam"),
+      (3L, "buy now buy now buy now buy now")).toDF("doc_id", "text")
+    val m = TrainingData.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("passed"))
+    assert(m(2L).getAs[Double]("dup_token_fraction") > 0.8)
+    assert(!m(2L).getAs[Boolean]("passed"))
+    // "buy now" covers nearly all tokens → top-bigram gate trips even
+    // though there are two distinct tokens
+    assert(m(3L).getAs[Double]("top_bigram_fraction") > 0.9)
+    assert(!m(3L).getAs[Boolean]("passed"))
+  }
+
+  test("mixture sample: deterministic, repartition-stable, tracks fractions") {
+    val docs = (0L until 4000L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val frac = Map("g0" -> 0.25, "g1" -> 0.5, "g2" -> 1.0)
+    val once = TrainingData.mixtureSample(docs, "id", "g", frac)
+      .select("id").as[Long].collect().toSet
+    val again = TrainingData.mixtureSample(docs.repartition(7), "id", "g", frac)
+      .select("id").as[Long].collect().toSet
+    assert(once == again) // stable under partitioning, unlike sample()
+    val byGroup = TrainingData.mixtureSample(docs, "id", "g", frac)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byGroup("g0") - 250.0) < 60, s"g0=${byGroup("g0")}")
+    assert(math.abs(byGroup("g1") - 500.0) < 60, s"g1=${byGroup("g1")}")
+    assert(byGroup("g2") == 1000L)      // fraction 1.0 keeps all
+    assert(byGroup("g3") == 1000L)      // unlisted group keeps all
+  }
+
+  test("contamination: verbatim overlap flagged, disjoint text clean") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated words appear here instead now")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps high")).toDF("doc_id", "text")
+    val hits = TrainingData.contamination(corpus, bench, "doc_id", "text",
+      shingleK = 3, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hits.toSeq == Seq((1L, 100L, 2L))) // "quick brown fox", "brown fox jumps"
+  }
+
+  test("contamination maxDf guard: boilerplate shingles dropped, real overlap kept") {
+    // "terms of service apply" appears in EVERY corpus doc (hot
+    // shingle); doc 1 also shares genuine content with the benchmark
+    val corpus = (1L to 20L).map { i =>
+      val unique = if (i == 1L) "quick brown fox jumps over dogs"
+        else s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"
+      (i, s"$unique terms of service apply")
+    }.toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "quick brown fox jumps high terms of service apply"))
+      .toDF("doc_id", "text")
+    // uncapped: every doc matches via the boilerplate tail
+    val uncapped = TrainingData.contamination(corpus, bench, "doc_id", "text",
+      shingleK = 3, minShared = 2).count()
+    assert(uncapped == 20L)
+    // capped at df 5: boilerplate shingles vanish, only doc 1's real
+    // overlap ("quick brown fox", "brown fox jumps") survives
+    val capped = TrainingData.contamination(corpus, bench, "doc_id", "text",
+      shingleK = 3, minShared = 2, maxDf = Some(5L))
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(capped.toSeq == Seq((1L, 2L)), s"got ${capped.toSeq}")
+  }
+
+  test("packing: per-shard sequences fill before opening the next") {
+    val docs = (0L until 60L).map(i => (i, s"s${i % 2}",
+      Seq.fill(10)("tok").mkString(" "))).toDF("doc_id", "shard0", "text")
+    val packed = TrainingData.packSequences(docs, "doc_id", "text",
+      shardCol = "shard0", seqLen = 64)
+      .orderBy("shard", "seq_id").collect()
+    // 30 docs × 10 tokens per shard = 300 tokens → sequences 0..4
+    val byShard = packed.groupBy(_.getString(0))
+    byShard.foreach { case (_, rows) =>
+      val seqIds = rows.map(_.getLong(1)).toSeq
+      assert(seqIds == (0L to 4L), s"seq ids $seqIds")
+      // every sequence starts at its exact token boundary
+      rows.foreach { r => assert(r.getLong(4) == r.getLong(1) * 64) }
+      // full sequences carry >= floor(64/10) docs
+      assert(rows.init.forall(_.getLong(2) >= 6))
+    }
+    assert(packed.map(_.getLong(2)).sum == 60L) // every doc lands once
+  }
+}
