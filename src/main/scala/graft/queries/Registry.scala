@@ -6,7 +6,7 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ OperatorQueries.all ++
-      TrainingDataQueries.all
+      TrainingDataQueries.all ++ StreamingQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

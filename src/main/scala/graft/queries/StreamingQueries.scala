@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.EventsStream
+import QUtil._
+
+/** Structured Streaming queries IN the correctness gate: each runs a
+  * real streaming job (readStream → transform → memory sink) over the
+  * events parquet as a bounded replay (`Trigger.AvailableNow`), then
+  * returns the sink table — which the DuckDB oracle checks against
+  * the equivalent batch SQL. This pins the batch/stream equivalence
+  * the engine claims (SURVEY §2.5) inside the driver gate itself, not
+  * just in StreamingSpec.
+  *
+  * Output-mode discipline: gate queries use `complete` for windowed
+  * aggregations (every window emitted at termination — bounded replay
+  * ≡ batch exactly; `append` would hold back windows newer than the
+  * final watermark). The production append-mode forms with
+  * watermark eviction stay pinned by StreamingSpec — same transforms,
+  * different sink mode.
+  */
+object StreamingQueries {
+
+  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+  }
+
+  /** Streaming tumbling 1-day windows per type (complete mode) — the
+    * streaming twin of `events_tumbling_window`; the oracle is the
+    * same batch SQL shape. */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+    val agg = ev
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(dec6(col("value"))).as("sum_value"))
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    await(agg.writeStream.format("memory").queryName("st_tumbling")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    s.table("st_tumbling")
+  }
+
+  val streamTumblingOracle: String =
+    """SELECT CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP)) / 86400000000) * 86400 AS BIGINT) AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Streaming exact dedup-on-arrival, witnessed end-to-end: the
+    * stream is the events source UNIONED WITH ITSELF (every event
+    * delivered twice — the redelivery scenario dedupStream exists
+    * for), deduped by event_id within the watermark, then counted per
+    * type in batch. A broken dedup doubles the counts; the oracle
+    * recomputes the per-type counts from the single batch table. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val path = s"$d/events.parquet"
+    val once = EventsStream.readEvents(s, path)
+    val twice = once.unionByName(EventsStream.readEvents(s, path))
+    val deduped = EventsStream.dedupStream(twice, "event_id")
+      .select("event_id", "event_type")
+    await(deduped.writeStream.format("memory").queryName("st_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    s.table("st_dedup")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("event_id")).as("n_distinct"))
+  }
+
+  val streamDedupOracle: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(DISTINCT event_id) AS n_distinct
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Stream-stream interval join (purchases × preceding-hour clicks,
+    * dual watermarks) under bounded replay, aggregated per purchase —
+    * the streaming twin of `range_join_clicks`' pair semantics,
+    * reduced to per-type totals so the append-mode inner join's
+    * emit-on-match rows land in a deterministic shape. */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+    val joined = EventsStream.purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+    await(joined.writeStream.format("memory").queryName("st_ssjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    s.table("st_ssjoin")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases_matched"),
+        moneySum(dec6(col("click_value"))).as("sum_click_value"))
+  }
+
+  val streamIntervalJoinOracle: String =
+    """WITH p AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS c_us,
+      |    CAST(value AS DECIMAL(18,6)) AS v
+      |  FROM events WHERE event_type = 'click')
+      |SELECT COUNT(*) AS n_pairs,
+      |  COUNT(DISTINCT p.event_id) AS n_purchases_matched,
+      |  CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_click_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
+    Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),
+    Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)))
+}

@@ -19,11 +19,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object EventsStream {
 
   /** Streaming scan of an events parquet path. The ns-timestamp
-    * rebuild mirrors `Tables.load`. */
+    * rebuild mirrors `Tables.load`. The streaming file source only
+    * accepts directories — a single-file path routes through its
+    * parent with a `pathGlobFilter`, so the same table location works
+    * for both the batch and streaming halves of a pipeline. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(schema).parquet(path)
+    val f = new java.io.File(path)
+    val raw =
+      if (f.isFile)
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+      else spark.readStream.schema(schema).parquet(path)
     if (schema.fieldNames.contains("ts"))
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
