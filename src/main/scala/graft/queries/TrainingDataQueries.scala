@@ -111,6 +111,26 @@ object TrainingDataQueries {
       |     / NULLIF(m.n_tokens, 0), 6) <= 0.2) AS passed
       |FROM m LEFT JOIN top USING (doc_id)""".stripMargin
 
+  /** Corpus-unigram cross-entropy for a bounded id range — the
+    * perplexity-style quality signal (the LM is the corpus itself, so
+    * the whole computation is relational and oracle-checkable). */
+  def unigramLogprob(s: SparkSession, d: String): DataFrame =
+    TrainingData.unigramCrossEntropy(docs(s, d), "doc_id", "text")
+      .filter(col("doc_id") < 20)
+
+  val unigramLogprobOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT term, COUNT(*) AS cnt FROM t GROUP BY term),
+      |tot AS (SELECT COUNT(*) AS total FROM t)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(ROUND(-LOG2(CAST(cnt AS DOUBLE) / total), 9)
+      |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS bits_per_token
+      |FROM t JOIN tf USING (term) CROSS JOIN tot
+      |WHERE doc_id < 20 GROUP BY doc_id""".stripMargin
+
   // ---- deterministic mixture sampling -----------------------------------
 
   private val mixFractions = Map(
@@ -206,6 +226,7 @@ object TrainingDataQueries {
   val all: Seq[Q] = Seq(
     Q("text_pii_redact", piiRedact, Some(piiRedactOracle)),
     Q("text_repetition", repetition, Some(repetitionOracle)),
+    Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
     Q("docs_contamination", contamination, Some(contaminationOracle)),
     Q("docs_pack_sequences", packSequences, Some(packSequencesOracle)))

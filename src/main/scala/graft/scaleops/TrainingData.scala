@@ -83,6 +83,33 @@ object TrainingData {
           col("top_bigram_fraction") <= maxTopBigram)
   }
 
+  /** Per-document cross-entropy (bits/token) under the corpus's OWN
+    * unigram distribution — the relational stand-in for LM-perplexity
+    * quality filtering (docs far above the corpus-typical rate are
+    * gibberish/rare-token soup; far below are boilerplate). Two
+    * aggregates (term counts, total) + one term-keyed join; every
+    * stage map-side-combinable. Per-term surprisals are rounded to
+    * 9 dp and summed as DECIMAL so the per-doc total is associative —
+    * exact under any partitioning AND reproducible by the SQL oracle
+    * (a raw double sum would be partition-order-dependent). */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = terms.agg(count(lit(1)).as("total"))
+    val surprisal = round(-log2(col("cnt").cast("double") / col("total")), 9)
+      .cast(DecimalType(18, 9))
+    terms.join(tf, "term").crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(surprisal).as("bits"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("bits").cast("double") / col("n_tokens"), 6)
+          .as("bits_per_token"))
+  }
+
   // ---- deterministic mixture sampling -----------------------------------
 
   /** Domain-mixture downsampling with deterministic id arithmetic in

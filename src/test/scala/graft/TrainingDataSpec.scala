@@ -78,6 +78,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(hits.toSeq == Seq((1L, 100L, 2L))) // "quick brown fox", "brown fox jumps"
   }
 
+  test("unigram cross-entropy: hand-computed bits; rare tokens score higher") {
+    // corpus: 8 tokens total — "a"×4 (p=1/2, 1 bit), "b"×2 (p=1/4,
+    // 2 bits), "c","d" ×1 (p=1/8, 3 bits)
+    val df = Seq(
+      (1L, "a a a a"),          // 4×1 bit → 1.0 bits/token
+      (2L, "b b c d")).toDF("doc_id", "text") // (2+2+3+3)/4 = 2.5
+    val m = TrainingData.unigramCrossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m(1L) == (4L, 1.0))
+    assert(m(2L) == (4L, 2.5))
+  }
+
   test("contamination maxDf guard: boilerplate shingles dropped, real overlap kept") {
     // "terms of service apply" appears in EVERY corpus doc (hot
     // shingle); doc 1 also shares genuine content with the benchmark
