@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ArrayDot, KllMergeAgg, KllQuantile, KllSketchAgg, ReservoirSample, SortedIntersectCount, WordShingles}
+import graft.functions.{ArrayDot, CmsEstimate, KllMergeAgg, KllQuantile, KllSketchAgg, ReservoirSample, SortedIntersectCount, WordShingles}
 
 /** SparkSessionExtensions entry point: exposes the engine's custom
   * Catalyst expressions to plain SQL users —
@@ -95,6 +95,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (children.length == 3)
           intLit(children(2), "kll_merge_agg", "seed") else 42L
         KllMergeAgg(children.head, k, seed).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "cms_estimate(sketch, value) takes 2 arguments")
+        CmsEstimate(children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.LongType))
       }))
     ext.injectFunction((
       FunctionIdentifier("kll_quantile"),

@@ -575,6 +575,45 @@ object Events {
       |FROM r GROUP BY user_id, event_type, island
       |HAVING COUNT(*) >= 3""".stripMargin
 
+  /** Count–Min frequency sketching certified: per-type CMS over
+    * rounded values (Spark's own `count_min_sketch` aggregate, read
+    * back through the custom [[graft.functions.CmsEstimate]]), probed
+    * at the exact top-3 heavy hitters per type. The exact counts are
+    * oracle-recomputed; the witnesses pin the CMS guarantee —
+    * estimate never undercounts, and overcounts by at most ε·N
+    * (ε = 0.001, N = per-type rows). The frequency member of the
+    * sketch trio (HLL cardinality / KLL quantiles / CMS counts), all
+    * three re-aggregatable binaries. */
+  def cmsFrequency(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("value").isNotNull)
+      .withColumn("val", round(col("value"), 0).cast("long"))
+    val sketches = e.groupBy("event_type")
+      .agg(expr("count_min_sketch(val, 0.001d, 0.99d, 42)").as("cms"),
+        count(lit(1)).as("n_type"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cnt").desc, col("val").asc)
+    val top = e.groupBy("event_type", "val")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 3)
+    top.join(broadcast(sketches), "event_type")
+      .withColumn("est", graft.functions.CmsEstimate(col("cms"), col("val")))
+      .select(col("event_type"), col("rank"), col("val"), col("cnt"),
+        (col("est") >= col("cnt")).as("cms_lower_ok"),
+        (col("est") <= col("cnt") + ceil(col("n_type") * 0.001))
+          .as("cms_eps_ok"))
+  }
+
+  val cmsFrequencyOracle: String =
+    """WITH g AS (
+      |  SELECT event_type, CAST(ROUND(value, 0) AS BIGINT) AS val,
+      |    COUNT(*) AS cnt
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY cnt DESC, val ASC) AS INT) AS rank, val, cnt,
+      |  TRUE AS cms_lower_ok, TRUE AS cms_eps_ok
+      |FROM g QUALIFY rank <= 3""".stripMargin
+
   /** One-pass uniform k-sample of event ids per type via the custom
     * mergeable ReservoirSample aggregate — O(k) state at every stage.
     * Certified: per-type sample size must be exactly min(k, n_type)
@@ -715,6 +754,7 @@ object Events {
     Q("events_pivot_dynamic", pivotDynamic, Some(pivotDynamicOracle)),
     Q("events_path_trigrams", pathTrigrams, Some(pathTrigramsOracle)),
     Q("events_top_values", topValuesByType, Some(topValuesOracle)),
+    Q("events_cms_frequency", cmsFrequency, Some(cmsFrequencyOracle)),
     Q("events_cogroup_funnel", cogroupClickPurchase, Some(cogroupOracle)),
     Q("events_gap_islands", gapIslands, Some(gapIslandsOracle)),
     Q("ts_ohlc_resample", ohlcResample, Some(ohlcOracle)),

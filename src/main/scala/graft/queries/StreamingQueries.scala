@@ -106,8 +106,45 @@ object StreamingQueries {
       |FROM p JOIN c ON p.user_id = c.user_id
       |  AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us""".stripMargin
 
+  /** The custom mergeable KLL aggregate RUNNING IN A STREAM: per-type
+    * quantile sketches build incrementally across micro-batches
+    * (complete mode; TypedImperativeAggregate state merges across
+    * triggers exactly as across partitions), then the sketch's p50/p90
+    * certify against the batch truth with the same 5% rank-error
+    * witness as `events_quantile_daily_merge`. */
+  def streamQuantile(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.KllSketch
+    val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+      .filter(col("value").isNotNull)
+    val agg = ev.groupBy("event_type")
+      .agg(KllSketch.agg(col("value")).as("sk"))
+      .select(col("event_type"),
+        KllSketch.quantileOf(col("sk"), 0.5).as("p50_est"),
+        KllSketch.quantileOf(col("sk"), 0.9).as("p90_est"))
+    await(agg.writeStream.format("memory").queryName("st_kll")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    val batch = graft.sources.Tables.load(s, d, "events")
+      .filter(col("value").isNotNull)
+    batch.join(broadcast(s.table("st_kll")), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_values"),
+        sum(when(col("value") <= col("p50_est"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("value") <= col("p90_est"), 1L).otherwise(0L)).as("r90"))
+      .select(col("event_type"), col("n_values"),
+        (abs(col("r50").cast("double") / col("n_values") - 0.5) <= 0.05)
+          .as("p50_rank_ok"),
+        (abs(col("r90").cast("double") / col("n_values") - 0.9) <= 0.05)
+          .as("p90_rank_ok"))
+  }
+
+  val streamQuantileOracle: String =
+    """SELECT event_type, COUNT(*) AS n_values,
+      |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+      |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
     Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),
-    Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)))
+    Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)),
+    Q("stream_quantile_sketch", streamQuantile, Some(streamQuantileOracle)))
 }

@@ -146,6 +146,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bytes.length < 64 * 1024, s"sketch is ${bytes.length} bytes")
   }
 
+  test("cms sketch: never undercounts, tight on distinct-heavy data; SQL path") {
+    import spark.implicits._
+    // 10k values: value i%100 appears 100×, plus a heavy hitter 7
+    val vals = (0 until 10000).map(i => (i % 100).toLong) ++
+      Seq.fill(500)(7L)
+    vals.toDF("v").createOrReplaceTempView("cms_in")
+    val rows = spark.sql(
+      """SELECT v, COUNT(*) AS exact,
+        |  cms_estimate((SELECT count_min_sketch(v, 0.001d, 0.99d, 42)
+        |                FROM cms_in), v) AS est
+        |FROM cms_in GROUP BY v""".stripMargin).collect()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"undercount at ${r.getLong(0)}")
+      assert(est <= exact + math.ceil(10500 * 0.001).toLong + 1,
+        s"overcount at ${r.getLong(0)}: $est vs $exact")
+    }
+    assert(rows.find(_.getLong(0) == 7L).get.getLong(1) == 600L)
+  }
+
   test("reservoir_sample spreads over the stream (no positional bias)") {
     import spark.implicits._
     val df = (1L to 2000L).toDF("id").repartition(4)
