@@ -110,6 +110,45 @@ class PlanSpec extends SparkSpec {
       "bloom Filter node must print deeper in the tree than the join")
   }
 
+  test("pack_sequences: one Exchange (the per-shard window), map-side partials") {
+    val p = plan("docs_pack_sequences")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+    assert(p.contains("partial_count"))
+    // the window is partitioned — the single-task global-sort trap
+    // would print an empty partition spec
+    assert(!p.contains("windowspecdefinition(") ||
+      p.contains("windowspecdefinition(source"))
+  }
+
+  test("contamination: benchmark side broadcast, source filters pushed to scan") {
+    val p = plan("docs_contamination")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("PushedFilters") && p.contains("src19"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("knn_sq8: stage-1 candidate shuffle carries codes, never float vectors") {
+    val df = queries.Registry.byName("knn_sq8").run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the approx-ranking window's exchange must move the byte codes
+    // (neighborq, binary) — the float arrays (neighborv) only join in
+    // for the k·refine survivors after the window filter
+    val lines = p.linesIterator.toVector
+    val exchangeIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(query_id"))
+    assert(exchangeIdx >= 0, "approx window exchange missing")
+    assert(!lines(exchangeIdx).contains("neighborv"),
+      s"float vectors in the candidate shuffle: ${lines(exchangeIdx)}")
+  }
+
+  test("mixture sample: pure map-side filter, no shuffle before the report agg") {
+    val p = plan("docs_mixture_sample")
+    // one exchange for the final groupBy(source); the keep-rule filter
+    // itself adds none
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+    assert(p.contains("partial_count") || p.contains("partial_sum"))
+  }
+
   test("stratified sample: the mod predicate reaches the scan's data filters") {
     val p = plan("events_stratified_sample")
     // not pushable into parquet (CASE on another column), but must sit
