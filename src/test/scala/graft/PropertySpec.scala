@@ -79,6 +79,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("KLL rank error holds under adversarial input orders") {
+    // random-halving sketches are stressed hardest by sorted streams
+    // (every compaction drops correlated neighbors); the 5% bound the
+    // gate certifies must hold for ascending, descending, and
+    // organ-pipe orders, not just shuffled data
+    val n = 30000
+    val base = (1 to n).map(_.toDouble)
+    val orders = Map(
+      "asc" -> base,
+      "desc" -> base.reverse,
+      "organ-pipe" -> (base.grouped(2).map(_.head).toSeq ++
+        base.grouped(2).flatMap(_.tail).toSeq.reverse))
+    orders.foreach { case (name, vals) =>
+      import graft.functions.KllSketch
+      val sk = vals.toDF("v").coalesce(1) // single partition: stream order preserved
+        .agg(KllSketch.agg(col("v")).as("sk"))
+        .select(KllSketch.quantileOf(col("sk"), 0.5).as("p50"),
+          KllSketch.quantileOf(col("sk"), 0.9).as("p90"))
+        .head()
+      def rankErr(est: Double, q: Double) =
+        math.abs(est / n - q) // values are 1..n, so rank(v) = v/n
+      assert(rankErr(sk.getDouble(0), 0.5) <= 0.05,
+        s"$name p50 ${sk.getDouble(0)}")
+      assert(rankErr(sk.getDouble(1), 0.9) <= 0.05,
+        s"$name p90 ${sk.getDouble(1)}")
+    }
+  }
+
   test("F1 from confusion counts equals the direct formula on random labels") {
     samples(Gen.listOfN(30, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1))), 6)
       .foreach { pairs =>
