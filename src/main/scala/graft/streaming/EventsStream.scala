@@ -90,6 +90,52 @@ object EventsStream {
       }
   }
 
+  /** The same session semantics as [[statefulSessions]] on the MODERN
+    * arbitrary-state API (Spark 4 `transformWithState`): typed
+    * `ValueState` via a `StatefulProcessor` — the API that adds state
+    * TTL, timers, and schema evolution over `flatMapGroupsWithState`,
+    * and the one new pipelines should target. Requires the RocksDB
+    * state store provider (the operator rejects the default HDFS-
+    * backed store); callers set
+    * `spark.sql.streaming.stateStore.providerClass` accordingly.
+    * StreamingSpec pins its output equal to the fMGWS twin. */
+  class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var sess: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val sorted = rows.map(_._2).toArray.sorted
+      var (lastUs, n) = if (sess.exists()) sess.get() else (Long.MinValue, 0L)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { us =>
+        if (lastUs != Long.MinValue && us - lastUs >= gapUs) {
+          closed += ((user, n)); n = 0L
+        }
+        n += 1; lastUs = us
+      }
+      sess.update((lastUs, n))
+      closed.iterator
+    }
+  }
+
+  def twsSessions(events: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(1800000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup on a key ALONE (a redelivery with a
     * re-stamped/jittered ts is still the same event):
     * `dropDuplicatesWithinWatermark` keys state by `keyCol` only and

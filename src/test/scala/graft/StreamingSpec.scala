@@ -123,6 +123,37 @@ class StreamingSpec extends SparkSpec {
     assert(closed + users == batchTotal)
   }
 
+  test("transformWithState sessions equal the flatMapGroupsWithState twin") {
+    // the modern API needs the RocksDB state store; per-query conf,
+    // set before start and restored after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = EventsStream.startMemorySink(
+        EventsStream.twsSessions(EventsStream.readEvents(spark, streamDir))
+          .toDF("user_id", "sess_events"),
+        "tws_out", "append")
+      q.processAllAvailable(); q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    val q2 = EventsStream.startMemorySink(
+      EventsStream.statefulSessions(EventsStream.readEvents(spark, streamDir))
+        .toDF("user_id", "sess_events"),
+      "fmgws_out", "append")
+    q2.processAllAvailable(); q2.stop()
+    val tws = spark.table("tws_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val fmgws = spark.table("fmgws_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(tws.nonEmpty && tws == fmgws)
+  }
+
   test("streaming session windows agree with the batch lag/cumsum sessionization") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.startMemorySink(
