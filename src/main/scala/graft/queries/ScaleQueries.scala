@@ -361,6 +361,35 @@ object ScaleQueries {
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk""".stripMargin
 
+  /** IVF×SQ8 composed ANN (cells bound the candidates, int8 codes
+    * bound the bytes, exact refine restores scores — faiss
+    * `IVF8,SQ8` shape) certified against brute top-k at the same
+    * routing as knn_ivf (nProbe 3 of nList 8). Measured recall
+    * (RecallProbe) is IDENTICAL to plain IVF at every SF —
+    * 0.84 / 0.66 / 0.70 at sf0.001 / 0.01 / 0.1 — i.e. the SQ8 +
+    * refine stage loses nothing; all loss is cell routing. Bound
+    * 0.6. */
+  def knnIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    knnCertify(
+      Similarity.knnIvfSq8(emb, "vec_id", "embedding", q, k = 5,
+        nList = 8, nProbe = 3, refine = 4),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.6)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(8).as("n_list"), lit(3).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfSq8Oracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  8 AS n_list, 3 AS n_probe,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
   /** IVF at nProbe = nList degenerates to exact search, so the
     * brute-force oracle applies — this pins the whole IVF path
     * (build, cell routing, scoring) to a hash-match, while `knn_ivf`
@@ -918,6 +947,7 @@ object ScaleQueries {
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
+    Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),

@@ -293,6 +293,73 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** IVF × SQ8 composed ANN — the standard vector-store architecture
+    * (faiss `IVF<n>,SQ8`): IVF cells bound WHICH vectors each query
+    * scores (`nProbe` of `nList`), SQ8 codes bound the BYTES each
+    * scoring touches (64 B vs 256 B), and the exact float re-rank of
+    * the k·refine survivors restores exact scores. At 100 TB the two
+    * dials multiply: a 4/16-probe over int8 codes reads ~1/16th the
+    * bytes of brute-force float scan. Composed from [[ivfBuild]] +
+    * the [[graft.functions.Sq8]] kernels — no new machinery. */
+  def knnIvfSq8(emb: DataFrame, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int, nList: Int = 16,
+                nProbe: Int = 4, refine: Int = 4,
+                seed: Long = 42L): DataFrame = {
+    import graft.functions.Sq8
+    val index = ivfBuild(emb, idCol, vecCol, nList, seed)
+    val spark = index.indexed.sparkSession
+    def enc(v: Column): Column = {
+      val scale = array_max(transform(v, x => abs(x))) / 127.0
+      Sq8.encode(v, scale)
+    }
+    // codes computed once per corpus row; the scoring join reads only
+    // (cell, id, codes, selfdot)
+    val codes = index.indexed.select(col("cell"), col("neighbor_id"),
+      enc(col("neighborv")).as("nq"))
+      .withColumn("nqn", sqrt(Sq8.intDot(col("nq"), col("nq")).cast("double")))
+    // nProbe nearest cells per query (same routing as ivfSearch)
+    val centroids = index.model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centDf = broadcast(spark.createDataFrame(centroids)
+      .toDF("cell", "centroid"))
+    val q = prepped(queries, idCol, vecCol, "query")
+      .withColumn("qq", enc(col("queryv")))
+      .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
+    val qCells = q.crossJoin(centDf)
+      .withColumn("dist2",
+        graft.functions.ArrayDot(col("queryv"), col("queryv")) +
+          graft.functions.ArrayDot(col("centroid"), col("centroid")) -
+          lit(2.0) * graft.functions.ArrayDot(col("queryv"), col("centroid")))
+      .withColumn("cell_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
+      .filter(col("cell_rank") <= nProbe)
+      .select("query_id", "qq", "qqn", "cell")
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        Sq8.intDot(col("qq"), col("nq")).cast("double") /
+          (col("qqn") * col("nqn")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(broadcast(q.select("query_id", "queryv", "querynorm")), "query_id")
+      .join(index.indexed.select("neighbor_id", "neighborv", "neighbornorm"),
+        "neighbor_id")
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
     * candidate if ANY of `numTables` independent plane sets buckets
     * it with the query (single-table recall at moderate cosine is

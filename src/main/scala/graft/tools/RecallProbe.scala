@@ -35,6 +35,10 @@ object RecallProbe {
       val (qc, qe, qa) = recallOf(
         Similarity.knnSq8(emb, "vec_id", "embedding", q, 5, refine = 4))
       println(f"$d knn_sq8  common=$qc exact=$qe approx=$qa recall=${qc.toDouble / qe}%.3f")
+      val (vc, ve, va) = recallOf(
+        Similarity.knnIvfSq8(emb, "vec_id", "embedding", q, 5,
+          nList = 8, nProbe = 3, refine = 4))
+      println(f"$d ivf_sq8  common=$vc exact=$ve approx=$va recall=${vc.toDouble / ve}%.3f")
 
       val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b")

@@ -173,6 +173,20 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${common.size}/${brute.size}")
   }
 
+  test("ivf-sq8 composition: full-probe + generous refine recovers brute force") {
+    // with every cell probed and refine covering the corpus, both
+    // approximation layers are inert — the composed path must equal
+    // exact search (pins routing, encoding, scoring, and refine)
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = real.filter(col("vec_id") < 3)
+    val brute = Similarity.knnBrute(real, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val composed = Similarity.knnIvfSq8(real, "vec_id", "embedding", queries,
+      k = 5, nList = 4, nProbe = 4, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(composed == brute)
+  }
+
   test("multi-table lsh knn scores candidates exactly; recall vs brute on real corpus") {
     val real = graft.sources.Tables.load(spark, sf, "embeddings")
     val queries = real.filter(col("vec_id") < 5)
