@@ -23,8 +23,23 @@ import QUtil._
   */
 object StreamingQueries {
 
-  private def await(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
-    q.awaitTermination()
+  /** Start a stream with a bounded state-partition count and await
+    * it. The state store creates `spark.sql.shuffle.partitions`
+    * RocksDB/HDFS state partitions PER stateful operator and touches
+    * every one each micro-batch — at harness scale that fixed cost
+    * dwarfs the data (32 partitions ≈ 6 s for the interval join; 8 ≈
+    * 2.5 s). Sized like any shuffle: by state volume, not a global
+    * constant — a real 100 TB stream raises it back. The session
+    * value is restored after the query so batch queries sharing the
+    * session keep their planning. */
+  private def awaitWithStatePartitions(
+      s: SparkSession, parts: Int)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, parts.toString)
+    try start.awaitTermination()
+    finally s.conf.set(key, prev)
   }
 
   /** Streaming tumbling 1-day windows per type (complete mode) — the
@@ -38,8 +53,9 @@ object StreamingQueries {
         moneySum(dec6(col("value"))).as("sum_value"))
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    await(agg.writeStream.format("memory").queryName("st_tumbling")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    awaitWithStatePartitions(s, 8)(
+      agg.writeStream.format("memory").queryName("st_tumbling")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table("st_tumbling")
   }
 
@@ -61,8 +77,9 @@ object StreamingQueries {
     val twice = once.unionByName(EventsStream.readEvents(s, path))
     val deduped = EventsStream.dedupStream(twice, "event_id")
       .select("event_id", "event_type")
-    await(deduped.writeStream.format("memory").queryName("st_dedup")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    awaitWithStatePartitions(s, 8)(
+      deduped.writeStream.format("memory").queryName("st_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table("st_dedup")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -84,8 +101,9 @@ object StreamingQueries {
     val joined = EventsStream.purchaseClickJoin(
       ev.filter(col("event_type") === "purchase"),
       ev.filter(col("event_type") === "click"))
-    await(joined.writeStream.format("memory").queryName("st_ssjoin")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    awaitWithStatePartitions(s, 8)(
+      joined.writeStream.format("memory").queryName("st_ssjoin")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table("st_ssjoin")
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("p_id")).as("n_purchases_matched"),
@@ -121,8 +139,9 @@ object StreamingQueries {
       .select(col("event_type"),
         KllSketch.quantileOf(col("sk"), 0.5).as("p50_est"),
         KllSketch.quantileOf(col("sk"), 0.9).as("p90_est"))
-    await(agg.writeStream.format("memory").queryName("st_kll")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    awaitWithStatePartitions(s, 8)(
+      agg.writeStream.format("memory").queryName("st_kll")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val batch = graft.sources.Tables.load(s, d, "events")
       .filter(col("value").isNotNull)
     batch.join(broadcast(s.table("st_kll")), "event_type")
