@@ -48,6 +48,59 @@ object MlQueries {
         lit(metricOk).as("cv_metric_ok"), col("rmse_ok"))
   }
 
+  /** PCA over the embedding corpus, certified: the fitted basis is
+    * engine-specific (SVD sign/rotation freedom), so the oracle pins
+    * exact-side counts plus engine-witnessed linear-algebra
+    * invariants any correct PCA must satisfy — explained variances
+    * non-negative, non-increasing, summing ≤ 1; principal columns
+    * orthonormal (V^T·V = I, checked on the 64×8 driver-side
+    * matrix); and the projection contractive row-wise
+    * (‖V^T·x‖² ≤ ‖x‖², witnessed in-engine over every row — a
+    * corrupted basis or projection flips it). */
+  def embPca(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val emb = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("fv", array_to_vector(col("v")))
+    val pca = new PCA().setK(8).setInputCol("fv").setOutputCol("pc")
+      .fit(emb)
+    val ev = pca.explainedVariance.toArray
+    val evOk = ev.forall(_ >= 0.0) &&
+      ev.zip(ev.tail).forall { case (a, b) => a >= b - 1e-12 } &&
+      ev.sum <= 1.0 + 1e-9
+    val m = pca.pc
+    def colDot(i: Int, j: Int): Double =
+      (0 until m.numRows).iterator.map(r => m(r, i) * m(r, j)).sum
+    val orthoOk = (0 until m.numCols).forall { i =>
+      (i until m.numCols).forall { j =>
+        math.abs(colDot(i, j) - (if (i == j) 1.0 else 0.0)) <= 1e-9
+      }
+    }
+    val projected = pca.transform(emb)
+      .withColumn("pa", vector_to_array(col("pc")))
+      .select(
+        (graft.functions.ArrayDot(col("pa"), col("pa")) <=
+          graft.functions.ArrayDot(col("v"), col("v")) + 1e-6).as("contractive"),
+        size(col("v")).as("dim"))
+    projected.agg(
+      count(lit(1)).as("n_vectors"),
+      max(col("dim")).as("dim"),
+      min(col("contractive")).as("projection_contractive"))
+      .select(col("n_vectors"), col("dim"), lit(8).as("k"),
+        lit(evOk).as("explained_variance_ok"),
+        lit(orthoOk).as("basis_orthonormal"),
+        col("projection_contractive"))
+  }
+
+  val embPcaOracle: String =
+    """SELECT COUNT(*) AS n_vectors,
+      |  CAST(MAX(len(embedding)) AS INT) AS dim, 8 AS k,
+      |  TRUE AS explained_variance_ok, TRUE AS basis_orthonormal,
+      |  TRUE AS projection_contractive
+      |FROM embeddings""".stripMargin
+
   val automlTrainEvalOracle: String =
     """WITH tr AS (
       |  SELECT COUNT(*) AS n_train FROM lineitem WHERE l_orderkey % 10 < 8),
@@ -150,5 +203,6 @@ object MlQueries {
   val all: Seq[Q] = Seq(
     Q("m3_automl_train_eval", automlTrainEval, Some(automlTrainEvalOracle)),
     Q("m4_automl_classify", automlClassify, Some(automlClassifyOracle)),
-    Q("ml_target_encoding", targetEncoding, Some(targetEncodingOracle)))
+    Q("ml_target_encoding", targetEncoding, Some(targetEncodingOracle)),
+    Q("emb_pca", embPca, Some(embPcaOracle)))
 }

@@ -338,6 +338,59 @@ object ScaleQueries {
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk""".stripMargin
 
+  /** Graph analytics over the near-dup edge set: triangle count
+    * (two self-joins on oriented a<b edges — the standard distributed
+    * formulation, shuffle bounded by edge count not node pairs),
+    * wedge count from degrees, and the global clustering coefficient
+    * 3·triangles/wedges. The oracle recomputes the same graph from
+    * the shared Jaccard-pair CTE. */
+  def dedupTriangles(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
+      .select(col("a"), col("b"))
+      .localCheckpoint(eager = false)
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = edges.select(col("a").as("id"))
+      .unionAll(edges.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(tri).crossJoin(wedges)
+      .select(col("n_edges"), col("n_nodes"), col("n_triangles"),
+        col("n_wedges"),
+        round(when(col("n_wedges") > 0,
+          col("n_triangles") * 3.0 / col("n_wedges")).otherwise(0.0), 6)
+          .as("clustering_coeff"))
+  }
+
+  val dedupTrianglesOracle: String =
+    s"""WITH $jaccardPairCtes,
+       |e AS (SELECT a, b FROM pairs WHERE jaccard >= 0.8),
+       |tri AS (
+       |  SELECT COUNT(*) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |deg AS (
+       |  SELECT id, COUNT(*) AS deg FROM (
+       |    SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+       |  GROUP BY id),
+       |w AS (
+       |  SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+       |    COUNT(*) AS n_nodes
+       |  FROM deg)
+       |SELECT (SELECT COUNT(*) FROM e) AS n_edges, n_nodes, n_triangles,
+       |  n_wedges,
+       |  ROUND(CASE WHEN n_wedges > 0
+       |    THEN n_triangles * 3.0 / n_wedges ELSE 0.0 END, 6)
+       |    AS clustering_coeff
+       |FROM tri, w""".stripMargin
+
   /** SQ8-quantized ANN (int8 codes + exact re-rank, refine=4)
     * certified against brute top-k — see [[Similarity.knnSq8]]: the
     * candidate scan reads 64 B codes instead of 256 B floats (the
@@ -415,7 +468,10 @@ object ScaleQueries {
   /** Shared CTE text: bigram shingles + brute-force Jaccard pairs —
     * used by both the pair query's oracle and the connected-components
     * oracle so the two stay pinned to one definition. */
-  private val jaccardPairCtes: String =
+  // lazy: referenced by oracle vals that appear EARLIER in source
+  // order (Scala initializes vals top-down; a plain val would be null
+  // inside them)
+  private lazy val jaccardPairCtes: String =
     """sh AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(toks) >= 2
@@ -948,6 +1004,7 @@ object ScaleQueries {
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
+    Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
