@@ -338,6 +338,23 @@ object ScaleQueries {
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk""".stripMargin
 
+  /** Incremental dedup: docs with `doc_id % 5 = 4` play today's
+    * arriving batch; pairs must touch the batch (new×old, new×new —
+    * old×old was settled by prior runs). The oracle recomputes the
+    * full pair set and applies the same restriction. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    Dedup.exactJaccardPairsIncremental(
+      docs.filter(col("doc_id") % 5 =!= 4),
+      docs.filter(col("doc_id") % 5 === 4),
+      "doc_id", "text", shingleK = 2, minJaccard = 0.8)
+  }
+
+  val dedupIncrementalOracle: String =
+    s"""WITH $jaccardPairCtes
+       |SELECT a, b, jaccard FROM pairs
+       |WHERE jaccard >= 0.8 AND (a % 5 = 4 OR b % 5 = 4)""".stripMargin
+
   /** Graph analytics over the near-dup edge set: triangle count
     * (two self-joins on oriented a<b edges — the standard distributed
     * formulation, shuffle bounded by edge count not node pairs),
@@ -1005,6 +1022,7 @@ object ScaleQueries {
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
+    Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),

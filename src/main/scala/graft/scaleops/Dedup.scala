@@ -193,6 +193,68 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Incremental near-dup detection — the production dedup mode at
+    * corpus scale: a new batch arrives and only pairs TOUCHING the
+    * batch matter (old×old was settled by previous runs). The
+    * inverted index and PPJoin filters are identical to
+    * [[exactJaccardPairs]]; the candidate join just drops old×old
+    * postings pairs, so join fan-out scales with the BATCH's posting
+    * lists, not the corpus's. (At 100 TB the corpus-side prefix
+    * index would persist between runs — the shape here rebuilds it,
+    * the filters and output contract are the production ones.)
+    * Output = the full-corpus pair set restricted to pairs with at
+    * least one batch doc: new×old AND new×new (a fresh batch must
+    * dedup within itself too). DedupSpec pins that restriction
+    * equality. */
+  def exactJaccardPairsIncremental(corpus: DataFrame, batch: DataFrame,
+                                   idCol: String, textCol: String,
+                                   shingleK: Int = 2,
+                                   minJaccard: Double = 0.5): DataFrame = {
+    val docs = corpus
+      .select(col(idCol), col(textCol), lit(false).as("is_new"))
+      .unionByName(batch
+        .select(col(idCol), col(textCol), lit(true).as("is_new")))
+    val sh = docs.select(col(idCol), col("is_new"),
+      sort_array(transform(shingles(col(textCol), shingleK),
+        x => xxhash64(x))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .localCheckpoint(eager = false)
+    val inv = sh.select(col(idCol), col("is_new"), col("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
+    val prefix = inv.join(dfreq, Seq("h"))
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <=
+        col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)
+      .localCheckpoint(eager = false)
+    val alpha = minJaccard / (1 + minJaccard)
+    val l = prefix.select(col("h"), col(idCol).as("a"),
+      col("is_new").as("new_a"), col("rnk").as("rnk_a"), col("sz").as("sz_a"))
+    val r = prefix.select(col("h"), col(idCol).as("b"),
+      col("is_new").as("new_b"), col("rnk").as("rnk_b"), col("sz").as("sz_b"))
+    val cands = l.join(r, Seq("h"))
+      .filter(col("a") < col("b"))
+      .filter(col("new_a") || col("new_b")) // the incremental cut
+      .filter(col("sz_b") >= col("sz_a") * lit(minJaccard) - lit(0.5) &&
+        col("sz_a") >= col("sz_b") * lit(minJaccard) - lit(0.5))
+      .filter(least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b"))
+        + lit(1) >= (col("sz_a") + col("sz_b")) * lit(alpha) - lit(0.5))
+      .select("a", "b").distinct()
+    cands
+      .join(sh.select(col(idCol).as("a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), "b")
+      .withColumn("common", graft.functions.SortedIntersectCount(
+        col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
   /** SimHash (64-bit) of a text column (named column, SQL-expression
     * form — `shiftright` with a non-literal shift only exists in SQL):
     * per-token 64-bit hashes vote ±1 on each bit position; the sign

@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L)))
   }
 
+  test("incremental jaccard = full pair set restricted to batch-touching pairs") {
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val full = Dedup.exactJaccardPairs(docs, "doc_id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val inc = Dedup.exactJaccardPairsIncremental(
+      docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expected = full.filter { case ((a, b), _) => a % 3 == 0 || b % 3 == 0 }
+    assert(inc == expected)
+    assert(inc.nonEmpty) // restriction is exercised, not vacuous
+    assert(inc.size < full.size) // old×old pairs really dropped
+  }
+
   test("codegen simhash signatures equal the expression-fold simhash") {
     val df = Seq((1L, "alpha beta gamma delta epsilon"),
       (2L, "some other tokens entirely"), (3L, "alpha alpha alpha beta"))
