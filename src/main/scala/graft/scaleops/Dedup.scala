@@ -136,7 +136,20 @@ object Dedup {
     * runs.
     */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame = {
+                        shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame =
+    jaccardPairsCore(
+      docs.select(col(idCol), col(textCol), lit(true).as("is_new")),
+      idCol, textCol, shingleK, minJaccard, incremental = false)
+
+  /** One pipeline serves [[exactJaccardPairs]] (every doc flagged
+    * new, ordered a<b join) and [[exactJaccardPairsIncremental]]
+    * (only batch docs on the LEFT posting side) — the prefix/PPJoin
+    * filters exist once, so a bound fix can never diverge the two
+    * outputs. */
+  private def jaccardPairsCore(docs: DataFrame, idCol: String,
+                               textCol: String, shingleK: Int,
+                               minJaccard: Double,
+                               incremental: Boolean): DataFrame = {
     // Shingles travel as xxhash64 longs, never strings: the set of
     // hashes is in 1-1 correspondence with the shingle set (a 64-bit
     // collision within one corpus' vocabulary is ~2⁻⁶⁴·|V|² — far
@@ -145,12 +158,13 @@ object Dedup {
     // Materialized once (lazy local checkpoint): the shingle arrays
     // feed the inverted index AND both verification joins — without
     // pinning, the per-doc tokenize+hash+sort runs up to 4×.
-    val sh = docs.select(col(idCol),
+    val sh = docs.select(col(idCol), col("is_new"),
       sort_array(transform(shingles(col(textCol), shingleK),
         x => xxhash64(x))).as("hs"))
       .withColumn("sz", size(col("hs")))
       .localCheckpoint(eager = false)
-    val inv = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
+    val inv = sh.select(col(idCol), col("is_new"), col("sz"),
+      explode(col("hs")).as("h"))
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
@@ -169,17 +183,30 @@ object Dedup {
     //    suffixes bound |A∩B| by min(szA−i, szB−j)+1, which must
     //    reach the overlap bound t/(1+t)·(szA+szB).
     val alpha = minJaccard / (1 + minJaccard)
-    val l = prefix.select(col("h"), col(idCol).as("a"),
+    // Incremental: the LEFT side is batch-only postings BEFORE the
+    // join, so old×old posting pairs never materialize — candidate
+    // fan-out scales with the batch's prefix lists, not the corpus's.
+    // Every filter below is symmetric in (a, b), so normalizing the
+    // unordered (new, any) pairs afterward with least/greatest yields
+    // exactly the ordered-join output restricted to batch-touching
+    // pairs (new×new pairs arrive twice and dedup in the distinct).
+    val lSide = if (incremental) prefix.filter(col("is_new")) else prefix
+    val l = lSide.select(col("h"), col(idCol).as("ida"),
       col("rnk").as("rnk_a"), col("sz").as("sz_a"))
-    val r = prefix.select(col("h"), col(idCol).as("b"),
+    val r = prefix.select(col("h"), col(idCol).as("idb"),
       col("rnk").as("rnk_b"), col("sz").as("sz_b"))
-    val cands = l.join(r, Seq("h"))
-      .filter(col("a") < col("b"))
+    val joined = l.join(r, Seq("h"))
+    val oriented =
+      if (incremental) joined.filter(col("ida") =!= col("idb"))
+      else joined.filter(col("ida") < col("idb"))
+    val cands = oriented
       .filter(col("sz_b") >= col("sz_a") * lit(minJaccard) - lit(0.5) &&
         col("sz_a") >= col("sz_b") * lit(minJaccard) - lit(0.5))
       .filter(least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b"))
         + lit(1) >= (col("sz_a") + col("sz_b")) * lit(alpha) - lit(0.5))
-      .select("a", "b").distinct()
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"))
+      .distinct()
     cands
       .join(sh.select(col(idCol).as("a"), col("hs").as("hs_a"),
         col("sz").as("sz_a")), "a")
@@ -195,64 +222,33 @@ object Dedup {
 
   /** Incremental near-dup detection — the production dedup mode at
     * corpus scale: a new batch arrives and only pairs TOUCHING the
-    * batch matter (old×old was settled by previous runs). The
-    * inverted index and PPJoin filters are identical to
-    * [[exactJaccardPairs]]; the candidate join just drops old×old
-    * postings pairs, so join fan-out scales with the BATCH's posting
-    * lists, not the corpus's. (At 100 TB the corpus-side prefix
-    * index would persist between runs — the shape here rebuilds it,
-    * the filters and output contract are the production ones.)
+    * batch matter (old×old was settled by previous runs). Shares the
+    * full inverted-index + PPJoin machinery with
+    * [[exactJaccardPairs]] (one [[jaccardPairsCore]]); the LEFT side
+    * of the candidate join is restricted to BATCH postings BEFORE
+    * the join, so old×old posting pairs never materialize and
+    * candidate fan-out scales with the batch's prefix lists, not the
+    * corpus's. (At 100 TB the corpus-side prefix index would persist
+    * between runs — the shape here rebuilds it, the filters and
+    * output contract are the production ones.)
     * Output = the full-corpus pair set restricted to pairs with at
     * least one batch doc: new×old AND new×new (a fresh batch must
-    * dedup within itself too). DedupSpec pins that restriction
-    * equality. */
+    * dedup within itself too); an id appearing on both sides takes
+    * the batch version. DedupSpec pins the restriction equality. */
   def exactJaccardPairsIncremental(corpus: DataFrame, batch: DataFrame,
                                    idCol: String, textCol: String,
                                    shingleK: Int = 2,
                                    minJaccard: Double = 0.5): DataFrame = {
-    val docs = corpus
-      .select(col(idCol), col(textCol), lit(false).as("is_new"))
-      .unionByName(batch
-        .select(col(idCol), col(textCol), lit(true).as("is_new")))
-    val sh = docs.select(col(idCol), col("is_new"),
-      sort_array(transform(shingles(col(textCol), shingleK),
-        x => xxhash64(x))).as("hs"))
-      .withColumn("sz", size(col("hs")))
-      .localCheckpoint(eager = false)
-    val inv = sh.select(col(idCol), col("is_new"), col("sz"),
-      explode(col("hs")).as("h"))
-    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
-    val byRarity = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
-    val prefix = inv.join(dfreq, Seq("h"))
-      .withColumn("rnk", row_number().over(byRarity))
-      .filter(col("rnk") <=
-        col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)
-      .localCheckpoint(eager = false)
-    val alpha = minJaccard / (1 + minJaccard)
-    val l = prefix.select(col("h"), col(idCol).as("a"),
-      col("is_new").as("new_a"), col("rnk").as("rnk_a"), col("sz").as("sz_a"))
-    val r = prefix.select(col("h"), col(idCol).as("b"),
-      col("is_new").as("new_b"), col("rnk").as("rnk_b"), col("sz").as("sz_b"))
-    val cands = l.join(r, Seq("h"))
-      .filter(col("a") < col("b"))
-      .filter(col("new_a") || col("new_b")) // the incremental cut
-      .filter(col("sz_b") >= col("sz_a") * lit(minJaccard) - lit(0.5) &&
-        col("sz_a") >= col("sz_b") * lit(minJaccard) - lit(0.5))
-      .filter(least(col("sz_a") - col("rnk_a"), col("sz_b") - col("rnk_b"))
-        + lit(1) >= (col("sz_a") + col("sz_b")) * lit(alpha) - lit(0.5))
-      .select("a", "b").distinct()
-    cands
-      .join(sh.select(col(idCol).as("a"), col("hs").as("hs_a"),
-        col("sz").as("sz_a")), "a")
-      .join(sh.select(col(idCol).as("b"), col("hs").as("hs_b"),
-        col("sz").as("sz_b")), "b")
-      .withColumn("common", graft.functions.SortedIntersectCount(
-        col("hs_a"), col("hs_b")))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (col("sz_a") + col("sz_b") - col("common")), 6))
-      .filter(col("jaccard") >= minJaccard)
-      .select(col("a"), col("b"), col("jaccard"))
+    // A re-ingested id present on both sides would double its rows
+    // (corrupting prefix ranks and duplicating output pairs): the
+    // batch version wins, the stale corpus row drops here.
+    val cleanCorpus = corpus.join(batch.select(col(idCol)), Seq(idCol),
+      "left_anti")
+    jaccardPairsCore(
+      cleanCorpus.select(col(idCol), col(textCol), lit(false).as("is_new"))
+        .unionByName(batch
+          .select(col(idCol), col(textCol), lit(true).as("is_new"))),
+      idCol, textCol, shingleK, minJaccard, incremental = true)
   }
 
   /** SimHash (64-bit) of a text column (named column, SQL-expression
