@@ -37,9 +37,15 @@ import scala.collection.mutable.ArrayBuffer
   *     at 5% by the harness query's rank-error witness.
   *
   * Randomness (the compaction offset) is a deterministic splitmix of
-  * (seed, compaction-ordinal), so a given plan over a given
-  * partitioning reproduces its sketch exactly — same contract as
-  * [[ReservoirSample]].
+  * (seed, compaction-ordinal) — no RNG state. Like any parallel
+  * sampling sketch ([[ReservoirSample]] included), the RETAINED
+  * sample depends on how the input was partitioned and on the order
+  * partials merge (shuffle fetch order varies run to run), so sketch
+  * BYTES are not a stable identity across runs; every rank estimate
+  * stays within the error bound regardless, which is what the gate's
+  * witnesses certify. Pairwise merge itself is empty-neutral and
+  * level-content order-insensitive (buffers sort before halving;
+  * counters add commutatively).
   */
 object KllSketch {
   /** Sketch state: `levels(i)` holds values of weight `2^i`. */
@@ -87,8 +93,10 @@ object KllSketch {
         i += 1
       }
       n += other.n
-      // decorrelate the two streams' compaction ordinals
-      compactions = mix(compactions, other.compactions)
+      // commutative + empty-neutral: merge order must not change the
+      // counter (shuffle fetch order varies run to run), and merging
+      // an empty partial must be an identity
+      compactions += other.compactions
       compactAll(k, seed)
     }
 

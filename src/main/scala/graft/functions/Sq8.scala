@@ -127,6 +127,8 @@ case class Sq8IntDot(left: Expression, right: Expression)
 }
 
 object Sq8 {
+  import org.apache.spark.sql.functions.{abs, array_max, transform}
+
   def encode(vec: Column, scale: Column): Column =
     GraftBridge.column(Sq8Encode(
       GraftBridge.expression(vec), GraftBridge.expression(scale)))
@@ -134,4 +136,13 @@ object Sq8 {
   def intDot(a: Column, b: Column): Column =
     GraftBridge.column(Sq8IntDot(
       GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** THE max-abs scale of the scheme — defined once so every encoder
+    * call site quantizes identically (a drifted scale formula would
+    * silently produce incompatible codes). */
+  def scaleOf(vec: Column): Column =
+    array_max(transform(vec, x => abs(x))) / 127.0
+
+  /** Encode with the canonical scale. */
+  def encodeMaxAbs(vec: Column): Column = encode(vec, scaleOf(vec))
 }

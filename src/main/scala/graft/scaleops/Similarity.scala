@@ -202,20 +202,21 @@ object Similarity {
       org.apache.spark.ml.clustering.KMeansModel.load(s"$dir/kmeans"),
       spark.read.parquet(s"$dir/cells"))
 
-  /** Search an IVF index: each query exhaustively scores only its
-    * `nProbe` nearest cells. Recall is tunable via nProbe (= nList
-    * recovers brute force). */
-  def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
-                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+  /** THE cell-routing step, shared by every IVF consumer
+    * ([[ivfSearch]], [[knnIvfSq8]]): nProbe nearest centroids per
+    * prepped query, deterministic (dist², cell) tie-break. One
+    * definition so a routing fix can never diverge the paths. Input
+    * must carry `query_id`/`queryv` (from [[prepped]]); all of the
+    * input's columns pass through. */
+  private def probedCells(index: IvfIndex, preppedQueries: DataFrame,
+                          nProbe: Int): DataFrame = {
     val spark = index.indexed.sparkSession
-    // nProbe nearest centroids per query, by the same dot/norm algebra
     val centroids = index.model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray)
     }.toSeq
     val centDf = broadcast(spark.createDataFrame(centroids)
       .toDF("cell", "centroid"))
-    val q = prepped(queries, idCol, vecCol, "query")
-    val qCells = q.crossJoin(centDf)
+    preppedQueries.crossJoin(centDf)
       .withColumn("dist2",
         graft.functions.ArrayDot(col("queryv"), col("queryv")) +
           graft.functions.ArrayDot(col("centroid"), col("centroid")) -
@@ -224,6 +225,16 @@ object Similarity {
         org.apache.spark.sql.expressions.Window
           .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
       .filter(col("cell_rank") <= nProbe)
+      .drop("centroid", "dist2", "cell_rank")
+  }
+
+  /** Search an IVF index: each query exhaustively scores only its
+    * `nProbe` nearest cells. Recall is tunable via nProbe (= nList
+    * recovers brute force). */
+  def ivfSearch(index: IvfIndex, idCol: String, vecCol: String,
+                queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val q = prepped(queries, idCol, vecCol, "query")
+    val qCells = probedCells(index, q, nProbe)
       .select("query_id", "queryv", "querynorm", "cell")
 
     val scored = index.indexed.join(broadcast(qCells), "cell")
@@ -258,13 +269,11 @@ object Similarity {
   def knnSq8(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
     import graft.functions.Sq8
-    def coded(df: DataFrame, as: String): DataFrame = {
-      val v = toDouble(col(vecCol))
-      val scale = array_max(transform(v, x => abs(x))) / 127.0
-      df.select(col(idCol).as(s"${as}_id"), Sq8.encode(v, scale).as(s"${as}q"))
+    def coded(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(s"${as}_id"),
+        Sq8.encodeMaxAbs(toDouble(col(vecCol))).as(s"${as}q"))
         .withColumn(s"${as}qn",
           sqrt(Sq8.intDot(col(s"${as}q"), col(s"${as}q")).cast("double")))
-    }
     val n = coded(emb, "neighbor").repartition(col("neighbor_id"))
     val q = broadcast(coded(queries, "query"))
     val approx = n.crossJoin(q)
@@ -307,34 +316,15 @@ object Similarity {
                 seed: Long = 42L): DataFrame = {
     import graft.functions.Sq8
     val index = ivfBuild(emb, idCol, vecCol, nList, seed)
-    val spark = index.indexed.sparkSession
-    def enc(v: Column): Column = {
-      val scale = array_max(transform(v, x => abs(x))) / 127.0
-      Sq8.encode(v, scale)
-    }
     // codes computed once per corpus row; the scoring join reads only
     // (cell, id, codes, selfdot)
     val codes = index.indexed.select(col("cell"), col("neighbor_id"),
-      enc(col("neighborv")).as("nq"))
+      Sq8.encodeMaxAbs(col("neighborv")).as("nq"))
       .withColumn("nqn", sqrt(Sq8.intDot(col("nq"), col("nq")).cast("double")))
-    // nProbe nearest cells per query (same routing as ivfSearch)
-    val centroids = index.model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    val centDf = broadcast(spark.createDataFrame(centroids)
-      .toDF("cell", "centroid"))
     val q = prepped(queries, idCol, vecCol, "query")
-      .withColumn("qq", enc(col("queryv")))
+      .withColumn("qq", Sq8.encodeMaxAbs(col("queryv")))
       .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
-    val qCells = q.crossJoin(centDf)
-      .withColumn("dist2",
-        graft.functions.ArrayDot(col("queryv"), col("queryv")) +
-          graft.functions.ArrayDot(col("centroid"), col("centroid")) -
-          lit(2.0) * graft.functions.ArrayDot(col("queryv"), col("centroid")))
-      .withColumn("cell_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("cell_rank") <= nProbe)
+    val qCells = probedCells(index, q, nProbe)
       .select("query_id", "qq", "qqn", "cell")
     val wApprox = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")

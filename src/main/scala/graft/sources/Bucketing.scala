@@ -25,10 +25,19 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Persist `df` as a parquet table bucketed (and in-bucket sorted)
-    * by `key` — the one-time shuffle that later joins amortize. */
+    * by `key` — the one-time shuffle that later joins amortize.
+    *
+    * The pre-write `repartition(buckets, key)` uses the same hash as
+    * the bucketing spec, so every bucket's rows land in exactly ONE
+    * task → ONE file per bucket. That single-file property is what
+    * lets readers TRUST the sortBy order (Spark only elides the
+    * sort-merge-join sorts when files-per-bucket = 1 — order across
+    * several files per bucket is not a total order); it also caps the
+    * file count at `buckets` instead of tasks×buckets. */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write
+    df.repartition(buckets, org.apache.spark.sql.functions.col(key))
+      .write
       .mode(mode)
       .format("parquet")
       .bucketBy(buckets, key)
@@ -37,7 +46,13 @@ object Bucketing {
 
   /** Read a bucketed table back (bucket metadata comes from the
     * catalog; a plain `spark.read.parquet` on the files would lose
-    * it and reintroduce the shuffle). */
+    * it and reintroduce the shuffle). Shuffle elision works out of
+    * the box; SORT elision additionally needs
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` (off
+    * by default since Spark 3.0 because reporting the order forces
+    * the one-file-per-bucket read path — which [[writeBucketed]]
+    * guarantees). BucketingSpec pins both, with a positive control
+    * proving the assertions can fail. */
   def table(spark: SparkSession, name: String): DataFrame =
     spark.table(name)
 }

@@ -22,6 +22,10 @@ class BucketingSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", wh.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the scan only REPORTS in-bucket sort order under this flag
+      // (off by default since 3.0 because it forces the
+      // one-file-per-bucket read path — which writeBucketed provides)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -74,13 +78,35 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("in-bucket sortBy: sort-merge join skips its Sort on the bucketed side") {
+    import org.apache.spark.sql.execution.SortExec
     tables
+    // SMJ normally plans Sort under each side; pre-sorted buckets
+    // satisfy the ordering requirement so no SortExec node appears.
+    // Checked on the plan TREE — printed lines carry ':-'/'+-'
+    // prefixes, so a startsWith string match can never fire.
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def sortNodes(df: org.apache.spark.sql.DataFrame): Int = {
+      val root = df.queryExecution.executedPlan match {
+        // the INITIAL adaptive plan still holds real exec nodes; a
+        // materialized one hides them behind QueryStageExec leaves
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      root.collectWithSubqueries { case s: SortExec => s }.size
+    }
     val li = graft.sources.Bucketing.table(spark, "li_bkt")
     val ord = graft.sources.Bucketing.table(spark, "ord_bkt")
-    val plan = li.join(ord, "l_orderkey").queryExecution.executedPlan.toString
-    // SMJ normally plans Sort under each side; pre-sorted buckets
-    // satisfy the ordering requirement so no Sort node appears
-    assert(!plan.linesIterator.exists(l => l.trim.startsWith("Sort ")),
-      s"pre-sorted buckets must elide the join sorts:\n$plan")
+    assert(sortNodes(li.join(ord, "l_orderkey")) == 0,
+      "pre-sorted buckets must elide the join sorts")
+    // positive control — the same join over bucketed-but-UNSORTED
+    // tables must plan Sorts, proving the assertion can fail
+    import org.apache.spark.sql.SaveMode
+    val liRaw = graft.sources.Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_quantity")
+    liRaw.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(8, "l_orderkey").saveAsTable("li_bkt_nosort")
+    val nosort = graft.sources.Bucketing.table(spark, "li_bkt_nosort")
+    assert(sortNodes(nosort.join(ord, "l_orderkey")) > 0,
+      "control: unsorted buckets must require join sorts")
   }
 }

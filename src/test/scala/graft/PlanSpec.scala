@@ -128,17 +128,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("knn_sq8: stage-1 candidate shuffle carries codes, never float vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val df = queries.Registry.byName("knn_sq8").run(spark, sf)
-    val p = df.queryExecution.executedPlan.toString
-    // the approx-ranking window's exchange must move the byte codes
-    // (neighborq, binary) — the float arrays (neighborv) only join in
-    // for the k·refine survivors after the window filter
-    val lines = p.linesIterator.toVector
-    val exchangeIdx = lines.indexWhere(l =>
-      l.contains("Exchange hashpartitioning(query_id"))
-    assert(exchangeIdx >= 0, "approx window exchange missing")
-    assert(!lines(exchangeIdx).contains("neighborv"),
-      s"float vectors in the candidate shuffle: ${lines(exchangeIdx)}")
+    // inspect the INITIAL adaptive plan — after execution AQE replaces
+    // exchanges with opaque QueryStageExec leaves that a tree collect
+    // cannot see through
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // walk the TREE (Exchange.toString prints partitioning only, so a
+    // string match can't see the shuffled schema): the approx-stage
+    // exchange is the one carrying the quantized score `qcos`; it
+    // must ship byte codes, never the float arrays — those join in
+    // for the k·refine survivors only, after the window filter
+    val shuffles = root.collectWithSubqueries {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }
+    val approxStage = shuffles.filter(_.exists(_.startsWith("qcos")))
+    assert(approxStage.nonEmpty, s"approx-stage shuffle missing: $shuffles")
+    approxStage.foreach { cols =>
+      assert(!cols.exists(c => c.startsWith("neighborv") || c.startsWith("queryv")),
+        s"float vectors in the candidate shuffle: $cols")
+    }
   }
 
   test("mixture sample: pure map-side filter, no shuffle before the report agg") {
