@@ -97,6 +97,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllMergeAgg(children.head, k, seed).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("sq8_encode"),
+      new ExpressionInfo(classOf[graft.functions.Sq8Encode].getName, "sq8_encode"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq8_encode(vec, scale) takes 2 arguments")
+        graft.functions.Sq8Encode(children.head,
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.DoubleType))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("sq8_intdot"),
+      new ExpressionInfo(classOf[graft.functions.Sq8IntDot].getName, "sq8_intdot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq8_intdot(a, b) takes 2 arguments")
+        graft.functions.Sq8IntDot(children.head, children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (children: Seq[Expression]) => {

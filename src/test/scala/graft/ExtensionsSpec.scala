@@ -146,6 +146,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(bytes.length < 64 * 1024, s"sketch is ${bytes.length} bytes")
   }
 
+  test("sq8 encode/intdot callable from SQL; exact on scale-aligned ints") {
+    val r = spark.sql(
+      """SELECT sq8_intdot(
+        |  sq8_encode(array(3.0d, -1.0d, 2.0d), 1.0d),
+        |  sq8_encode(array(2.0d, 5.0d, -4.0d), 1.0d)) AS d""".stripMargin)
+      .head().getLong(0)
+    assert(r == 3 * 2 + -1 * 5 + 2 * -4) // scale 1 → codes are the ints
+  }
+
   test("cms sketch: never undercounts, tight on distinct-heavy data; SQL path") {
     import spark.implicits._
     // 10k values: value i%100 appears 100×, plus a heavy hitter 7
