@@ -107,6 +107,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 quantized dot stays within the per-term error bound on random vectors") {
+    // |approx − exact| ≤ Σᵢ (|a_i|·εb + |b_i|·εa + εa·εb) with
+    // ε = scale/2 per rounded term — the bound that justifies the
+    // refine margin in knnSq8
+    val rnd = new scala.util.Random(13)
+    val dim = 32
+    val cases = (1 to 40).map { _ =>
+      (Array.fill(dim)(rnd.nextGaussian() * (1 + rnd.nextInt(5))),
+        Array.fill(dim)(rnd.nextGaussian() * (1 + rnd.nextInt(5))))
+    }
+    val df = cases.toDF("a", "b")
+    import graft.functions.Sq8
+    val rows = df.select(
+      (Sq8.scaleOf(col("a")) * Sq8.scaleOf(col("b")) *
+        Sq8.intDot(Sq8.encodeMaxAbs(col("a")), Sq8.encodeMaxAbs(col("b")))
+          .cast("double")).as("approx"),
+      graft.functions.ArrayDot(col("a"), col("b")).as("exact"),
+      Sq8.scaleOf(col("a")).as("sa"), Sq8.scaleOf(col("b")).as("sb"),
+      col("a"), col("b")).collect()
+    rows.foreach { r =>
+      val (sa, sb) = (r.getDouble(2), r.getDouble(3))
+      val a = r.getSeq[Double](4); val b = r.getSeq[Double](5)
+      val bound = a.zip(b).map { case (x, y) =>
+        math.abs(x) * sb / 2 + math.abs(y) * sa / 2 + sa * sb / 4
+      }.sum + 1e-9
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= bound,
+        s"approx=${r.getDouble(0)} exact=${r.getDouble(1)} bound=$bound")
+    }
+  }
+
+  test("mixture sampling tracks any fraction within binomial-style tolerance") {
+    import graft.scaleops.TrainingData
+    val n = 8000
+    val docs = (0L until n.toLong).map(i => (i, "g")).toDF("id", "g")
+    for (frac <- Seq(0.05, 0.33, 0.62, 0.97)) {
+      val kept = TrainingData.mixtureSample(docs, "id", "g", Map("g" -> frac))
+        .count()
+      // the keep rule is equidistributed over id·PRIME mod 1000; allow
+      // 4σ of a binomial plus the mod-1000 quantization step
+      val tol = 4 * math.sqrt(n * frac * (1 - frac)) + n / 1000.0 + 1
+      assert(math.abs(kept - n * frac) <= tol,
+        s"frac=$frac kept=$kept expected=${n * frac} tol=$tol")
+    }
+  }
+
   test("F1 from confusion counts equals the direct formula on random labels") {
     samples(Gen.listOfN(30, Gen.zip(Gen.oneOf(0, 1), Gen.oneOf(0, 1))), 6)
       .foreach { pairs =>
