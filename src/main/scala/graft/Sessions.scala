@@ -10,6 +10,25 @@ import org.apache.spark.sql.SparkSession
   * available rather than Spark's legacy 200.
   */
 object Sessions {
+
+  /** Release block-manager residue a finished query leaves behind.
+    *
+    * `localCheckpoint` marks its RDD persisted but nothing ever calls
+    * `unpersist` on it — `spark.catalog.clearCache()` only drops
+    * DataFrame cache entries, so checkpoint blocks stay pinned until
+    * the plan object is GC'd AND the async ContextCleaner gets to it.
+    * Across a 100+-query session in one JVM those pinned blocks crowd
+    * the unified memory region and later queries pay for it in spills
+    * and GC (BENCH_r04 read 4–10× over the per-query warm truth for
+    * exactly this reason). Between queries nothing can recompute a
+    * finished query's RDDs, so dropping every persistent RDD is safe.
+    */
+  def releaseResidue(spark: SparkSession, blocking: Boolean = false): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking))
+    spark.catalog.clearCache()
+  }
+
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession

@@ -126,9 +126,13 @@ object KllSketch {
       sorted.last._1
     }
 
-    def serialize(): Array[Byte] = {
+    def serialize(k: Int): Array[Byte] = {
       val nItems = levels.iterator.map(_.length).sum
-      val bb = ByteBuffer.allocate(8 + 8 + 4 + levels.length * 4 + nItems * 8)
+      val bb = ByteBuffer.allocate(
+        HeaderBytes + 8 + 8 + 4 + levels.length * 4 + nItems * 8)
+      bb.putShort(Magic)
+      bb.put(Version)
+      bb.putInt(k)
       bb.putLong(n)
       bb.putLong(compactions)
       bb.putInt(levels.length)
@@ -140,15 +144,47 @@ object KllSketch {
     }
   }
 
-  def deserialize(bytes: Array[Byte]): State = {
+  /** "KQ" — rejects arbitrary BINARY handed to the SQL surface. */
+  private val Magic: Short = 0x4B51
+  private val Version: Byte = 1
+  private val HeaderBytes: Int = 2 + 1 + 4
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(
+      s"kll sketch: $msg (expected bytes produced by kll_sketch_agg/kll_merge_agg)")
+
+  /** Parse a BINARY sketch. Every field is bounds-checked so hostile
+    * or corrupt input fails with a clear message instead of a raw
+    * BufferUnderflowException or a multi-GB allocation; `expectK >= 0`
+    * additionally rejects sketches built with a different k (merging
+    * them would silently change the error bound). */
+  def deserialize(bytes: Array[Byte], expectK: Int = -1): State = {
+    if (bytes == null || bytes.length < HeaderBytes + 8 + 8 + 4)
+      fail(s"input too short (${if (bytes == null) -1 else bytes.length} bytes)")
     val bb = ByteBuffer.wrap(bytes)
+    if (bb.getShort != Magic) fail("bad magic — not a kll sketch")
+    val ver = bb.get
+    if (ver != Version) fail(s"unsupported version $ver")
+    val k = bb.getInt
+    if (k < 8) fail(s"corrupt header: k=$k")
+    if (expectK >= 0 && k != expectK)
+      fail(s"sketch was built with k=$k but this aggregate uses k=$expectK; " +
+        "merging sketches of different k changes the rank-error bound")
     val n = bb.getLong
     val compactions = bb.getLong
+    if (n < 0L || compactions < 0L)
+      fail(s"corrupt header: n=$n compactions=$compactions")
     val nLevels = bb.getInt
+    // each level costs at least 4 length bytes — bound by what's left
+    if (nLevels < 1 || nLevels * 4 > bb.remaining)
+      fail(s"corrupt header: nLevels=$nLevels with ${bb.remaining} bytes left")
     val levels = ArrayBuffer.fill(nLevels)(ArrayBuffer.empty[Double])
     var i = 0
     while (i < nLevels) {
+      if (bb.remaining < 4) fail(s"truncated at level $i")
       val len = bb.getInt
+      if (len < 0 || len.toLong * 8 > bb.remaining)
+        fail(s"corrupt level $i: len=$len with ${bb.remaining} bytes left")
       var j = 0
       while (j < len) { levels(i) += bb.getDouble; j += 1 }
       i += 1
@@ -205,10 +241,10 @@ case class KllSketchAgg(
     a.merge(b, k, seed); a
   }
 
-  override def eval(buf: KllSketch.State): Any = buf.serialize()
-  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize()
+  override def eval(buf: KllSketch.State): Any = buf.serialize(k)
+  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize(k)
   override def deserialize(bytes: Array[Byte]): KllSketch.State =
-    KllSketch.deserialize(bytes)
+    KllSketch.deserialize(bytes, expectK = k)
 
   override def withNewMutableAggBufferOffset(offset: Int): KllSketchAgg =
     copy(mutableAggBufferOffset = offset)
@@ -239,7 +275,8 @@ case class KllMergeAgg(
   override def update(buf: KllSketch.State, input: InternalRow): KllSketch.State = {
     val v = sketch.eval(input)
     if (v != null)
-      buf.merge(KllSketch.deserialize(v.asInstanceOf[Array[Byte]]), k, seed)
+      buf.merge(
+        KllSketch.deserialize(v.asInstanceOf[Array[Byte]], expectK = k), k, seed)
     buf
   }
 
@@ -247,10 +284,10 @@ case class KllMergeAgg(
     a.merge(b, k, seed); a
   }
 
-  override def eval(buf: KllSketch.State): Any = buf.serialize()
-  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize()
+  override def eval(buf: KllSketch.State): Any = buf.serialize(k)
+  override def serialize(buf: KllSketch.State): Array[Byte] = buf.serialize(k)
   override def deserialize(bytes: Array[Byte]): KllSketch.State =
-    KllSketch.deserialize(bytes)
+    KllSketch.deserialize(bytes, expectK = k)
 
   override def withNewMutableAggBufferOffset(offset: Int): KllMergeAgg =
     copy(mutableAggBufferOffset = offset)

@@ -42,18 +42,47 @@ object StreamingQueries {
     finally s.conf.set(key, prev)
   }
 
+  /** Keys each state partition should carry: every partition opens,
+    * commits, and snapshots a state-store instance PER micro-batch, so
+    * a partition must hold enough keys to amortize that fixed cost
+    * (tens of ms each), while ~20k row-sized entries keep its state at
+    * single-digit MB — comfortably in memory. */
+  val keysPerStatePartition: Long = 20000L
+
+  /** Derive the state-partition count from estimated key cardinality
+    * instead of a per-query constant (the constant broke the moment SF
+    * changed): `ceil(keys / keysPerStatePartition)`, clamped to
+    * [1, session shuffle parallelism]. A 10× SF bump raises the count
+    * with the keys; on a real cluster the session cap rises and the
+    * derivation follows. Pinned by StatePartitionsSpec. */
+  def statePartitionsFor(s: SparkSession, estimatedKeys: Long): Int = {
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1, math.min(cap,
+      math.ceil(estimatedKeys.toDouble / keysPerStatePartition).toInt))
+  }
+
+  /** One-pass cardinality estimate (partial HLL aggs, no shuffle of
+    * data rows) — the "engine already counts distincts cheaply" half
+    * of the derivation. */
+  private def approxKeys(df: DataFrame,
+                         key: org.apache.spark.sql.Column): Long =
+    df.agg(approx_count_distinct(key)).head.getLong(0)
+
   /** Streaming tumbling 1-day windows per type (complete mode) — the
     * streaming twin of `events_tumbling_window`; the oracle is the
     * same batch SQL shape. */
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
     val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+    // state keys = (day window, type)
+    val keys = approxKeys(graft.sources.Tables.load(s, d, "events"),
+      concat_ws("/", date_trunc("day", col("ts")), col("event_type")))
     val agg = ev
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         moneySum(dec6(col("value"))).as("sum_value"))
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n_events"), col("sum_value"))
-    awaitWithStatePartitions(s, 8)(
+    awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
       agg.writeStream.format("memory").queryName("st_tumbling")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     s.table("st_tumbling")
@@ -77,7 +106,10 @@ object StreamingQueries {
     val twice = once.unionByName(EventsStream.readEvents(s, path))
     val deduped = EventsStream.dedupStream(twice, "event_id")
       .select("event_id", "event_type")
-    awaitWithStatePartitions(s, 8)(
+    // state keys = distinct event ids seen within the watermark
+    val keys = approxKeys(graft.sources.Tables.load(s, d, "events"),
+      col("event_id"))
+    awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
       deduped.writeStream.format("memory").queryName("st_dedup")
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table("st_dedup")
@@ -101,7 +133,11 @@ object StreamingQueries {
     val joined = EventsStream.purchaseClickJoin(
       ev.filter(col("event_type") === "purchase"),
       ev.filter(col("event_type") === "click"))
-    awaitWithStatePartitions(s, 8)(
+    // join state buffers ROWS (both sides, within the watermark
+    // horizon), so the estimate is row volume, not key cardinality
+    val stateRows = graft.sources.Tables.load(s, d, "events")
+      .filter(col("event_type").isin("purchase", "click")).count()
+    awaitWithStatePartitions(s, statePartitionsFor(s, stateRows))(
       joined.writeStream.format("memory").queryName("st_ssjoin")
         .outputMode("append").trigger(Trigger.AvailableNow()).start())
     s.table("st_ssjoin")
@@ -139,7 +175,10 @@ object StreamingQueries {
       .select(col("event_type"),
         KllSketch.quantileOf(col("sk"), 0.5).as("p50_est"),
         KllSketch.quantileOf(col("sk"), 0.9).as("p90_est"))
-    awaitWithStatePartitions(s, 8)(
+    // state keys = event types (each carrying one O(k·log n) sketch)
+    val keys = approxKeys(graft.sources.Tables.load(s, d, "events"),
+      col("event_type"))
+    awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
       agg.writeStream.format("memory").queryName("st_kll")
         .outputMode("complete").trigger(Trigger.AvailableNow()).start())
     val batch = graft.sources.Tables.load(s, d, "events")

@@ -155,7 +155,8 @@ object TrainingDataQueries {
        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
        |FROM documents
-       |WHERE ((doc_id % 1000003) * 2654435761) % 1000 < ($fracSql) * 1000
+       |WHERE ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761) % 1000
+       |  < ($fracSql) * 1000
        |GROUP BY source""".stripMargin
   }
 

@@ -269,11 +269,17 @@ object Similarity {
   def knnSq8(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, refine: Int = 4): DataFrame = {
     import graft.functions.Sq8
+    // zero-norm guard: an all-zero vector quantizes to all-zero codes
+    // with qn = 0, making qcos NaN — and Spark orders NaN above every
+    // double, so one degenerate row would seize a candidate slot in
+    // EVERY query's top k·refine. Zero vectors have no direction and
+    // can never be a meaningful cosine neighbor; drop them up front.
     def coded(df: DataFrame, as: String): DataFrame =
       df.select(col(idCol).as(s"${as}_id"),
         Sq8.encodeMaxAbs(toDouble(col(vecCol))).as(s"${as}q"))
         .withColumn(s"${as}qn",
           sqrt(Sq8.intDot(col(s"${as}q"), col(s"${as}q")).cast("double")))
+        .filter(col(s"${as}qn") > 0)
     val n = coded(emb, "neighbor").repartition(col("neighbor_id"))
     val q = broadcast(coded(queries, "query"))
     val approx = n.crossJoin(q)
@@ -318,12 +324,16 @@ object Similarity {
     val index = ivfBuild(emb, idCol, vecCol, nList, seed)
     // codes computed once per corpus row; the scoring join reads only
     // (cell, id, codes, selfdot)
+    // same zero-norm guard as knnSq8: NaN quantized cosine would
+    // outrank every real candidate (NaN sorts above all doubles)
     val codes = index.indexed.select(col("cell"), col("neighbor_id"),
       Sq8.encodeMaxAbs(col("neighborv")).as("nq"))
       .withColumn("nqn", sqrt(Sq8.intDot(col("nq"), col("nq")).cast("double")))
+      .filter(col("nqn") > 0)
     val q = prepped(queries, idCol, vecCol, "query")
       .withColumn("qq", Sq8.encodeMaxAbs(col("queryv")))
       .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
+      .filter(col("qqn") > 0)
     val qCells = probedCells(index, q, nProbe)
       .select("query_id", "qq", "qqn", "cell")
     val wApprox = org.apache.spark.sql.expressions.Window

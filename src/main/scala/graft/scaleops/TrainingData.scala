@@ -23,14 +23,23 @@ object TrainingData {
   // ---- PII redaction ----------------------------------------------------
 
   /** (pattern, replacement) pairs — simple RE2/Java-common syntax so
-    * the same regex runs in Spark and the SQL oracle. Order matters:
-    * cards before phones (a 16-digit run would otherwise match the
-    * phone pattern first). */
+    * the same regex runs in Spark and the SQL oracle (`\b` and the
+    * octet alternation are in the common subset; no backrefs or
+    * lookaround). Order matters: cards before phones (a 16-digit run
+    * would otherwise match the phone pattern first).
+    *
+    * Word boundaries keep digit runs embedded in identifiers
+    * ("v1.2.3.4", "build20240101") from matching, and the IP octets
+    * are range-checked (≤ 255) so "999.1.2.3" is not an IP. A bare
+    * dotted quad that IS a section number ("see 1.2.3.4") still
+    * redacts — indistinguishable from an IP by syntax alone; curation
+    * favors over-redaction on that residual ambiguity. */
+  private val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
   val piiPatterns: Seq[(String, String)] = Seq(
     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}" -> "<EMAIL>",
-    "[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}" -> "<CARD>",
-    "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}" -> "<PHONE>",
-    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}" -> "<IP>")
+    "\\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\\b" -> "<CARD>",
+    "\\+?\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b" -> "<PHONE>",
+    s"\\b$octet(\\.$octet){3}\\b" -> "<IP>")
 
   /** Replace every PII occurrence with its tag. One pass per pattern
     * class, all inside WholeStageCodegen. */
@@ -122,6 +131,11 @@ object TrainingData {
     * 100 TB this is a pure map-side filter — no shuffle, no state. */
   val mixPrime = 2654435761L // Knuth multiplicative-hash constant
 
+  /** Uses `pmod` (always-nonnegative) so the rule is total over ANY
+    * id space, negative ids included; a SQL oracle must mirror it with
+    * a non-negative modulus — `(((id % m) + m) % m)` — since plain `%`
+    * follows the dividend's sign and would pick different rows for
+    * negative ids. */
   def mixtureKeep(id: Column, fraction: Column): Column =
     pmod(pmod(id, lit(1000003L)) * mixPrime, lit(1000L)) < fraction * 1000.0
 

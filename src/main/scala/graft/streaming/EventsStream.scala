@@ -26,11 +26,19 @@ object EventsStream {
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
+    // resolve through the Hadoop FileSystem API so the single-file →
+    // parent + pathGlobFilter rewrite applies on ANY filesystem the
+    // path names (hdfs://, s3a://, …) — java.io.File.isFile is always
+    // false for non-local URIs and would silently hand a file path to
+    // the directory-only streaming source
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val isFile = fs.getFileStatus(hPath).isFile
     val raw =
-      if (f.isFile)
+      if (isFile)
         spark.readStream.schema(schema)
-          .option("pathGlobFilter", f.getName).parquet(f.getParent)
+          .option("pathGlobFilter", hPath.getName)
+          .parquet(hPath.getParent.toString)
       else spark.readStream.schema(schema).parquet(path)
     if (schema.fieldNames.contains("ts"))
       raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

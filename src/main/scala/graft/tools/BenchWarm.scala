@@ -23,6 +23,12 @@ object BenchWarm {
     val spark = Sessions.local(appName = "graft-bench-warm")
     val results = Registry.all.map { q =>
       val times = (1 to reps).map { _ =>
+        // clean block manager per rep: un-released localCheckpoint
+        // blocks from prior reps/queries inflate later timings (the
+        // r4 warm>cold inversion on dedup_embedding_lsh was exactly
+        // this — isolated reps converge to 2.3 s, below cold)
+        Sessions.releaseResidue(spark, blocking = true)
+        System.gc() // prior rep's garbage collected outside the timing window
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => println(s"BENCHWARM ${q.name} FAILED: $e") }

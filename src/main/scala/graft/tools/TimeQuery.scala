@@ -13,6 +13,7 @@ object TimeQuery {
     val q = Registry.byName(name)
     val spark = Sessions.local(appName = s"time-$name")
     (1 to reps).foreach { i =>
+      Sessions.releaseResidue(spark, blocking = true)
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TIMEQUERY $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
