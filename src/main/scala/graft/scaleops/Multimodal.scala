@@ -38,12 +38,14 @@ object Multimodal {
   /** Container-header decode. REAL parsing for the formats whose
     * headers are pure byte layout — JPEG (SOF0/SOF2 frame
     * dimensions), PNG (IHDR width/height), GIF (logical screen
-    * descriptor), and WAV (RIFF fmt chunk: sample rate/channels →
-    * frame count); payloads that are none of these fall back to the
-    * clearly-marked DETERMINISTIC STUB (pseudo-dims from a payload
-    * hash) so the pipeline stays total — the stub surface is now only
-    * codecs that genuinely need decoder libraries (video frames,
-    * compressed audio). Runs per partition: one iterator pass, no
+    * descriptor), BMP (BITMAPINFOHEADER), binary netpbm (P5/P6), and
+    * WAV (RIFF fmt chunk: sample rate/channels → frame count);
+    * payloads that are none of these fall back to the clearly-marked
+    * DETERMINISTIC STUB (pseudo-dims from a payload hash) so the
+    * pipeline stays total — the stub surface is now only codecs that
+    * genuinely need decoder libraries (video frames, compressed
+    * audio, JPEG/PNG pixel data; BMP/netpbm PIXELS are really decoded
+    * by [[decodePixels]]). Runs per partition: one iterator pass, no
     * per-row task overhead — the shape a full codec (JNI) drops into. */
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
@@ -51,7 +53,8 @@ object Multimodal {
       rows.map { m =>
         val n = m.payload.length
         parseJpeg(m.payload).orElse(parsePng(m.payload))
-          .orElse(parseGif(m.payload)).orElse(parseWav(m.payload)) match {
+          .orElse(parseGif(m.payload)).orElse(parseBmp(m.payload))
+          .orElse(parsePnm(m.payload)).orElse(parseWav(m.payload)) match {
           case Some((w, h, frames)) =>
             MediaMeta(m.media_id, m.modality, n, w, h, frames)
           case None => // ---- DECODE STUB (non-container payloads) ----
@@ -116,6 +119,51 @@ object Multimodal {
     if (w == 0 || h == 0) None else Some((w, h, 1))
   }
 
+  /** BMP: 'BM' + BITMAPINFOHEADER — width/height little-endian 32-bit
+    * at offsets 18/22; a negative height means top-down row order
+    * (dims reported as |height|). */
+  private[graft] def parseBmp(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val w = le32(p, 18).toInt
+    val h = le32(p, 22).toInt
+    if (w <= 0 || h == 0) None else Some((w, math.abs(h), 1))
+  }
+
+  /** Binary netpbm header (P5 gray / P6 RGB): ASCII magic, then
+    * whitespace/`#`-comment-separated width, height, maxval, then ONE
+    * whitespace byte before the raw samples. Returns
+    * (isRgb, w, h, maxval, dataOffset). */
+  private[graft] def pnmHeader(p: Array[Byte])
+      : Option[(Boolean, Int, Int, Int, Int)] = {
+    if (p.length < 7 || p(0) != 'P'.toByte ||
+      (p(1) != '5'.toByte && p(1) != '6'.toByte)) return None
+    def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    var i = 2
+    val vals = new Array[Int](3)
+    var vi = 0
+    while (vi < 3) {
+      while (i < p.length && (isWs(p(i)) || p(i) == '#'.toByte)) {
+        if (p(i) == '#'.toByte)
+          while (i < p.length && p(i) != '\n'.toByte) i += 1
+        else i += 1
+      }
+      var v = 0
+      var any = false
+      while (i < p.length && p(i) >= '0'.toByte && p(i) <= '9'.toByte) {
+        v = v * 10 + (p(i) - '0'); i += 1; any = true
+      }
+      if (!any) return None
+      vals(vi) = v
+      vi += 1
+    }
+    if (i >= p.length || !isWs(p(i))) return None // single ws before data
+    if (vals(0) <= 0 || vals(1) <= 0 || vals(2) <= 0) return None
+    Some((p(1) == '6'.toByte, vals(0), vals(1), vals(2), i + 1))
+  }
+
+  private[graft] def parsePnm(p: Array[Byte]): Option[(Int, Int, Int)] =
+    pnmHeader(p).map { case (_, w, h, _, _) => (w, h, 1) }
+
   /** WAV: RIFF/WAVE with an fmt chunk — channels and sample rate are
     * little-endian; width=channels, height=sampleRate, frames = data
     * bytes / block align. */
@@ -138,6 +186,128 @@ object Multimodal {
     }
     if (channels == 0 || blockAlign == 0) None
     else Some((channels, sampleRate, (dataLen / blockAlign).toInt))
+  }
+
+  final case class PixelStats(media_id: Long, fmt: String, width: Int,
+                              height: Int, n_pixels: Long,
+                              sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL pixel decode (no stub) for the formats whose pixel data is
+    * pure byte layout — 24-bit uncompressed BMP (bottom-up or
+    * top-down, 4-byte row padding honored) and binary netpbm P5/P6
+    * (1-byte samples). Only JPEG/PNG pixels — genuinely
+    * entropy-coded — remain behind the documented stub. Returns
+    * per-image channel sums (gray replicates into all three), the
+    * contract the decode-certification query pins arithmetically. */
+  def decodePixels(media: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        bmpPixels(m.payload).map(("bmp", _))
+          .orElse(pnmPixels(m.payload).map(("pnm", _)))
+          .map { case (fmt, (w, h, sr, sg, sb)) =>
+            PixelStats(m.media_id, fmt, w, h, w.toLong * h, sr, sg, sb)
+          }
+      }
+    }
+  }
+
+  /** BMP24 pixel pass: honors the pixel-array offset from the file
+    * header, per-row padding to 4 bytes, and the sign-of-height row
+    * order. Channels are stored B,G,R. */
+  private[graft] def bmpPixels(p: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val off = le32(p, 10).toInt
+    val w = le32(p, 18).toInt
+    val hRaw = le32(p, 22).toInt
+    val bpp = le16(p, 28)
+    val compression = le32(p, 30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0L) return None
+    val h = math.abs(hRaw)
+    val rowBytes = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + rowBytes.toLong * h > p.length) return None
+    var sumB, sumG, sumR = 0L
+    var y = 0
+    while (y < h) {
+      // image row y lives at the bottom for positive heights
+      val src = off + (if (hRaw > 0) h - 1 - y else y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val o = src + x * 3
+        sumB += u8(p(o)); sumG += u8(p(o + 1)); sumR += u8(p(o + 2))
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, sumR, sumG, sumB))
+  }
+
+  /** Binary netpbm pixel pass (maxval ≤ 255 ⇒ 1-byte samples). */
+  private[graft] def pnmPixels(p: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] =
+    pnmHeader(p).flatMap { case (rgb, w, h, maxval, off) =>
+      val ch = if (rgb) 3 else 1
+      if (maxval > 255 || off.toLong + w.toLong * h * ch > p.length) None
+      else {
+        var sr, sg, sb = 0L
+        val n = w * h
+        var i = 0
+        while (i < n) {
+          val o = off + i * ch
+          if (rgb) { sr += u8(p(o)); sg += u8(p(o + 1)); sb += u8(p(o + 2)) }
+          else { val v = u8(p(o)); sr += v; sg += v; sb += v }
+          i += 1
+        }
+        Some((w, h, sr, sg, sb))
+      }
+    }
+
+  /** Deterministic binary PGM (P5): pixel (x,y) = (id·31 + y·w + x)
+    * mod 256 — the fabric the decode-certification query rebuilds
+    * arithmetically in SQL. */
+  private[graft] def makePgm(id: Long, w: Int, h: Int): Array[Byte] = {
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = 0
+    while (p < w * h) {
+      out(header.length + p) = ((id * 31 + p) % 256).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** Deterministic 24-bit BMP with REAL layout — bottom-up rows,
+    * 4-byte row padding, 54-byte headers; all three channels carry
+    * the same (id·31 + y·w + x) mod 256 value. A decoder that botches
+    * padding or row order shifts the sums and fails the oracle. */
+  private[graft] def makeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val dataSize = rowBytes * h
+    val out = new Array[Byte](54 + dataSize)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte; out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    putLe32(2, 54 + dataSize); putLe32(10, 54)
+    putLe32(14, 40); putLe32(18, w); putLe32(22, h)
+    out(26) = 1; out(28) = 24
+    putLe32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val rowStart = 54 + (h - 1 - y) * rowBytes // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + (y.toLong * w + x)) % 256).toByte
+        val o = rowStart + x * 3
+        out(o) = v; out(o + 1) = v; out(o + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
   }
 
   /** Feature extraction: byte histogram (16 buckets) + entropy —

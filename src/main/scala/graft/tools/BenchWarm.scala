@@ -21,7 +21,7 @@ object BenchWarm {
     val reps = if (args.length > 2) args(2).toInt else 2
     require(reps >= 2, "need at least 2 reps for a warm number")
     val spark = Sessions.local(appName = "graft-bench-warm")
-    val results = Registry.all.map { q =>
+    val results = Registry.all.filterNot(_.benchSkip).map { q =>
       val times = (1 to reps).map { _ =>
         // clean block manager per rep: un-released localCheckpoint
         // blocks from prior reps/queries inflate later timings (the

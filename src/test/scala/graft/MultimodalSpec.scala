@@ -122,6 +122,61 @@ class MultimodalSpec extends SparkSpec {
     assert(resized(1L) == ((0, 0)))  // unknown dims flow through as 0
   }
 
+  test("BMP pixel decode honors row padding, bottom-up order, and BGR channels") {
+    // hand-built 2×2 BMP24, bottom-up: image pixels (x,y)→(B,G,R):
+    //   (0,0)=(1,2,3)   (1,0)=(4,5,6)
+    //   (0,1)=(7,8,9)   (1,1)=(10,11,12)
+    // rowBytes = (2*3+3)&~3 = 8 → 2 padding bytes per row (0xEE poison:
+    // a decoder that reads them corrupts the sums)
+    val data = new Array[Byte](54 + 16)
+    def le32(i: Int, v: Int): Unit = (0 until 4).foreach(j => data(i + j) = ((v >> (8 * j)) & 0xFF).toByte)
+    data(0) = 'B'; data(1) = 'M'; le32(2, 70); le32(10, 54)
+    le32(14, 40); le32(18, 2); le32(22, 2); data(26) = 1; data(28) = 24
+    le32(34, 16)
+    // bottom-up: file row 0 = image row 1
+    val fileBytes = Array[Byte](7, 8, 9, 10, 11, 12, 0xEE.toByte, 0xEE.toByte,
+      1, 2, 3, 4, 5, 6, 0xEE.toByte, 0xEE.toByte)
+    fileBytes.copyToArray(data, 54)
+    val Some((w, h, sr, sg, sb)) = Multimodal.bmpPixels(data)
+    assert((w, h) == ((2, 2)))
+    assert(sb == 1 + 4 + 7 + 10)  // BMP stores B first
+    assert(sg == 2 + 5 + 8 + 11)
+    assert(sr == 3 + 6 + 9 + 12)
+    assert(Multimodal.parseBmp(data).contains((2, 2, 1)))
+
+    // top-down variant (negative height): same image, rows not flipped
+    val td = data.clone()
+    (0 until 4).foreach(j => td(22 + j) = ((-2 >> (8 * j)) & 0xFF).toByte)
+    val topFirst = Array[Byte](1, 2, 3, 4, 5, 6, 0xEE.toByte, 0xEE.toByte,
+      7, 8, 9, 10, 11, 12, 0xEE.toByte, 0xEE.toByte)
+    topFirst.copyToArray(td, 54)
+    val Some((_, _, tr, tg, tb)) = Multimodal.bmpPixels(td)
+    assert((tr, tg, tb) == ((sr, sg, sb)), "top-down must sum identically")
+  }
+
+  test("PGM/PPM parse headers with comments; generators round-trip exactly") {
+    val withComment = ("P5\n# a comment line\n3 2\n255\n" + "ABCDEF")
+      .getBytes("US-ASCII")
+    assert(Multimodal.parsePnm(withComment).contains((3, 2, 1)))
+    val Some((w, h, sr, _, _)) = Multimodal.pnmPixels(withComment)
+    assert((w, h) == ((3, 2)))
+    assert(sr == "ABCDEF".getBytes.map(_.toLong).sum)
+
+    // generator → decoder closes the loop at the exact arithmetic
+    for (id <- Seq(0L, 7L, 123L)) {
+      val (gw, gh) = (4 + (id % 5).toInt, 3 + (id % 4).toInt)
+      val expect = (0 until gw * gh).map(p => (id * 31 + p) % 256).sum
+      val Some((pw, ph, psr, psg, psb)) =
+        Multimodal.pnmPixels(Multimodal.makePgm(id, gw, gh))
+      assert((pw, ph) == ((gw, gh)) && psr == expect && psg == expect && psb == expect)
+      val Some((bw, bh, bsr, bsg, bsb)) =
+        Multimodal.bmpPixels(Multimodal.makeBmp(id, gw, gh))
+      assert((bw, bh) == ((gw, gh)) && bsr == expect && bsg == expect && bsb == expect)
+      assert(Multimodal.parseBmp(Multimodal.makeBmp(id, gw, gh))
+        .contains((gw, gh, 1)))
+    }
+  }
+
   test("frame sampling emits n evenly-spaced slices per row") {
     val frames = Multimodal.sampleFrames(media(), nFrames = 4, frameBytes = 8)
     val byId = frames.groupBy("media_id").count().collect()
