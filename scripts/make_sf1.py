@@ -4,9 +4,14 @@ under target/testdata/sf1 by key-shifted copies of the sf0.1 tables.
 
 Perturbations are chosen so workload scales LINEARLY (the realistic
 shape), never quadratically via cross-copy duplicates:
-  - documents: copy i>0 injects a copy-specific token between words
-    (' c<i> ') - within-copy near-dup structure is preserved exactly,
-    cross-copy shingle overlap collapses, so near-dup pairs scale ~10x;
+  - documents: copy i>0 suffixes every word with '_c<i>' - a BIJECTIVE
+    per-copy vocabulary relabeling, so every shingle-set relation
+    (Jaccard, containment, frequency) is preserved EXACTLY within a
+    copy while cross-copy shingles are disjoint; near-dup pairs scale
+    ~10x. (An earlier between-words token injection made every bigram
+    contain the injected token, inflating pairwise similarity and
+    exploding PPJoin candidates ~quadratically - 60 GB of shuffle
+    spill at sf1.);
   - embeddings: copy i rotates the vector by i positions - a
     permutation is orthogonal, so within-copy cosines are EXACT while
     cross-copy cosines decorrelate;
@@ -84,17 +89,23 @@ write("lineitem", copy_union(
     f"l_partkey + {{i}} * {P} AS l_partkey, "
     f"l_suppkey + {{i}} * {S} AS l_suppkey, {li_rest} FROM {{src}}",
     "lineitem"))
+# ts must land as an instant (isAdjustedToUTC) in parquet: plain DuckDB
+# TIMESTAMP writes NTZ, which Spark reads as TIMESTAMP_NTZ and
+# unix_micros() rejects
+con.sql("SET TimeZone = 'UTC'")
 write("events", copy_union(
-    f"SELECT event_id + {{i}} * {E} AS event_id, ts, "
+    f"SELECT event_id + {{i}} * {E} AS event_id, "
+    "CAST(ts AS TIMESTAMPTZ) AS ts, "
     f"user_id + {{i}} * {U} AS user_id, event_type, value, props "
     "FROM {src}", "events"))
 write("documents", copy_union(
     f"SELECT doc_id + {{i}} * {D} AS doc_id, "
     "CASE WHEN {i} = 0 THEN text "
-    "     ELSE replace(text, ' ', ' c{i} ') END AS text, "
+    r"     ELSE regexp_replace(text, '(\S+)', '\1_c{i}', 'g') END AS text, "
     "lang, source, "
     "CAST(length(CASE WHEN {i} = 0 THEN text "
-    "     ELSE replace(text, ' ', ' c{i} ') END) AS BIGINT) AS n_chars "
+    r"     ELSE regexp_replace(text, '(\S+)', '\1_c{i}', 'g') END) "
+    "AS BIGINT) AS n_chars "
     "FROM {src}", "documents"))
 write("embeddings", copy_union(
     f"SELECT vec_id + {{i}} * {V} AS vec_id, "

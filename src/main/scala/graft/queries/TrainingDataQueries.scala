@@ -160,6 +160,51 @@ object TrainingDataQueries {
        |GROUP BY source""".stripMargin
   }
 
+  // ---- duplicated spans ---------------------------------------------------
+
+  /** Per-doc duplicated-span coverage (k=8 windows, ≥2 occurrences
+    * corpus-wide) — the Lee-et-al dedup report shape. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    TrainingData.duplicatedSpans(docs(s, d), "doc_id", "text", k = 8)
+
+  val dupSpansOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |base AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+      |spans AS (
+      |  SELECT doc_id, s - 1 AS start,
+      |    array_to_string(toks[s:s+7], ' ') AS span
+      |  FROM base, UNNEST(generate_series(1, n - 7)) AS g(s)
+      |  WHERE n >= 8),
+      |dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+      |flagged AS (
+      |  SELECT doc_id, start, start + 7 AS e
+      |  FROM spans SEMI JOIN dup USING (span)),
+      |isl AS (
+      |  SELECT doc_id, start, e,
+      |    CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |      ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) THEN 1 ELSE 0 END AS ni
+      |  FROM flagged),
+      |isl2 AS (
+      |  SELECT doc_id, start, e,
+      |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY start
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |cov0 AS (
+      |  SELECT doc_id, island, MIN(start) AS i_start, MAX(e) AS i_end
+      |  FROM isl2 GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT doc_id, CAST(SUM(i_end - i_start + 1) AS BIGINT) AS dup_tokens,
+      |    COUNT(*) AS n_islands
+      |  FROM cov0 GROUP BY 1)
+      |SELECT b.doc_id, CAST(b.n AS INT) AS n_tokens,
+      |  COALESCE(dup_tokens, 0) AS dup_tokens,
+      |  COALESCE(n_islands, 0) AS n_islands,
+      |  ROUND(COALESCE(dup_tokens, 0) / NULLIF(b.n, 0), 6) AS dup_fraction
+      |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
+
   // ---- contamination screen ---------------------------------------------
 
   /** Benchmark-contamination screen: src19 is the held-out benchmark;
@@ -229,6 +274,7 @@ object TrainingDataQueries {
     Q("text_repetition", repetition, Some(repetitionOracle)),
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
+    Q("text_dup_spans", dupSpans, Some(dupSpansOracle)),
     Q("docs_contamination", contamination, Some(contaminationOracle)),
     Q("docs_pack_sequences", packSequences, Some(packSequencesOracle)))
 }

@@ -149,6 +149,72 @@ object TrainingData {
     docs.filter(mixtureKeep(col(idCol), frac))
   }
 
+  // ---- duplicated-span detection ------------------------------------------
+
+  /** Exact repeated-span detection — the primitive behind
+    * suffix-array training-data dedup ("Deduplicating Training Data
+    * Makes Language Models Better", Lee et al. 2022), re-expressed
+    * relationally: every k-token window that occurs at least
+    * `minOccurrences` times corpus-wide is a duplicated span, and a
+    * document's `dup_fraction` is the share of its tokens covered by
+    * at least one duplicated span. Pipeline:
+    *   1. k-gram windows per doc (`transform` over the token array —
+    *      zero shuffle, inside codegen);
+    *   2. one groupBy on the span key finds global repeats (the
+    *      distributed stand-in for suffix-array LCP scans);
+    *   3. flagged [start, start+k-1] intervals UNION per doc via the
+    *      gaps-and-islands merge — a per-doc partitioned window,
+    *      never a global sort, so overlapping spans never
+    *      double-count a token.
+    *
+    * 100 TB notes: the span key here is the literal k-gram string so
+    * the SQL oracle can replay it exactly; a production run hashes it
+    * (`xxhash64(span)`) to bound shuffle bytes — same plan shape.
+    * `maxDf` is the same hot-key guard as [[contamination]]: a
+    * boilerplate span occurring in millions of docs would fan the
+    * semi-join out by its frequency while carrying no dedup signal;
+    * capped spans are simply not flagged (under-counting, never
+    * over). */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, minOccurrences: Int = 2,
+                      maxDf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    val spans = base
+      .select(col(idCol), posexplode(when(col("n_tokens") >= k,
+        transform(sequence(lit(1), col("n_tokens") - (k - 1)),
+          i => concat_ws(" ", slice(col("toks"), i, lit(k)))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col(idCol), col("pos").as("start"), col("col").as("span"))
+    val counts = spans.groupBy("span").agg(count(lit(1)).as("occ"))
+    val dup = counts.filter(col("occ") >= minOccurrences &&
+      maxDf.map(cap => col("occ") <= cap).getOrElse(lit(true)))
+    val flagged = spans.join(dup.select("span"), Seq("span"), "left_semi")
+      .select(col(idCol), col("start"), (col("start") + (k - 1)).as("end"))
+    val w = Window.partitionBy(idCol).orderBy("start")
+    val coverage = flagged
+      .withColumn("max_end_prev",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni", when(col("max_end_prev").isNull ||
+        col("start") > col("max_end_prev"), 1).otherwise(0))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("start").as("i_start"), max("end").as("i_end"))
+      .groupBy(idCol)
+      .agg(sum(col("i_end") - col("i_start") + 1).as("dup_tokens"),
+        count(lit(1)).as("n_islands"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(coverage, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_islands"), lit(0L)).as("n_islands"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          nullif(col("n_tokens"), lit(0)), 6).as("dup_fraction"))
+  }
+
   // ---- contamination screening ------------------------------------------
 
   /** Benchmark-contamination screen: corpus docs sharing at least

@@ -30,9 +30,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case None => df
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => // TIMESTAMP(NANOS) read as ns-since-epoch
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // NTZ parquet (no UTC adjustment flag): reinterpret as an
+        // instant in the session zone (UTC) so unix_micros/window
+        // functions accept it — same wall-clock values either way
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 

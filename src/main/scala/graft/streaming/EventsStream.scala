@@ -40,9 +40,16 @@ object EventsStream {
           .option("pathGlobFilter", hPath.getName)
           .parquet(hPath.getParent.toString)
       else spark.readStream.schema(schema).parquet(path)
-    if (schema.fieldNames.contains("ts"))
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    // mirror Tables.load: rebuild only when ts arrived as raw nanos
+    // (LongType); NTZ reinterprets in the session zone; a proper
+    // timestamp passes through
+    schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-day counts with a 1-hour watermark: late events

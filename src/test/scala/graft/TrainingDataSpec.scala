@@ -131,4 +131,45 @@ class TrainingDataSpec extends SparkSpec {
     }
     assert(packed.map(_.getLong(2)).sum == 60L) // every doc lands once
   }
+
+  test("duplicated spans: planted repeat found, overlaps union, short docs zero") {
+    import spark.implicits._
+    // w1..w10 unique filler; docs 1 and 2 share the 4-token span
+    // "a b c d"; doc 3 repeats it internally TWICE with overlap
+    // offset 2 ("a b c d a b c d" → spans at 0 and 4 plus the
+    // crossing ones only if they also repeat — they don't);
+    // doc 4 is shorter than k.
+    val docs = Seq(
+      (1L, "w1 w2 a b c d w3 w4"),
+      (2L, "v1 a b c d v2 v3 v4"),
+      (3L, "a b c d a b c d"),
+      (4L, "u1 u2 u3")).toDF("doc_id", "text")
+    val got = TrainingData.duplicatedSpans(docs, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toMap
+
+    // doc 1: span "a b c d" starts at token 2 → covers [2,5] = 4 tokens
+    assert(got(1L) == ((8, 4L, 1L, 0.5)))
+    // doc 2: starts at token 1 → [1,4] = 4 tokens of 8
+    assert(got(2L) == ((8, 4L, 1L, 0.5)))
+    // doc 3: "a b c d" at 0 and 4, plus "b c d a"/"c d a b"/"d a b c"
+    // (each occurs only once → not duplicated). [0,3] ∪ [4,7] = all 8
+    // tokens, two islands that tile the doc without double-counting.
+    assert(got(3L)._2 == 8L && got(3L)._4 == 1.0)
+    // doc 4: shorter than k → zero coverage, no islands
+    assert(got(4L) == ((3, 0L, 0L, 0.0)))
+  }
+
+  test("duplicated spans: maxDf guard drops boilerplate spans") {
+    import spark.implicits._
+    // the same span in 5 docs; cap at 3 occurrences → not flagged
+    val docs = (1L to 5L).map(i => (i, "x y z w junk" + i))
+      .toDF("doc_id", "text")
+    val capped = TrainingData.duplicatedSpans(docs, "doc_id", "text",
+      k = 4, maxDf = Some(3L))
+    assert(capped.filter(col("dup_tokens") > 0).count() == 0)
+    val uncapped = TrainingData.duplicatedSpans(docs, "doc_id", "text", k = 4)
+    assert(uncapped.filter(col("dup_tokens") > 0).count() == 5)
+  }
 }
