@@ -205,6 +205,65 @@ object TrainingDataQueries {
       |  ROUND(COALESCE(dup_tokens, 0) / NULLIF(b.n, 0), 6) AS dup_fraction
       |FROM base b LEFT JOIN cov USING (doc_id)""".stripMargin
 
+  // ---- chunking -----------------------------------------------------------
+
+  /** Fixed-size overlapping token chunks (size 64, stride 48 → 16
+    * tokens of overlap) for a bounded id range — the RAG /
+    * context-window prep shape, fully replayed by the oracle
+    * including the overlap arithmetic and the short final chunk. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    TrainingData.chunkDocs(docs(s, d).filter(col("doc_id") < 40),
+      "doc_id", "text", chunkSize = 64, stride = 48)
+
+  val chunkDocsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents WHERE doc_id < 40),
+      |b AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 1)
+      |SELECT doc_id, CAST(g // 48 AS INT) AS chunk_id,
+      |  CAST(g AS INT) AS start_tok,
+      |  CAST(LEAST(64, n - g) AS INT) AS n_toks,
+      |  array_to_string(toks[g + 1:g + 64], ' ') AS chunk_text
+      |FROM b, UNNEST(generate_series(0, n - 1, 48)) AS u(g)""".stripMargin
+
+  // ---- importance weights (DSIR-style) ------------------------------------
+
+  /** Per-doc importance weights against the `src1` target slice for a
+    * bounded id range — mean per-token log-likelihood ratio between
+    * the add-one-smoothed target and corpus unigram models, with the
+    * oracle replaying both models and the decimal sum exactly. */
+  def importanceWeights(s: SparkSession, d: String): DataFrame =
+    TrainingData.importanceWeights(docs(s, d), "doc_id", "text",
+      col("source") === "src1")
+      .filter(col("doc_id") < 20)
+
+  val importanceWeightsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source = 'src1' AS is_target,
+      |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT term, COUNT(*) AS c_cnt,
+      |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+      |  FROM t GROUP BY term),
+      |tot AS (
+      |  SELECT CAST(SUM(c_cnt) AS BIGINT) AS c_total,
+      |    CAST(SUM(t_cnt) AS BIGINT) AS t_total,
+      |    COUNT(*) AS vocab
+      |  FROM tf),
+      |d AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    ROUND(CAST(SUM(CAST(ROUND(LOG2(
+      |        (CAST(t_cnt + 1 AS DOUBLE) / (t_total + vocab)) /
+      |        (CAST(c_cnt + 1 AS DOUBLE) / (c_total + vocab))), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+      |      AS logratio_bits_per_token
+      |  FROM t JOIN tf USING (term) CROSS JOIN tot
+      |  WHERE doc_id < 20 GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, logratio_bits_per_token,
+      |  logratio_bits_per_token > 0 AS keep
+      |FROM d""".stripMargin
+
   // ---- contamination screen ---------------------------------------------
 
   /** Benchmark-contamination screen: src19 is the held-out benchmark;
@@ -275,6 +334,8 @@ object TrainingDataQueries {
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
     Q("text_dup_spans", dupSpans, Some(dupSpansOracle)),
+    Q("docs_chunk", chunkDocs, Some(chunkDocsOracle)),
+    Q("docs_importance_weights", importanceWeights, Some(importanceWeightsOracle)),
     Q("docs_contamination", contamination, Some(contaminationOracle)),
     Q("docs_pack_sequences", packSequences, Some(packSequencesOracle)))
 }

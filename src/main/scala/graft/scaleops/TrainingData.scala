@@ -215,6 +215,79 @@ object TrainingData {
           nullif(col("n_tokens"), lit(0)), 6).as("dup_fraction"))
   }
 
+  // ---- chunking (retrieval / context-window prep) -------------------------
+
+  /** Split each document into fixed-size token chunks with overlap —
+    * the retrieval-corpus (RAG) and context-window prep step: chunk
+    * `i` covers tokens `[i·stride, i·stride + chunkSize)`, so
+    * consecutive chunks overlap by `chunkSize − stride` tokens and
+    * the final chunk may be short. Pure per-row array arithmetic
+    * (`sequence` + `slice` inside codegen) followed by one
+    * `posexplode` — zero shuffles, so at 100 TB this is a map-only
+    * pass whose output is `≈ chunkSize/stride ×` the input tokens. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkSize >= stride,
+      s"need 1 <= stride <= chunkSize, got stride=$stride chunkSize=$chunkSize")
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+    base
+      .select(col(idCol), col("toks"), col("n_tokens"),
+        posexplode(when(col("n_tokens") >= 1,
+          sequence(lit(0), col("n_tokens") - 1, lit(stride)))
+          .otherwise(array().cast("array<int>"))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        col("col").as("start_tok"),
+        least(lit(chunkSize), col("n_tokens") - col("col")).as("n_toks"),
+        concat_ws(" ", slice(col("toks"), col("col") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
+
+  // ---- importance weighting (DSIR-style) ----------------------------------
+
+  /** Data-selection importance weights ("Data Selection for Language
+    * Models via Importance Resampling", Xie et al. 2023), with exact
+    * unigram models in place of hashed n-gram features so the whole
+    * computation stays relational and oracle-replayable: each doc is
+    * scored by the mean per-token log-likelihood ratio (bits) between
+    * an add-one-smoothed unigram model of the TARGET slice
+    * (`isTarget` rows) and one of the full corpus. Docs that look
+    * more like the target than the corpus score positive; `keep`
+    * selects them (the resampling step then applies
+    * [[mixtureKeep]]-style arithmetic to the kept set).
+    *
+    * One explode + one term-keyed groupBy computing both models in a
+    * single pass (map-side combinable), broadcast totals, one
+    * term-keyed join back — the same plan family as
+    * [[unigramCrossEntropy]], linear at any corpus size. Per-term
+    * ratios are rounded to 9 dp and summed as DECIMAL — associative,
+    * so exact under any partitioning. */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = docs.select(col(idCol), isTarget.as("is_target"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy("term").agg(
+      count(lit(1)).as("c_cnt"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("t_cnt"))
+    val totals = tf.agg(
+      sum(col("c_cnt")).as("c_total"),
+      sum(col("t_cnt")).as("t_total"),
+      count(lit(1)).as("vocab"))
+    val bits = round(log2(
+      ((col("t_cnt") + 1).cast("double") / (col("t_total") + col("vocab"))) /
+        ((col("c_cnt") + 1).cast("double") / (col("c_total") + col("vocab")))),
+      9).cast(DecimalType(18, 9))
+    terms.join(tf, "term").crossJoin(broadcast(totals))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"), sum(bits).as("bits"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("bits").cast("double") / col("n_tokens"), 6)
+          .as("logratio_bits_per_token"))
+      .withColumn("keep", col("logratio_bits_per_token") > 0)
+  }
+
   // ---- contamination screening ------------------------------------------
 
   /** Benchmark-contamination screen: corpus docs sharing at least

@@ -161,6 +161,53 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(4L) == ((3, 0L, 0L, 0.0)))
   }
 
+  test("chunking: overlap arithmetic, short tail, sub-chunk doc") {
+    import spark.implicits._
+    // doc 1: 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9 with
+    // lengths 4,4,4,1; doc 2: 3 tokens → one short chunk
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val got = TrainingData.chunkDocs(docs, "doc_id", "text",
+      chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(got.size == 5)
+    assert(got((1L, 0)) == ((0, 4, "t0 t1 t2 t3")))
+    assert(got((1L, 1)) == ((3, 4, "t3 t4 t5 t6"))) // one-token overlap
+    assert(got((1L, 2)) == ((6, 4, "t6 t7 t8 t9")))
+    assert(got((1L, 3)) == ((9, 1, "t9"))) // short tail
+    assert(got((2L, 0)) == ((0, 3, "a b c")))
+  }
+
+  test("importance weights: target-like docs score positive, corpus-typical negative") {
+    import spark.implicits._
+    // target slice speaks "ml data model"; the rest speaks "spam junk ad"
+    val docs = Seq(
+      (1L, "ml data model ml data", true),
+      (2L, "ml model data model ml", true),
+      (3L, "spam junk ad spam junk", false),
+      (4L, "ad spam junk ad ad", false),
+      (5L, "ml data spam junk", false)). // mixed, not in target
+      toDF("doc_id", "text", "tgt")
+    val got = TrainingData.importanceWeights(docs, "doc_id", "text",
+      col("tgt"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toMap
+    assert(got.size == 5)
+    assert(got(1L)._1 == 5 && got(5L)._1 == 4) // token counts carried
+    // pure-target docs look more like the target model → positive bits
+    assert(got(1L)._2 > 0 && got(1L)._3)
+    assert(got(2L)._2 > 0 && got(2L)._3)
+    // pure-corpus-tail docs score negative and are not kept
+    assert(got(3L)._2 < 0 && !got(3L)._3)
+    assert(got(4L)._2 < 0 && !got(4L)._3)
+    // the mixed doc sits between the pure docs
+    assert(got(5L)._2 > got(3L)._2 && got(5L)._2 < got(1L)._2)
+  }
+
   test("duplicated spans: maxDf guard drops boilerplate spans") {
     import spark.implicits._
     // the same span in 5 docs; cap at 3 occurrences → not flagged
