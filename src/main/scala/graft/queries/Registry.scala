@@ -4,7 +4,7 @@ package graft.queries
   * `Seq[Q]`; SparkEntry exposes them under the driver contract. */
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
+    Relational.all ++ RelationalExt.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ OperatorQueries.all ++
       TrainingDataQueries.all ++ StreamingQueries.all
 

@@ -264,6 +264,73 @@ object TrainingDataQueries {
       |  logratio_bits_per_token > 0 AS keep
       |FROM d""".stripMargin
 
+  /** Interpolated-bigram LM cross-entropy for a bounded id range — the
+    * CCNet-style quality signal one context-order up from
+    * `text_unigram_logprob`; the oracle replays both count models, the
+    * λ-interpolation (with `1.0 − 0.9` spelled as the same IEEE
+    * subtraction, not a `0.1` literal), and the decimal surprisal sum. */
+  def bigramLogprob(s: SparkSession, d: String): DataFrame =
+    TrainingData.bigramCrossEntropy(docs(s, d), "doc_id", "text",
+      lambda = 0.9)
+      .filter(col("doc_id") < 20)
+
+  val bigramLogprobOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE len(toks) >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |uni AS (
+      |  SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |cu AS (SELECT term, COUNT(*) AS cu FROM uni GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM uni)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(CAST(ROUND(-LOG2(
+      |      0.9 * CAST(c12 AS DOUBLE) / c1 +
+      |      (1.0 - 0.9) * CAST(cu AS DOUBLE) / n_total), 9)
+      |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS bits_per_bigram
+      |FROM bg
+      |JOIN c12 USING (w1, w2)
+      |JOIN c1 USING (w1)
+      |JOIN cu ON bg.w2 = cu.term
+      |CROSS JOIN tot
+      |WHERE doc_id < 20 GROUP BY doc_id""".stripMargin
+
+  // ---- distribution drift (PSI) -----------------------------------------
+
+  /** Event-type distribution drift between the first and second half
+    * of the events month (split 2024-01-16) — per-bin PSI terms with
+    * the add-one smoothing replayed exactly by the oracle. */
+  def psiDrift(s: SparkSession, d: String): DataFrame =
+    TrainingData.psiCategorical(Tables.load(s, d, "events"), "event_type",
+      unix_micros(col("ts")) < 1705363200000000L)
+
+  val psiDriftOracle: String =
+    """WITH counts AS (
+      |  SELECT event_type AS bin,
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+      |    CAST(SUM(CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) < 1705363200000000
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+      |  FROM events GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+      |    CAST(SUM(n_cur) AS BIGINT) AS t_cur, COUNT(*) AS n_bins
+      |  FROM counts)
+      |SELECT bin, n_ref, n_cur,
+      |  ROUND(CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins), 6) AS p_ref,
+      |  ROUND(CAST(n_cur + 1 AS DOUBLE) / (t_cur + n_bins), 6) AS p_cur,
+      |  ROUND((CAST(n_cur + 1 AS DOUBLE) / (t_cur + n_bins) -
+      |         CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins)) *
+      |    LN((CAST(n_cur + 1 AS DOUBLE) / (t_cur + n_bins)) /
+      |       (CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))), 6) AS psi_term
+      |FROM counts, tot""".stripMargin
+
   // ---- contamination screen ---------------------------------------------
 
   /** Benchmark-contamination screen: src19 is the held-out benchmark;
@@ -332,6 +399,8 @@ object TrainingDataQueries {
     Q("text_pii_redact", piiRedact, Some(piiRedactOracle)),
     Q("text_repetition", repetition, Some(repetitionOracle)),
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
+    Q("text_bigram_logprob", bigramLogprob, Some(bigramLogprobOracle)),
+    Q("events_psi_drift", psiDrift, Some(psiDriftOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
     Q("text_dup_spans", dupSpans, Some(dupSpansOracle)),
     Q("docs_chunk", chunkDocs, Some(chunkDocsOracle)),

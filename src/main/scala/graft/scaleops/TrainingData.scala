@@ -119,6 +119,80 @@ object TrainingData {
           .as("bits_per_token"))
   }
 
+  /** Per-doc cross-entropy (bits/token) under an interpolated BIGRAM
+    * model of the corpus — the CCNet-style LM-quality signal one step
+    * up from [[unigramCrossEntropy]]: per bigram position,
+    * `P(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N` (MLE bigram with
+    * unigram interpolation — λ < 1 keeps unseen-in-context tokens
+    * finite, the standard Jelinek-Mercer smoothing). Docs scoring far
+    * above the corpus-typical rate are gibberish; far below are
+    * boilerplate loops.
+    *
+    * Plan shape: one bigram explode + two term-keyed aggregates
+    * (bigram counts, left-context counts — both map-side combinable)
+    * + the unigram pass, then term-keyed joins back. Everything
+    * shuffles on term keys — linear at any corpus size, no driver
+    * state. Per-position surprisals round to 9 dp and sum as DECIMAL
+    * (associative ⇒ exact under any partitioning, replayable in SQL). */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                         lambda: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    val bigrams = base
+      .select(col(idCol), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cBigram = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cContext = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val unigrams = base.select(col(idCol), explode(col("toks")).as("term"))
+    val cUni = unigrams.groupBy("term").agg(count(lit(1)).as("cu"))
+    val total = unigrams.agg(count(lit(1)).as("n_total"))
+    val prob =
+      lit(lambda) * col("c12").cast("double") / col("c1") +
+        lit(1.0 - lambda) * col("cu").cast("double") / col("n_total")
+    val surprisal = round(-log2(prob), 9).cast(DecimalType(18, 9))
+    bigrams
+      .join(cBigram, Seq("w1", "w2"))
+      .join(cContext, Seq("w1"))
+      .join(cUni.withColumnRenamed("term", "w2"), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("bits"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("bits").cast("double") / col("n_bigrams"), 6)
+          .as("bits_per_bigram"))
+  }
+
+  // ---- distribution drift (PSI) -----------------------------------------
+
+  /** Population stability index between a reference and a current
+    * slice over a categorical bin — the training-data drift monitor
+    * (did this week's crawl change the source/language/quality mix?).
+    * Per bin: `(p_cur − p_ref) · ln(p_cur / p_ref)` with add-one
+    * smoothing over the observed bins so a bin empty on either side
+    * stays finite (the standard PSI ε, made deterministic). Each term
+    * is ≥ 0; Σ terms is the PSI (< 0.1 stable, > 0.25 drifted by the
+    * usual reading). One groupBy + a one-row broadcast — any scale. */
+  def psiCategorical(df: DataFrame, binCol: String,
+                     isReference: Column): DataFrame = {
+    val counts = df.groupBy(col(binCol).as("bin"))
+      .agg(sum(when(isReference, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(isReference, 0L).otherwise(1L)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"), count(lit(1)).as("n_bins"))
+    val pRef = (col("n_ref") + 1).cast("double") / (col("t_ref") + col("n_bins"))
+    val pCur = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("n_bins"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+  }
+
   // ---- deterministic mixture sampling -----------------------------------
 
   /** Domain-mixture downsampling with deterministic id arithmetic in

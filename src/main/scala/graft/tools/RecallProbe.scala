@@ -48,6 +48,19 @@ object RecallProbe {
       val pe = exactPairs.count(); val pa = lshPairs.count()
       println(f"$d emb_lsh  common=$pc exact=$pe approx=$pa recall=${pc.toDouble / pe}%.3f")
 
+      for ((k, probes, thr) <- Seq((16, 2, 0.4), (16, 3, 0.4), (8, 2, 0.4),
+        (8, 3, 0.4), (16, 2, 0.6), (16, 3, 0.6))) {
+        val ex = if (thr == 0.4) exactPairs
+          else Similarity.nearDupPairs(emb, "vec_id", "embedding", thr)
+            .select("a", "b")
+        val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+          thr, nClusters = k, assignProbes = probes).select("a", "b")
+        val mc = semPairs.join(ex, Seq("a", "b")).count()
+        val me = ex.count(); val ma = semPairs.count()
+        println(f"$d semdedup k=$k p=$probes thr=$thr common=$mc exact=$me " +
+          f"approx=$ma recall=${mc.toDouble / me}%.3f")
+      }
+
       val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
       val l = sigs.select(col("doc_id").as("a"), col("sig").as("sig_a"))
       val r = sigs.select(col("doc_id").as("b"), col("sig").as("sig_b"))

@@ -216,4 +216,28 @@ class SimilaritySpec extends SparkSpec {
     assert(common.size.toDouble / brute.size >= 0.4,
       s"recall collapsed: ${common.size}/${brute.size}")
   }
+
+  test("semDedup keeps exactly one representative per duplicate group") {
+    import spark.implicits._
+    // two tight duplicate groups along axes 0 and 1, plus two isolated
+    // vectors — dim 4 padded so KMeans has something to split on
+    def v(x: Double, y: Double, z: Double, w: Double) =
+      Array(x.toFloat, y.toFloat, z.toFloat, w.toFloat)
+    val emb = Seq(
+      (1L, v(1, 0.01, 0, 0)), (2L, v(1, 0.02, 0, 0)), (3L, v(1, 0.03, 0, 0)),
+      (10L, v(0.01, 1, 0, 0)), (11L, v(0.02, 1, 0, 0)),
+      (20L, v(0, 0, 1, 0)), (30L, v(0, 0, 0, 1)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 2, seed = 42L)
+      .collect().map(_.getLong(0)).toSet
+    // min-id survivor per group; isolated vectors always survive
+    assert(kept == Set(1L, 10L, 20L, 30L))
+    // pairs are exact-scored: every returned cos is the true cosine
+    val pairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95, nClusters = 2, seed = 42L)
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.95)
+    assert(pairs.join(exact, Seq("a", "b", "cos"), "left_anti").count() == 0)
+  }
 }

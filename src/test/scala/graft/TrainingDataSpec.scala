@@ -219,4 +219,39 @@ class TrainingDataSpec extends SparkSpec {
     val uncapped = TrainingData.duplicatedSpans(docs, "doc_id", "text", k = 4)
     assert(uncapped.filter(col("dup_tokens") > 0).count() == 5)
   }
+
+  test("bigram cross-entropy: symmetric docs score identically") {
+    import spark.implicits._
+    // d1/d2 differ only in the final (frequency-1) token, so their
+    // interpolated bigram surprisals are identical term-for-term
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    val got = TrainingData.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got(1L)._1 == 2 && got(2L)._1 == 2)
+    assert(got(1L)._2 == got(2L)._2)
+    assert(got(1L)._2 > 0)
+    // the shared (a,b) bigram is high-probability: P = 0.9·2/2 + ε —
+    // its surprisal must be below 1 bit averaged with the rare second
+    assert(got(1L)._2 < 2.0)
+  }
+
+  test("PSI: mirrored drift produces the hand-computed term") {
+    import spark.implicits._
+    // ref: 3×x 1×y; cur: 1×x 3×y. Smoothed p = (n+1)/(4+2) each side;
+    // term = (2/6 − 4/6)·ln((2/6)/(4/6)) = (1/3)·ln 2 = 0.231049
+    val rows = Seq.fill(3)(("x", true)) ++ Seq(("y", true)) ++
+      Seq(("x", false)) ++ Seq.fill(3)(("y", false))
+    val df = rows.toDF("bin", "is_ref")
+    val got = TrainingData.psiCategorical(df, "bin", col("is_ref"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(got("x") == ((3L, 1L, 0.231049)))
+    assert(got("y") == ((1L, 3L, 0.231049)))
+    // identical distributions → zero PSI on every bin
+    val same = Seq(("x", true), ("x", false), ("y", true), ("y", false))
+      .toDF("bin", "is_ref")
+    TrainingData.psiCategorical(same, "bin", col("is_ref"))
+      .collect().foreach(r => assert(r.getDouble(5) == 0.0))
+  }
 }
