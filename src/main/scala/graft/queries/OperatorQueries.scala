@@ -220,8 +220,72 @@ object OperatorQueries {
       rule("l_tax", "0.0", "0.1", Some(0.01))).mkString(" UNION ALL ")
   }
 
+  /** Token-blocked Levenshtein fuzzy self-join over the part-name
+    * dictionary ([[graft.operators.FuzzyJoin]]) — the entity-
+    * resolution primitive. Candidates come from the shared-token
+    * inverted index, the exact edit distance verifies each candidate,
+    * and the oracle replays both stages (DuckDB ships the same
+    * classic `levenshtein`). */
+  def fuzzyParts(s: SparkSession, d: String): DataFrame =
+    graft.operators.FuzzyJoin.nearMatchPairs(
+      Tables.load(s, d, "part"), "p_name", maxDist = 3)
+
+  val fuzzyPartsOracle: String =
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+      |toks AS (
+      |  SELECT DISTINCT name, UNNEST(string_split_regex(name, '\s+')) AS tok
+      |  FROM names),
+      |cands AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM toks a JOIN toks b USING (tok)
+      |  WHERE a.name < b.name)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      |FROM cands WHERE levenshtein(name_a, name_b) <= 3""".stripMargin
+
+  /** Z-order layout certification ([[graft.operators.ZOrder]]): the
+    * Morton code of (partkey, suppkey) is pure mask arithmetic, so
+    * the oracle replays the interleave bit-for-bit; grouping by the
+    * top z-bits (the "file" a z-range-partitioned write would
+    * produce) shows per-cell min/max windows tight in BOTH
+    * dimensions — the file-skipping property a 100 TB table layout
+    * buys. The cell stats are exact, not a heuristic. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.load(s, d, "lineitem")
+    li.select(col("l_partkey"), col("l_suppkey"),
+      graft.operators.ZOrder.zValue(col("l_partkey"), col("l_suppkey"))
+        .as("z"))
+      .groupBy(shiftright(col("z"), 16).as("z_cell"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+        min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+  }
+
+  val zorderLayoutOracle: String =
+    """WITH s0 AS (
+      |  SELECT l_partkey AS pk, l_suppkey AS sk,
+      |    l_partkey & 65535 AS x0, l_suppkey & 65535 AS y0
+      |  FROM lineitem),
+      |s1 AS (SELECT pk, sk, (x0 | (x0 << 8)) & 16711935 AS x1,
+      |              (y0 | (y0 << 8)) & 16711935 AS y1 FROM s0),
+      |s2 AS (SELECT pk, sk, (x1 | (x1 << 4)) & 252645135 AS x2,
+      |              (y1 | (y1 << 4)) & 252645135 AS y2 FROM s1),
+      |s3 AS (SELECT pk, sk, (x2 | (x2 << 2)) & 858993459 AS x3,
+      |              (y2 | (y2 << 2)) & 858993459 AS y3 FROM s2),
+      |s4 AS (SELECT pk, sk, (x3 | (x3 << 1)) & 1431655765 AS x4,
+      |              (y3 | (y3 << 1)) & 1431655765 AS y4 FROM s3),
+      |z AS (SELECT pk, sk, x4 | (y4 << 1) AS z FROM s4)
+      |SELECT z >> 16 AS z_cell, COUNT(*) AS n_rows,
+      |  MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+      |  MIN(sk) AS min_sk, MAX(sk) AS max_sk,
+      |  MIN(z) AS min_z, MAX(z) AS max_z
+      |FROM z GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
+    Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
     Q("q_expectations", expectations, Some(expectationsOracle)),
     Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
     Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),

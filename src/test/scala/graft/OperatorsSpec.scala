@@ -222,4 +222,54 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exceeds 10"))
   }
+
+  test("fuzzy join: token-blocked pairs match exact distances; maxDf caps hot tokens") {
+    val df = Seq("red bolt", "red bolt", "red bolts", "red colt",
+      "red widget", "green gear").toDF("name")
+    val got = graft.operators.FuzzyJoin.nearMatchPairs(df, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2))
+      .toMap
+    // distinct names only — the duplicated "red bolt" yields no self-pair
+    assert(got(("red bolt", "red bolts")) == 1)
+    assert(got(("red bolt", "red colt")) == 1)
+    assert(got(("red bolts", "red colt")) == 2)
+    // "red widget" shares token "red" but dist > 2 — candidate, filtered
+    assert(!got.contains(("red bolt", "red widget")))
+    // "green gear" shares no token with anything → never a candidate
+    assert(!got.keys.exists { case (a, b) => a.startsWith("green") || b.startsWith("green") })
+    // capping df at 2 kills the "red" block (df 4); "bolt"/"bolts"/"colt"
+    // are distinct tokens, so no block survives with two members
+    val capped = graft.operators.FuzzyJoin.nearMatchPairs(df, "name",
+      maxDist = 2, maxDf = Some(2L))
+    assert(capped.count() == 0)
+  }
+
+  test("z-order: interleave is exact and clustering tightens both dims") {
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(graft.operators.ZOrder.zValue(col("x"), col("y")))
+      .head().getLong(0)
+    // x=0b11 → even bits 0,2; y=0b101 → odd bits 1,5 → 0b100111
+    assert(z == 39L)
+    // clusterBy: partitions own disjoint z-ranges (range partitioning)
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val parts = graft.operators.ZOrder.clusterBy(grid, "x", "y", 8)
+      .select("_z").rdd
+      .mapPartitions(it => { val zs = it.map(_.getLong(0)).toSeq
+        if (zs.isEmpty) Iterator.empty
+        else Iterator((zs.min, zs.max)) })
+      .collect().sortBy(_._1)
+    parts.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo)
+      case _ => ()
+    }
+    // per-cell x-span far below global span: 8 z-range cells over a
+    // 32×32 grid each cover ≤ a half-plane of x (span ≤ 16 of 31)
+    val spans = graft.operators.ZOrder.clusterBy(grid, "x", "y", 8)
+      .select("x", "_z").rdd
+      .mapPartitions(it => { val xs = it.map(_.getLong(0)).toSeq
+        if (xs.isEmpty) Iterator.empty else Iterator(xs.max - xs.min) })
+      .collect()
+    assert(spans.forall(_ <= 16), s"x spans not tight: ${spans.mkString(",")}")
+  }
 }
