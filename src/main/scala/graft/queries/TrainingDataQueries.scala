@@ -331,6 +331,46 @@ object TrainingDataQueries {
       |       (CAST(n_ref + 1 AS DOUBLE) / (t_ref + n_bins))), 6) AS psi_term
       |FROM counts, tot""".stripMargin
 
+  /** Deterministic corpus shuffle into 4 shards — the whole
+    * permutation (shard AND within-shard position of every doc) is
+    * pinned by the oracle, which replays the id-hash arithmetic. */
+  def shuffleShards(s: SparkSession, d: String): DataFrame =
+    TrainingData.shuffleShards(docs(s, d), "doc_id", nShards = 4)
+
+  val shuffleShardsOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761) % 1000003 AS h
+      |  FROM documents)
+      |SELECT doc_id, h % 4 AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) - 1
+      |    AS BIGINT) AS pos
+      |FROM h""".stripMargin
+
+  /** Per-doc out-of-vocabulary rate against the deterministic
+    * top-30-term vocabulary — tokenizer coverage; the oracle rebuilds
+    * the same vocab cut ((count desc, term asc) total order) and the
+    * same join. */
+  def oovRate(s: SparkSession, d: String): DataFrame =
+    TrainingData.oovRate(docs(s, d), "doc_id", "text", vocabSize = 30)
+
+  val oovRateOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |v AS (
+      |  SELECT term, 1 AS in_vocab FROM (
+      |    SELECT term, COUNT(*) AS cnt FROM t GROUP BY term
+      |    ORDER BY cnt DESC, term ASC LIMIT 30))
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_oov,
+      |  ROUND(CAST(SUM(CASE WHEN in_vocab IS NULL THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS oov_rate
+      |FROM t LEFT JOIN v USING (term)
+      |GROUP BY doc_id""".stripMargin
+
   // ---- contamination screen ---------------------------------------------
 
   /** Benchmark-contamination screen: src19 is the held-out benchmark;
@@ -402,6 +442,8 @@ object TrainingDataQueries {
     Q("text_bigram_logprob", bigramLogprob, Some(bigramLogprobOracle)),
     Q("events_psi_drift", psiDrift, Some(psiDriftOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
+    Q("docs_shuffle_shards", shuffleShards, Some(shuffleShardsOracle)),
+    Q("docs_oov_rate", oovRate, Some(oovRateOracle)),
     Q("text_dup_spans", dupSpans, Some(dupSpansOracle)),
     Q("docs_chunk", chunkDocs, Some(chunkDocsOracle)),
     Q("docs_importance_weights", importanceWeights, Some(importanceWeightsOracle)),

@@ -418,6 +418,63 @@ object TrainingData {
         col("n_shared"))
   }
 
+  // ---- deterministic corpus shuffle -------------------------------------
+
+  /** Write-time corpus shuffle: every training run randomizes document
+    * order, and at 100 TB that CANNOT be a global sort by random key
+    * on one reducer chain of full rows. Instead the classic two-level
+    * layout: a deterministic hash assigns each doc a shard
+    * (`h mod nShards`) and a position WITHIN its shard (rank of `h`,
+    * a per-shard window) — reading shards 0..n−1 in shard order, each
+    * in position order, replays one fixed pseudorandom permutation of
+    * the corpus. The hash is the [[mixtureKeep]] id arithmetic, so
+    * both the shard split and the within-shard order are exactly
+    * replayable by a SQL oracle and stable under repartitioning.
+    * Position ties cannot exist within a shard (h determines shard, so
+    * equal h in one shard ⇒ equal id), but the rank orders on
+    * (h, id) anyway — total order by construction. */
+  def shuffleShards(docs: DataFrame, idCol: String,
+                    nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val h = pmod(pmod(col(idCol), lit(1000003L)) * mixPrime, lit(1000003L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h"), col(idCol))
+    docs.select(col(idCol), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  // ---- vocabulary coverage (OOV rate) -------------------------------------
+
+  /** Per-document out-of-vocabulary rate against a top-`vocabSize`
+    * frequency vocabulary built from the corpus itself — the tokenizer
+    * coverage report (which docs a fixed vocab serves badly). The
+    * vocabulary cut is deterministic: rank by (count desc, term asc),
+    * keep ranks ≤ vocabSize. One explode + one term aggregate + one
+    * term-keyed semi-join back; the vocab is broadcast-sized by
+    * construction. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+    // top-k cut as TakeOrdered (orderBy+limit), never a global ranking
+    // window — per-partition heaps, no single-task sort of the vocab
+    val vocab = terms.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select("term")
+    terms
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))),
+        Seq("term"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
   // ---- sequence packing -------------------------------------------------
 
   /** Pack documents into fixed-length training sequences by

@@ -169,4 +169,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("FileScan"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q7: all four dims broadcast; shipdate band reaches the scan") {
+    val p = plan("q7_volume_shipping")
+    // 4 dims always broadcast; at tiny SF the orders join may too
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 4)
+    val pushedLine = p.linesIterator.find(_.contains("PushedFilters:")).getOrElse("")
+    assert(pushedLine.contains("l_shipdate"),
+      s"shipdate band must reach the scan:\n$pushedLine")
+  }
+
+  test("q18-family heavy aggregates run BEFORE their enrichment joins") {
+    // q15: the per-supplier aggregate feeds the max + name joins; the
+    // fact table itself must never reach a join operator
+    val p = plan("q15_top_supplier")
+    assert(p.contains("partial_sum"))
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("partial_sum") < p.indexOf("SortMergeJoin"))
+  }
+
+  test("zorder layout: map-side interleave, one exchange for the cell agg") {
+    val p = plan("zorder_layout")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)
+    assert(p.contains("partial_min") || p.contains("partial_count"))
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"))
+  }
 }

@@ -236,6 +236,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(1L)._2 < 2.0)
   }
 
+  test("shuffle shards: a dense, repartition-stable permutation") {
+    import spark.implicits._
+    val docs = (0L until 100L).toDF("doc_id")
+    val got = TrainingData.shuffleShards(docs, "doc_id", nShards = 4)
+    // every doc exactly once
+    assert(got.count() == 100 && got.select("doc_id").distinct().count() == 100)
+    // positions dense from 0 within each shard
+    got.groupBy("shard")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("c"))
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 0L && r.getLong(2) == r.getLong(3) - 1)
+      }
+    // identical assignment regardless of input partitioning
+    val re = TrainingData.shuffleShards(docs.repartition(7), "doc_id", 4)
+    assert(got.except(re).count() == 0 && re.except(got).count() == 0)
+    // and the order is not the identity (it IS a shuffle)
+    val inOrder = got.filter(col("shard") === 0).orderBy("pos")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(!inOrder.sameElements(inOrder.sorted))
+  }
+
+  test("OOV rate: tokens outside the top-k vocab are counted") {
+    import spark.implicits._
+    // "a" ×3, "b" ×2, "c" ×1 → vocab size 2 = {a, b}; c is OOV
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TrainingData.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 1L, 0.333333)))
+  }
+
   test("PSI: mirrored drift produces the hand-computed term") {
     import spark.implicits._
     // ref: 3×x 1×y; cur: 1×x 3×y. Smoothed p = (n+1)/(4+2) each side;
