@@ -230,20 +230,23 @@ object ScaleQueries {
     * `subset_ok` — every cluster-found pair is an exact pair with an
     * identical rounded cosine (candidates are exact-verified, so a
     * false here means broken scoring); `recall_ok` — pair recall ≥ 0.8
-    * (measured 1.000/1.000/0.965 at sf0.001/0.01/0.1 with k=8,
-    * probes=3, RecallProbe); `drop_sound` — every dropped doc is a
+    * (measured 0.909/1.000/0.883 at sf0.001/0.01/0.1 with k=16,
+    * probes=3, RecallProbe — k=8 scores higher recall but its cells
+    * are so large at sf0.1 that the candidate set approaches brute
+    * size); `drop_sound` — every dropped doc is a
     * vertex of some found pair; `partition_ok` — kept + dropped =
     * corpus. The O(n²) brute twin is gate-SF certification cost only;
     * production callers use [[Similarity.semDedup]] alone. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
-      threshold = 0.4, nClusters = 8, assignProbes = 3)
+      threshold = 0.4, nClusters = 16, assignProbes = 3)
       .localCheckpoint(eager = false) // feeds 4 certification consumers
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.4)
-    val kept = Similarity.semDedup(emb, "vec_id", "embedding",
-      threshold = 0.4, nClusters = 8)
+    // keep-list from the SAME pair set — the KMeans build and pair
+    // search run once, not twice
+    val kept = Similarity.keepFromPairs(emb, "vec_id", semPairs)
     val notInExact = semPairs.join(exact, Seq("a", "b", "cos"), "left_anti")
     val common = semPairs.select("a", "b")
       .join(exact.select("a", "b"), Seq("a", "b"))

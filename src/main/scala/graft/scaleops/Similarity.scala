@@ -405,20 +405,29 @@ object Similarity {
       .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
-  /** Full SemDeDup: semantic pairs → connected components → keep the
-    * min-id representative of every duplicate group. Returns the ids
-    * that SURVIVE dedup (the training-set "keep" list). */
-  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
-               threshold: Double, nClusters: Int = 16,
-               seed: Long = 42L): DataFrame = {
-    val pairs = semDedupPairs(emb, idCol, vecCol, threshold, nClusters,
-      seed = seed)
+  /** The keep-list half of SemDeDup, reusable on an already-computed
+    * pair set: connected components over the duplicate pairs, keep the
+    * min-id representative of every group plus all unpaired docs.
+    * Split out so a caller holding the pairs (e.g. the certification
+    * query, which inspects them too) never pays the KMeans build and
+    * pair search twice. */
+  def keepFromPairs(emb: DataFrame, idCol: String,
+                    pairs: DataFrame): DataFrame = {
     val dropped = graft.operators.ConnectedComponents
       .components(pairs, "a", "b")
       .filter(col("comp") =!= col("id"))
       .select(col("id").as(idCol))
     emb.select(col(idCol)).join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Full SemDeDup: semantic pairs → connected components → keep the
+    * min-id representative of every duplicate group. Returns the ids
+    * that SURVIVE dedup (the training-set "keep" list). */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nClusters: Int = 16,
+               seed: Long = 42L): DataFrame =
+    keepFromPairs(emb, idCol,
+      semDedupPairs(emb, idCol, vecCol, threshold, nClusters, seed = seed))
 
   /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
     * candidate if ANY of `numTables` independent plane sets buckets
