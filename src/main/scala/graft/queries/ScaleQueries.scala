@@ -565,6 +565,58 @@ object ScaleQueries {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** Incremental IVF maintenance ([[Similarity.ivfAddBatch]]): a base
+    * index fitted on the old corpus absorbs today's batch by frozen-
+    * centroid assignment — no refit. Certified two ways: `union_ok`
+    * witnesses that the incrementally-extended cell table is
+    * ROW-IDENTICAL to transforming the full corpus with the same
+    * model (assignment is a pure function of (model, vector), so any
+    * divergence means a broken union/transform); then the standard
+    * recall-vs-brute bound on a search over the extended index, with
+    * queries drawn from the NEW batch — the freshly ingested rows
+    * must be findable. Base model memoizes beside the prebuilt-query
+    * index (`target/ivf_index_base/<sf>`), so the timed rep pays
+    * assignment + search only — the per-batch cost at scale. */
+  def knnIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val batch = emb.filter(col("vec_id") < 100)
+    val base = emb.filter(col("vec_id") >= 100)
+    val dir = "target/ivf_index_base/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
+    val baseIndex =
+      if (new java.io.File(s"$dir/cells/_SUCCESS").exists)
+        Similarity.ivfLoad(s, dir)
+      else {
+        Similarity.ivfSave(
+          Similarity.ivfBuild(base, "vec_id", "embedding", nList = 8), dir)
+        Similarity.ivfLoad(s, dir)
+      }
+    val incr = Similarity.ivfAddBatch(baseIndex, batch, "vec_id", "embedding")
+    val full = Similarity.ivfAddBatch(
+      Similarity.IvfIndex(baseIndex.model,
+        baseIndex.indexed.limit(0)), emb, "vec_id", "embedding")
+    val keyCols = Seq("cell", "neighbor_id")
+    val unionOk =
+      incr.indexed.select(keyCols.map(col): _*)
+        .unionByName(full.indexed.select(keyCols.map(col): _*))
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(min(col("c") === 2).as("union_ok")) // every row in BOTH tables
+    val q = emb.filter(col("vec_id") < 10) // queries ⊂ the new batch
+    knnCertify(
+      Similarity.ivfSearch(incr, "vec_id", "embedding", q, k = 5, nProbe = 3),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.6)
+      .crossJoin(unionOk)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        col("union_ok"), col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfIncrementalOracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  TRUE AS union_ok, TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
   /** Exact bigram-Jaccard near-dup pairs (no LSH) — prefix-filtered
     * inverted index; oracle is the brute-force pair scan. t = 0.8 is
     * the standard near-dup regime AND the regime where prefix
@@ -1121,6 +1173,7 @@ object ScaleQueries {
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_ivf_prebuilt", knnIvfPrebuilt, Some(knnIvfOracle)),
+    Q("knn_ivf_incremental", knnIvfIncremental, Some(knnIvfIncrementalOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),

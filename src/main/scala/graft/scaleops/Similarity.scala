@@ -202,6 +202,25 @@ object Similarity {
       org.apache.spark.ml.clustering.KMeansModel.load(s"$dir/kmeans"),
       spark.read.parquet(s"$dir/cells"))
 
+  /** Incrementally extend a prebuilt IVF index with a batch of new
+    * vectors WITHOUT refitting: centroids stay frozen, the batch rows
+    * are assigned to their nearest existing cell by the saved model,
+    * and the cell table is a union. Because cell assignment is a pure
+    * function of (model, vector), the incremental index is
+    * ROW-IDENTICAL to transforming the full corpus with the same
+    * model — the daily-ingest maintenance path (a 100 TB index
+    * re-fit is a scheduled event, not a per-batch one; drifted
+    * centroids degrade only recall, never correctness, and the
+    * certification query witnesses the equivalence exactly). */
+  def ivfAddBatch(index: IvfIndex, batch: DataFrame, idCol: String,
+                  vecCol: String): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val prep = prepped(batch, idCol, vecCol, "neighbor")
+      .withColumn("fv", array_to_vector(col("neighborv")))
+    IvfIndex(index.model,
+      index.indexed.unionByName(index.model.transform(prep).drop("fv")))
+  }
+
   /** THE cell-routing step, shared by every IVF consumer
     * ([[ivfSearch]], [[knnIvfSq8]]): nProbe nearest centroids per
     * prepped query, deterministic (dist², cell) tie-break. One

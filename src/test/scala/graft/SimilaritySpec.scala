@@ -217,6 +217,27 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${common.size}/${brute.size}")
   }
 
+  test("ivfAddBatch: frozen-centroid ingest equals full-corpus transform") {
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val base = real.filter(col("vec_id") >= 50)
+    val batch = real.filter(col("vec_id") < 50)
+    val baseIndex = Similarity.ivfBuild(base, "vec_id", "embedding", nList = 4)
+    val incr = Similarity.ivfAddBatch(baseIndex, batch, "vec_id", "embedding")
+    // same model over the whole corpus in one transform
+    val full = Similarity.ivfAddBatch(
+      Similarity.IvfIndex(baseIndex.model, baseIndex.indexed.limit(0)),
+      real, "vec_id", "embedding")
+    val a = incr.indexed.select("cell", "neighbor_id")
+    val b = full.indexed.select("cell", "neighbor_id")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+    // newly ingested vectors are immediately searchable
+    val q = real.filter(col("vec_id") < 3)
+    val hits = Similarity.ivfSearch(incr, "vec_id", "embedding", q,
+      k = 3, nProbe = 4).collect()
+    assert(hits.nonEmpty)
+    assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
+  }
+
   test("semDedup keeps exactly one representative per duplicate group") {
     import spark.implicits._
     // two tight duplicate groups along axes 0 and 1, plus two isolated
