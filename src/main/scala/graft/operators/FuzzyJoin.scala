@@ -30,13 +30,16 @@ object FuzzyJoin {
     val names = df.select(col(strCol).as("name")).distinct()
     val tokens = names.select(col("name"),
       explode(split(col("name"), "\\s+")).as("tok")).distinct()
-    val index = maxDf match {
+    // checkpointed: the index feeds both sides of its own self-join —
+    // without it the distinct-names scan, explode, and any maxDf
+    // anti-join replay once per side
+    val index = (maxDf match {
       case None => tokens
       case Some(cap) =>
         val hot = tokens.groupBy("tok").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap).select("tok")
         tokens.join(broadcast(hot), Seq("tok"), "left_anti")
-    }
+    }).localCheckpoint(eager = false)
     val cands = index
       .join(index.select(col("tok"), col("name").as("name_b")), "tok")
       .filter(col("name") < col("name_b"))

@@ -230,20 +230,34 @@ object ScaleQueries {
     * `subset_ok` — every cluster-found pair is an exact pair with an
     * identical rounded cosine (candidates are exact-verified, so a
     * false here means broken scoring); `recall_ok` — pair recall ≥ 0.8
-    * (measured 0.909/1.000/0.883 at sf0.001/0.01/0.1 with k=16,
-    * probes=3, RecallProbe — k=8 scores higher recall but its cells
-    * are so large at sf0.1 that the candidate set approaches brute
-    * size); `drop_sound` — every dropped doc is a
+    * (measured with probes=3 at the derived k: 1.000/1.000/0.965 at
+    * sf0.001/0.01/0.1 (k=8) and 0.820 at the 20k-vector sf1 soak
+    * (k=16) — SemDedupProbe); `drop_sound` — every dropped
+    * doc is a
     * vertex of some found pair; `partition_ok` — kept + dropped =
     * corpus. The O(n²) brute twin is gate-SF certification cost only;
     * production callers use [[Similarity.semDedup]] alone. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    // cells sized to the corpus (k ∝ n, the SemDeDup paper's own
+    // discipline — fixed k lets per-cell population, and the n²/k
+    // candidate count, grow quadratically). The ~1250-vectors/cell
+    // target is the τ = 0.4 recall floor: SemDedupProbe at the sf1
+    // soak measured recall 0.820/0.668/0.530 at k = 16/32/64 —
+    // 66°-apart "duplicates" simply straddle fine clusters, so a low
+    // threshold caps how small cells may get (recall ≥ 0.8 ⇒ cells
+    // ≥ ~1250). That is SemDeDup's honest regime boundary: at low τ
+    // the hyperplane-LSH pair path (dedup_embedding_lsh, 0.913 recall
+    // at sf1) is the better tool; cluster-then-prune wins at high τ
+    // where duplicate groups are tight (SimilaritySpec pins that
+    // regime at τ = 0.95). Derived: gate SFs → 8, sf1 soak → 16.
+    val nClusters = math.max(8L, math.min(64L, emb.count() / 1250L)).toInt
     val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
-      threshold = 0.4, nClusters = 16, assignProbes = 3)
+      threshold = 0.4, nClusters = nClusters, assignProbes = 3)
       .localCheckpoint(eager = false) // feeds 4 certification consumers
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.4)
+      .localCheckpoint(eager = false) // O(n²) twin, 3 consumers below
     // keep-list from the SAME pair set — the KMeans build and pair
     // search run once, not twice
     val kept = Similarity.keepFromPairs(emb, "vec_id", semPairs)

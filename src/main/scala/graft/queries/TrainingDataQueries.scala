@@ -267,8 +267,12 @@ object TrainingDataQueries {
   /** Interpolated-bigram LM cross-entropy for a bounded id range — the
     * CCNet-style quality signal one context-order up from
     * `text_unigram_logprob`; the oracle replays both count models, the
-    * λ-interpolation (with `1.0 − 0.9` spelled as the same IEEE
-    * subtraction, not a `0.1` literal), and the decimal surprisal sum. */
+    * λ-interpolation, and the decimal surprisal sum. The `1 − λ`
+    * weight must be a DOUBLE subtraction in the SQL too
+    * (`CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)` = 0.09999999999999998,
+    * the engine's `1.0 - lambda`): a bare `1.0 - 0.9` is DECIMAL
+    * arithmetic in DuckDB and yields exactly 0.1 — a DIFFERENT double
+    * that diverges at 9-dp rounding boundaries. */
   def bigramLogprob(s: SparkSession, d: String): DataFrame =
     TrainingData.bigramCrossEntropy(docs(s, d), "doc_id", "text",
       lambda = 0.9)
@@ -292,7 +296,7 @@ object TrainingDataQueries {
       |SELECT doc_id, COUNT(*) AS n_bigrams,
       |  ROUND(CAST(SUM(CAST(ROUND(-LOG2(
       |      0.9 * CAST(c12 AS DOUBLE) / c1 +
-      |      (1.0 - 0.9) * CAST(cu AS DOUBLE) / n_total), 9)
+      |      (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * CAST(cu AS DOUBLE) / n_total), 9)
       |    AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS bits_per_bigram
       |FROM bg
       |JOIN c12 USING (w1, w2)

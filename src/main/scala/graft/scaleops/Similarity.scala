@@ -402,11 +402,16 @@ object Similarity {
     val base = index.indexed
       .select(col("neighbor_id"), col("neighborv"), col("neighbornorm"))
       .localCheckpoint(eager = false) // feeds assignment + both verify joins
+    // checkpointed: feeds BOTH sides of the candidate self-join —
+    // without it the centroid-distance crossJoin and the per-vector
+    // ranking window replay twice (same trap as nearDupPairsLsh's
+    // bucket table)
     val assigned = probedCells(index,
       base.select(col("neighbor_id").as("query_id"),
         col("neighborv").as("queryv"), col("neighbornorm").as("querynorm")),
       nProbe = assignProbes)
       .select(col("cell"), col("query_id").as("id"))
+      .localCheckpoint(eager = false)
     // candidate pairs on BARE IDS (a pair can meet in up to
     // assignProbes² shared cells — dedup before the vectors attach,
     // so the wide rows never shuffle twice)
@@ -441,12 +446,15 @@ object Similarity {
 
   /** Full SemDeDup: semantic pairs → connected components → keep the
     * min-id representative of every duplicate group. Returns the ids
-    * that SURVIVE dedup (the training-set "keep" list). */
+    * that SURVIVE dedup (the training-set "keep" list). Exposes the
+    * same knobs as [[semDedupPairs]] so a production caller can run
+    * exactly the gate-certified configuration. */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                threshold: Double, nClusters: Int = 16,
-               seed: Long = 42L): DataFrame =
+               assignProbes: Int = 2, seed: Long = 42L): DataFrame =
     keepFromPairs(emb, idCol,
-      semDedupPairs(emb, idCol, vecCol, threshold, nClusters, seed = seed))
+      semDedupPairs(emb, idCol, vecCol, threshold, nClusters, assignProbes,
+        seed))
 
   /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
     * candidate if ANY of `numTables` independent plane sets buckets

@@ -421,18 +421,21 @@ object TrainingData {
   // ---- deterministic corpus shuffle -------------------------------------
 
   /** Write-time corpus shuffle: every training run randomizes document
-    * order, and at 100 TB that CANNOT be a global sort by random key
-    * on one reducer chain of full rows. Instead the classic two-level
-    * layout: a deterministic hash assigns each doc a shard
-    * (`h mod nShards`) and a position WITHIN its shard (rank of `h`,
-    * a per-shard window) — reading shards 0..n−1 in shard order, each
-    * in position order, replays one fixed pseudorandom permutation of
-    * the corpus. The hash is the [[mixtureKeep]] id arithmetic, so
-    * both the shard split and the within-shard order are exactly
-    * replayable by a SQL oracle and stable under repartitioning.
-    * Position ties cannot exist within a shard (h determines shard, so
-    * equal h in one shard ⇒ equal id), but the rank orders on
-    * (h, id) anyway — total order by construction. */
+    * order, and at 100 TB that must not be a single global sort of
+    * full rows. Instead the classic two-level layout: a deterministic
+    * hash assigns each doc a shard (`h mod nShards`) and a position
+    * WITHIN its shard (rank of `(h, id)` — the id tiebreak makes the
+    * order total even where ids collide mod the hash modulus, which
+    * happens above ~1M docs). Reading shards 0..n−1 in shard order,
+    * each in position order, replays one fixed pseudorandom
+    * permutation of the corpus. The hash is the [[mixtureKeep]] id
+    * arithmetic, so both the shard split and the within-shard order
+    * are exactly replayable by a SQL oracle and stable under
+    * repartitioning. Each shard ranks in one task, so `nShards` must
+    * scale with the corpus — shards ARE the output files, and real
+    * tokenizer-shuffle jobs run thousands of them (~shard = a few GB);
+    * the per-shard window is then the same bounded-partition
+    * discipline as [[packSequences]]. */
   def shuffleShards(docs: DataFrame, idCol: String,
                     nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")

@@ -48,17 +48,18 @@ object RecallProbe {
       val pe = exactPairs.count(); val pa = lshPairs.count()
       println(f"$d emb_lsh  common=$pc exact=$pe approx=$pa recall=${pc.toDouble / pe}%.3f")
 
-      for ((k, probes, thr) <- Seq((16, 2, 0.4), (16, 3, 0.4), (8, 2, 0.4),
-        (8, 3, 0.4), (16, 2, 0.6), (16, 3, 0.6))) {
-        val ex = if (thr == 0.4) exactPairs
-          else Similarity.nearDupPairs(emb, "vec_id", "embedding", thr)
-            .select("a", "b")
+      // the gate's derived k (ScaleQueries.dedupSemantic) plus the
+      // fixed configs around it, all at the gate threshold
+      val derivedK = math.max(8L, math.min(64L, emb.count() / 1250L)).toInt
+      val grid = (Seq((derivedK, 3), (8, 3), (16, 3), (16, 2))
+        .distinct: Seq[(Int, Int)])
+      for ((k, probes) <- grid) {
         val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
-          thr, nClusters = k, assignProbes = probes).select("a", "b")
-        val mc = semPairs.join(ex, Seq("a", "b")).count()
-        val me = ex.count(); val ma = semPairs.count()
-        println(f"$d semdedup k=$k p=$probes thr=$thr common=$mc exact=$me " +
-          f"approx=$ma recall=${mc.toDouble / me}%.3f")
+          0.4, nClusters = k, assignProbes = probes).select("a", "b")
+        val mc = semPairs.join(exactPairs, Seq("a", "b")).count()
+        val ma = semPairs.count()
+        println(f"$d semdedup k=$k p=$probes common=$mc exact=$pe " +
+          f"approx=$ma recall=${mc.toDouble / pe}%.3f")
       }
 
       val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
