@@ -305,6 +305,53 @@ object TrainingDataQueries {
       |CROSS JOIN tot
       |WHERE doc_id < 20 GROUP BY doc_id""".stripMargin
 
+  /** Per-source Gopher-gate report: how many docs each rule rejects
+    * and how many pass the full stack — the go/no-go summary a corpus
+    * build reads first. minTokens=10 fits the short synthetic docs
+    * (the classic 50 would reject everything — the RULES are what's
+    * certified, not the magic numbers). */
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    TrainingData.gopherGate(docs(s, d), "doc_id", "text", minTokens = 10)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("word_count_ok"), 0L).otherwise(1L)).as("n_fail_count"),
+        sum(when(col("mean_len_ok"), 0L).otherwise(1L)).as("n_fail_len"),
+        sum(when(col("alpha_ok"), 0L).otherwise(1L)).as("n_fail_alpha"),
+        sum(when(col("stopword_ok"), 0L).otherwise(1L)).as("n_fail_stop"),
+        sum(when(col("repetition_ok"), 0L).otherwise(1L)).as("n_fail_rep"),
+        sum(when(col("passed"), 1L).otherwise(0L)).as("n_pass"))
+
+  val qualityGateOracle: String = {
+    val stops = graft.scaleops.TextAnalysis.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT source, len(toks) AS n,
+       |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+       |    len(list_distinct(toks)) AS n_dist,
+       |    len(list_intersect(list_distinct(toks), [$stops])) AS n_stops
+       |  FROM (SELECT source,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)),
+       |f AS (
+       |  SELECT source,
+       |    n >= 10 AND n <= 100000 AS word_count_ok,
+       |    3 * n <= sum_len AND sum_len <= 10 * n AS mean_len_ok,
+       |    5 * n_alpha >= 4 * n AS alpha_ok,
+       |    n_stops >= 2 AS stopword_ok,
+       |    10 * n_dist >= 3 * n AS repetition_ok
+       |  FROM m)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN word_count_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_count,
+       |  CAST(SUM(CASE WHEN mean_len_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_len,
+       |  CAST(SUM(CASE WHEN alpha_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_alpha,
+       |  CAST(SUM(CASE WHEN stopword_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_stop,
+       |  CAST(SUM(CASE WHEN repetition_ok THEN 0 ELSE 1 END) AS BIGINT) AS n_fail_rep,
+       |  CAST(SUM(CASE WHEN word_count_ok AND mean_len_ok AND alpha_ok
+       |    AND stopword_ok AND repetition_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM f GROUP BY source""".stripMargin
+  }
+
   // ---- distribution drift (PSI) -----------------------------------------
 
   /** Event-type distribution drift between the first and second half
@@ -445,6 +492,7 @@ object TrainingDataQueries {
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("text_bigram_logprob", bigramLogprob, Some(bigramLogprobOracle)),
     Q("events_psi_drift", psiDrift, Some(psiDriftOracle)),
+    Q("docs_quality_gate", qualityGate, Some(qualityGateOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
     Q("docs_shuffle_shards", shuffleShards, Some(shuffleShardsOracle)),
     Q("docs_oov_rate", oovRate, Some(oovRateOracle)),

@@ -168,6 +168,51 @@ object TrainingData {
           .as("bits_per_bigram"))
   }
 
+  /** Gopher-style rule-stack quality gate (Rae et al. 2021 §A1.1,
+    * adapted to the harness corpus): per document, the five classic
+    * accept/reject rules —
+    *   1. token count within [minTokens, maxTokens];
+    *   2. mean token length within [3, 10] characters;
+    *   3. ≥ 80% of tokens contain an alphabetic character;
+    *   4. at least 2 distinct stopwords present (the "real prose"
+    *      test);
+    *   5. distinct/total token ratio ≥ 0.3 (repetition cap).
+    * Every threshold comparison is INTEGER arithmetic (`3·n ≤ Σlen ≤
+    * 10·n`, `5·alpha ≥ 4·n`, `10·distinct ≥ 3·n`) so the boundaries
+    * are exact in both engines — no rounded-ratio boundary risk. Pure
+    * per-row map (array ops in codegen), zero shuffles. */
+  def gopherGate(docs: DataFrame, idCol: String, textCol: String,
+                 minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val stopsLit = array(TextAnalysis.stopwords.map(lit): _*)
+    docs.select(col(idCol), col("*"))
+      .withColumn("_toks", toks)
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("sum_len",
+        aggregate(transform(col("_toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x))
+      .withColumn("n_alpha_tok",
+        size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_distinct_tok",
+        size(array_distinct(col("_toks"))).cast("long"))
+      .withColumn("n_stops",
+        size(array_intersect(array_distinct(col("_toks")), stopsLit))
+          .cast("long"))
+      .withColumn("word_count_ok",
+        col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+      .withColumn("mean_len_ok",
+        lit(3L) * col("n_tokens") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("n_tokens"))
+      .withColumn("alpha_ok", lit(5L) * col("n_alpha_tok") >= lit(4L) * col("n_tokens"))
+      .withColumn("stopword_ok", col("n_stops") >= 2L)
+      .withColumn("repetition_ok",
+        lit(10L) * col("n_distinct_tok") >= lit(3L) * col("n_tokens"))
+      .withColumn("passed",
+        col("word_count_ok") && col("mean_len_ok") && col("alpha_ok") &&
+          col("stopword_ok") && col("repetition_ok"))
+      .drop("_toks")
+  }
+
   // ---- distribution drift (PSI) -----------------------------------------
 
   /** Population stability index between a reference and a current

@@ -188,6 +188,13 @@ class PlanSpec extends SparkSpec {
       p.indexOf("partial_sum") < p.indexOf("SortMergeJoin"))
   }
 
+  test("fuzzy join: inverted-index candidates, never a cartesian product") {
+    val p = plan("fuzzy_join_parts")
+    assert(!p.contains("CartesianProduct"),
+      "token blocking must bound candidates — an all-pairs scan leaked in")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("zorder layout: map-side interleave, one exchange for the cell agg") {
     val p = plan("zorder_layout")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1)

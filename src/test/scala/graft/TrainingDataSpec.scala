@@ -268,6 +268,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0.333333)))
   }
 
+  test("gopher gate: each rule rejects its own pathology") {
+    import spark.implicits._
+    val good = "the cat sat of the mat and spoke to a dog in a hat " +
+      "quite happily today again" // 17 tokens, prose-like
+    val docs = Seq(
+      (1L, good),
+      (2L, "word"),                                   // too short
+      (3L, ("x " * 20).trim),                         // repetitive + no stops
+      (4L, Seq.fill(12)("1234 5678").mkString(" ")),  // no alpha tokens
+      (5L, good + " " + Seq.fill(12)("pneumonoultramicroscopics").mkString(" ")))
+      .toDF("doc_id", "text")                         // mean len > 10
+    val got = TrainingData.gopherGate(docs, "doc_id", "text", minTokens = 10)
+      .select("doc_id", "word_count_ok", "mean_len_ok", "alpha_ok",
+        "stopword_ok", "repetition_ok", "passed")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(r.getBoolean)).toMap
+    assert(got(1L) == Seq(true, true, true, true, true, true))
+    assert(!got(2L)(0) && !got(2L)(5))       // word count fails
+    assert(!got(3L)(4) && !got(3L)(3))       // repetition + stopwords fail
+    assert(!got(4L)(2))                      // alpha fraction fails
+    assert(!got(5L)(1))                      // mean token length fails
+  }
+
   test("PSI: mirrored drift produces the hand-computed term") {
     import spark.implicits._
     // ref: 3×x 1×y; cur: 1×x 3×y. Smoothed p = (n+1)/(4+2) each side;
