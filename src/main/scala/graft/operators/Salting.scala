@@ -34,7 +34,7 @@ object Salting {
   def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[AggSpec],
                 saltBuckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val partial = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(aggs.head.partial(), aggs.tail.map(_.partial()): _*)
@@ -50,7 +50,7 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  saltBuckets: Int = 16): DataFrame = {
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")

@@ -66,7 +66,7 @@ object StreamingQueries {
     * of the derivation. */
   private def approxKeys(df: DataFrame,
                          key: org.apache.spark.sql.Column): Long =
-    df.agg(approx_count_distinct(key)).head.getLong(0)
+    df.agg(approx_count_distinct(key)).head().getLong(0)
 
   /** Streaming tumbling 1-day windows per type (complete mode) — the
     * streaming twin of `events_tumbling_window`; the oracle is the

@@ -79,7 +79,7 @@ object Dedup {
     val mhCols = signatures.columns.filter(_.startsWith("mh"))
     val bands = mhCols.grouped(bandR).zipWithIndex.map { case (group, i) =>
       struct(lit(i).as("band"),
-        xxhash64(concat_ws(",", group.map(col): _*)).as("band_hash"))
+        xxhash64(concat_ws(",", group.toIndexedSeq.map(col): _*)).as("band_hash"))
     }.toSeq
     signatures
       .select(col(idCol), explode(array(bands: _*)).as("b"))
