@@ -185,7 +185,7 @@ object TrainingData {
                  minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val stopsLit = array(TextAnalysis.stopwords.map(lit): _*)
-    docs.select(col(idCol), col("*"))
+    docs
       .withColumn("_toks", toks)
       .withColumn("n_tokens", size(col("_toks")).cast("long"))
       .withColumn("sum_len",
@@ -195,9 +195,10 @@ object TrainingData {
         size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long"))
       .withColumn("n_distinct_tok",
         size(array_distinct(col("_toks"))).cast("long"))
+      // array_intersect already returns distinct elements — no second
+      // array_distinct pass needed
       .withColumn("n_stops",
-        size(array_intersect(array_distinct(col("_toks")), stopsLit))
-          .cast("long"))
+        size(array_intersect(col("_toks"), stopsLit)).cast("long"))
       .withColumn("word_count_ok",
         col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
       .withColumn("mean_len_ok",

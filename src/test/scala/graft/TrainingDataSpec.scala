@@ -271,7 +271,7 @@ class TrainingDataSpec extends SparkSpec {
   test("gopher gate: each rule rejects its own pathology") {
     import spark.implicits._
     val good = "the cat sat of the mat and spoke to a dog in a hat " +
-      "quite happily today again" // 17 tokens, prose-like
+      "quite happily today again" // 18 tokens, prose-like
     val docs = Seq(
       (1L, good),
       (2L, "word"),                                   // too short
