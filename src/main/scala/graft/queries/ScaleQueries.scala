@@ -251,7 +251,7 @@ object ScaleQueries {
     // at sf1) is the better tool; cluster-then-prune wins at high τ
     // where duplicate groups are tight (SimilaritySpec pins that
     // regime at τ = 0.95). Derived: gate SFs → 8, sf1 soak → 16.
-    val nClusters = math.max(8L, math.min(64L, emb.count() / 1250L)).toInt
+    val nClusters = Similarity.semDedupDerivedK(emb.count())
     val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
       threshold = 0.4, nClusters = nClusters, assignProbes = 3)
       .localCheckpoint(eager = false) // feeds 4 certification consumers
@@ -278,7 +278,12 @@ object ScaleQueries {
       .crossJoin(orphanDropped.agg(count(lit(1)).as("n_orphan")))
       .select(col("n_docs"), col("n_exact"),
         (col("n_bad") === 0).as("subset_ok"),
-        (col("n_common").cast("double") / col("n_exact") >= 0.8).as("recall_ok"),
+        // zero-pair guard: n_common/0 would be NULL, and the oracle's
+        // literal TRUE would then read as a hash mismatch for a
+        // vacuously-correct run
+        (col("n_exact") === 0 ||
+          col("n_common").cast("double") / col("n_exact") >= 0.8)
+          .as("recall_ok"),
         (col("n_orphan") === 0).as("drop_sound"),
         (col("n_kept") + col("n_dropped") === col("n_docs")).as("partition_ok"))
   }
@@ -558,18 +563,23 @@ object ScaleQueries {
     * measured recall matches knn_ivf's 0.66/0.84/0.70). Save/load
     * fidelity — loaded search ≡ the saved in-memory index's search,
     * row for row — is pinned by SimilaritySpec. */
+  /** Load a memoized on-disk IVF index, building + saving it on first
+    * use — the shared protocol of both prebuilt-index gate queries
+    * (one definition, so a change to the memoization contract — e.g.
+    * partial-write invalidation — lands everywhere at once). */
+  private def ivfLoadOrBuild(s: SparkSession, baseDir: String, d: String)
+                            (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
+    val dir = baseDir + "/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
+    if (!new java.io.File(s"$dir/cells/_SUCCESS").exists)
+      Similarity.ivfSave(build, dir)
+    Similarity.ivfLoad(s, dir)
+  }
+
   def knnIvfPrebuilt(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
-    val dir = "target/ivf_index/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
-    val index =
-      if (new java.io.File(s"$dir/cells/_SUCCESS").exists)
-        Similarity.ivfLoad(s, dir)
-      else {
-        Similarity.ivfSave(
-          Similarity.ivfBuild(emb, "vec_id", "embedding", nList = 8), dir)
-        Similarity.ivfLoad(s, dir)
-      }
+    val index = ivfLoadOrBuild(s, "target/ivf_index", d)(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", nList = 8))
     knnCertify(
       Similarity.ivfSearch(index, "vec_id", "embedding", q, k = 5, nProbe = 3),
       Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
@@ -595,15 +605,8 @@ object ScaleQueries {
     val emb = t(s, d, "embeddings")
     val batch = emb.filter(col("vec_id") < 100)
     val base = emb.filter(col("vec_id") >= 100)
-    val dir = "target/ivf_index_base/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
-    val baseIndex =
-      if (new java.io.File(s"$dir/cells/_SUCCESS").exists)
-        Similarity.ivfLoad(s, dir)
-      else {
-        Similarity.ivfSave(
-          Similarity.ivfBuild(base, "vec_id", "embedding", nList = 8), dir)
-        Similarity.ivfLoad(s, dir)
-      }
+    val baseIndex = ivfLoadOrBuild(s, "target/ivf_index_base", d)(
+      Similarity.ivfBuild(base, "vec_id", "embedding", nList = 8))
     val incr = Similarity.ivfAddBatch(baseIndex, batch, "vec_id", "embedding")
     val full = Similarity.ivfAddBatch(
       Similarity.IvfIndex(baseIndex.model,

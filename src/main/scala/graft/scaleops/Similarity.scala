@@ -388,6 +388,15 @@ object Similarity {
     * no pair ever crosses executors. Recall < 1 by construction
     * (cross-cluster duplicates are unseen — the paper's own trade);
     * every returned pair carries its EXACT cosine. */
+  /** The gate-certified cluster-count rule: cells of ~1250 vectors
+    * (clamped to [8, 64]) — the measured recall floor at threshold
+    * 0.4 (see ScaleQueries.dedupSemantic). ONE definition shared by
+    * the gate query and both probes, so recalibrating the rule can
+    * never silently diverge the certified config from the measured
+    * one. */
+  def semDedupDerivedK(n: Long): Int =
+    math.max(8L, math.min(64L, n / 1250L)).toInt
+
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 16,
                     assignProbes: Int = 2, seed: Long = 42L): DataFrame = {

@@ -50,7 +50,7 @@ object RecallProbe {
 
       // the gate's derived k (ScaleQueries.dedupSemantic) plus the
       // fixed configs around it, all at the gate threshold
-      val derivedK = math.max(8L, math.min(64L, emb.count() / 1250L)).toInt
+      val derivedK = Similarity.semDedupDerivedK(emb.count())
       val grid = (Seq((derivedK, 3), (8, 3), (16, 3), (16, 2))
         .distinct: Seq[(Int, Int)])
       for ((k, probes) <- grid) {

@@ -17,7 +17,7 @@ object SemDedupProbe {
       val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b").localCheckpoint(eager = true)
       val k = kOverride.headOption.map(_.stripPrefix("k=").toInt)
-        .getOrElse(math.max(8L, math.min(64L, emb.count() / 1250L)).toInt)
+        .getOrElse(Similarity.semDedupDerivedK(emb.count()))
       val sem = Similarity.semDedupPairs(emb, "vec_id", "embedding",
         0.4, nClusters = k, assignProbes = 3).select("a", "b")
       val mc = sem.join(exact, Seq("a", "b")).count()

@@ -181,11 +181,14 @@ class PlanSpec extends SparkSpec {
 
   test("q18-family heavy aggregates run BEFORE their enrichment joins") {
     // q15: the per-supplier aggregate feeds the max + name joins; the
-    // fact table itself must never reach a join operator
+    // fact table itself must never reach a join operator. (Plan
+    // strings print root-first, so string-index ordering between
+    // operators is the REVERSE of execution order — assert the join
+    // strategy outright instead.)
     val p = plan("q15_top_supplier")
     assert(p.contains("partial_sum"))
-    assert(!p.contains("SortMergeJoin") ||
-      p.indexOf("partial_sum") < p.indexOf("SortMergeJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "enrichment joins over the aggregated (tiny) side must broadcast")
   }
 
   test("fuzzy join: inverted-index candidates, never a cartesian product") {
