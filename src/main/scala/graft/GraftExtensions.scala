@@ -19,16 +19,41 @@ import graft.functions.{ArrayDot, CmsEstimate, KllMergeAgg, KllQuantile, KllSket
   * are the one extension surface it needs.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
+object GraftExtensions {
+  type Builder = Seq[Expression] => Expression
+
+  /** Register every engine function into an ALREADY-RUNNING session's
+    * function registry — the path for hosts that hand us a session
+    * built without `spark.sql.extensions` (the driver's Verify/Bench
+    * mains). Same builders as the extension injection, one list. */
+  def registerInto(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  // shared by the kll builders (the mergeable-quantile trio — see
+  // graft.functions.KllSketch, the percentile twin of Spark's
+  // hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
+  private def intLit(e: Expression, fn: String, name: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integral literal, got $other")
+  }
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Builder)] = Seq(
+    ((
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "array_dot(a, b) takes 2 arguments")
         ArrayDot(children.head, children(1))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
@@ -36,8 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           "sorted_intersect_count(a, b) takes 2 arguments")
         SortedIntersectCount(children.head, children(1))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("reservoir_sample"),
       new ExpressionInfo(classOf[ReservoirSample].getName, "reservoir_sample"),
       (children: Seq[Expression]) => {
@@ -59,17 +84,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(children.head,
             org.apache.spark.sql.types.LongType),
           k.toInt, intLit(children(2), "seed")).toAggregateExpression()
-      }))
-    // the mergeable-quantile trio: build / union / query (see
-    // graft.functions.KllSketch — the percentile twin of Spark's
-    // hll_sketch_agg / hll_union_agg / hll_sketch_estimate)
-    def intLit(e: Expression, fn: String, name: String): Long = e match {
-      case Literal(v: Int, _) => v.toLong
-      case Literal(v: Long, _) => v
-      case other => throw new IllegalArgumentException(
-        s"$fn: $name must be an integral literal, got $other")
-    }
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("kll_sketch_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
       (children: Seq[Expression]) => {
@@ -83,8 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(children.head,
             org.apache.spark.sql.types.DoubleType),
           k, seed).toAggregateExpression()
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("kll_merge_agg"),
       new ExpressionInfo(classOf[KllMergeAgg].getName, "kll_merge_agg"),
       (children: Seq[Expression]) => {
@@ -95,8 +111,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val seed = if (children.length == 3)
           intLit(children(2), "kll_merge_agg", "seed") else 42L
         KllMergeAgg(children.head, k, seed).toAggregateExpression()
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("sq8_encode"),
       new ExpressionInfo(classOf[graft.functions.Sq8Encode].getName, "sq8_encode"),
       (children: Seq[Expression]) => {
@@ -104,15 +120,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.Sq8Encode(children.head,
           org.apache.spark.sql.catalyst.expressions.Cast(children(1),
             org.apache.spark.sql.types.DoubleType))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("sq8_intdot"),
       new ExpressionInfo(classOf[graft.functions.Sq8IntDot].getName, "sq8_intdot"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "sq8_intdot(a, b) takes 2 arguments")
         graft.functions.Sq8IntDot(children.head, children(1))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("cms_estimate"),
       new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
       (children: Seq[Expression]) => {
@@ -120,8 +136,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CmsEstimate(children.head,
           org.apache.spark.sql.catalyst.expressions.Cast(children(1),
             org.apache.spark.sql.types.LongType))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("kll_quantile"),
       new ExpressionInfo(classOf[KllQuantile].getName, "kll_quantile"),
       (children: Seq[Expression]) => {
@@ -129,8 +145,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllQuantile(children.head,
           org.apache.spark.sql.catalyst.expressions.Cast(children(1),
             org.apache.spark.sql.types.DoubleType))
-      }))
-    ext.injectFunction((
+      })),
+    ((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => {
@@ -142,6 +158,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles: k must be an integer literal, got $other")
         }
         WordShingles(children.head, k)
-      }))
-  }
+      })))
 }

@@ -282,10 +282,46 @@ object OperatorQueries {
       |  MIN(z) AS min_z, MAX(z) AS max_z
       |FROM z GROUP BY 1""".stripMargin
 
+  /** The plain-SQL entry path, end-to-end IN the gate: engine
+    * functions registered into the host's session
+    * ([[graft.GraftExtensions.registerInto]] — the driver's session
+    * is built without `spark.sql.extensions`), tables exposed as temp
+    * views, and one SQL-text query joining them through two custom
+    * Catalyst expressions (`array_dot`, `word_shingles`). Certifies
+    * the surface a SQL-only user of the library gets. */
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    graft.GraftExtensions.registerInto(s)
+    Seq("documents", "embeddings").foreach(n =>
+      Tables.load(s, d, n).createOrReplaceTempView(n))
+    s.sql(
+      """SELECT e.vec_id,
+        |  ROUND(array_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |                  CAST(e.embedding AS ARRAY<DOUBLE>)), 6) AS norm2,
+        |  CAST(size(word_shingles(lower(d.text), 3)) AS INT) AS n_shingles
+        |FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |WHERE e.vec_id < 20""".stripMargin)
+  }
+
+  val sqlSurfaceOracle: String =
+    """SELECT e.vec_id,
+      |  ROUND(list_dot_product(
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS norm2,
+      |  CAST(len(list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(generate_series(1, len(toks) - 2),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [] END)) AS INT) AS n_shingles
+      |FROM embeddings e
+      |JOIN (SELECT doc_id,
+      |        string_split_regex(trim(lower(text)), '\s+') AS toks
+      |      FROM documents) d ON e.vec_id = d.doc_id
+      |WHERE e.vec_id < 20""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
+    Q("q_sql_surface", sqlSurface, Some(sqlSurfaceOracle)),
     Q("q_expectations", expectations, Some(expectationsOracle)),
     Q("asof_last_purchase", asofLastPurchase, Some(asofOracle), bench = true),
     Q("asof_tolerance", asofTolerance, Some(asofToleranceOracle)),
