@@ -422,6 +422,28 @@ object TrainingDataQueries {
       |FROM t LEFT JOIN v USING (term)
       |GROUP BY doc_id""".stripMargin
 
+  /** Quality-weighted selection: keep 5 docs per source weighted by
+    * `n_chars` (longer ≈ higher-value here), deterministically — the
+    * oracle replays the hash-uniform, the Efraimidis–Spirakis key,
+    * and the per-group cut, pinning the entire sample. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    TrainingData.weightedSample(docs(s, d), "doc_id", "n_chars",
+      "source", k = 5)
+
+  val weightedSampleOracle: String =
+    """WITH h AS (
+      |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
+      |    ROUND(POWER(
+      |      CAST((((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
+      |        % 1000003 + 1) AS DOUBLE) / CAST(1000004 AS DOUBLE),
+      |      CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS es_key
+      |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
+      |SELECT source, rk, doc_id, weight, es_key FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY es_key DESC, doc_id ASC) AS INT) AS rk
+      |  FROM h)
+      |WHERE rk <= 5""".stripMargin
+
   // ---- contamination screen ---------------------------------------------
 
   /** Benchmark-contamination screen: src19 is the held-out benchmark;
@@ -496,6 +518,7 @@ object TrainingDataQueries {
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
     Q("docs_shuffle_shards", shuffleShards, Some(shuffleShardsOracle)),
     Q("docs_oov_rate", oovRate, Some(oovRateOracle)),
+    Q("docs_weighted_sample", weightedSample, Some(weightedSampleOracle)),
     Q("text_dup_spans", dupSpans, Some(dupSpansOracle)),
     Q("docs_chunk", chunkDocs, Some(chunkDocsOracle)),
     Q("docs_importance_weights", importanceWeights, Some(importanceWeightsOracle)),

@@ -494,6 +494,35 @@ object TrainingData {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  // ---- weighted sampling (quality-weighted selection) ---------------------
+
+  /** Weighted sampling without replacement, per group — the
+    * quality-weighted data-selection step (keep k docs per source,
+    * preferring high-quality ones, reproducibly): the classic
+    * Efraimidis–Spirakis scheme (key = u^(1/w), take the top-k keys)
+    * with the RNG replaced by the [[mixtureKeep]] id-hash uniform
+    * `u = (h+1)/(M+1) ∈ (0,1)`, so the whole sample is deterministic,
+    * repartition-stable, and exactly replayable in SQL. Selection
+    * probability tracks the weight; zero/negative weights are
+    * excluded outright (their E-S key is 0). The per-group rank
+    * window is partitioned — no global sort. Keys are rounded to 9 dp
+    * with an id tiebreak so the top-k cut is stable cross-engine. */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
+                     groupCol: String, k: Int): DataFrame = {
+    val m = 1000003L
+    val h = pmod(pmod(col(idCol), lit(m)) * mixPrime, lit(m))
+    val u = (h + 1).cast("double") / (m + 1).toDouble
+    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("es_key").desc, col(idCol).asc)
+    docs.filter(col(weightCol).cast("double") > 0.0)
+      .withColumn("es_key", key)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(groupCol), col("rk").cast("int").as("rk"), col(idCol),
+        col(weightCol).cast("double").as("weight"), col("es_key"))
+  }
+
   // ---- vocabulary coverage (OOV rate) -------------------------------------
 
   /** Per-document out-of-vocabulary rate against a top-`vocabSize`

@@ -268,6 +268,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(2L) == ((3L, 1L, 0.333333)))
   }
 
+  test("weighted sample: weight drives selection, zero weight excludes") {
+    import spark.implicits._
+    // 50 light docs (w=1) vs 10 heavy (w=1000) in one group: E-S keys
+    // u^(1/1000) ≈ 1 dominate u^1, so the top-5 should be all-heavy
+    val docs = ((0L until 50L).map(i => (i, 1.0, "g")) ++
+      (100L until 110L).map(i => (i, 1000.0, "g")) ++
+      Seq((200L, 0.0, "g"), (201L, -3.0, "g"))) // never selectable
+      .toDF("doc_id", "w", "grp")
+    val got = TrainingData.weightedSample(docs, "doc_id", "w", "grp", k = 5)
+    val ids = got.collect().map(r => r.getLong(2)).toSet
+    assert(ids.size == 5 && ids.forall(id => id >= 100L && id < 110L),
+      s"heavy docs must win the sample, got $ids")
+    // ranks dense 1..5; repartition-stable
+    assert(got.collect().map(_.getInt(1)).sorted.sameElements(1 to 5))
+    val re = TrainingData.weightedSample(docs.repartition(7), "doc_id",
+      "w", "grp", k = 5)
+    assert(got.except(re).count() == 0 && re.except(got).count() == 0)
+  }
+
   test("gopher gate: each rule rejects its own pathology") {
     import spark.implicits._
     val good = "the cat sat of the mat and spoke to a dog in a hat " +
