@@ -180,6 +180,50 @@ object Events {
       |  ROUND(quantile_cont(value, 0.95), 6) AS p95
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Winsorization (percentile clipping) per group — the outlier
+    * treatment ML feature prep applies before scaling: values clipped
+    * into the group's exact [p05, p95] band (the same
+    * `percentile` ≡ `quantile_cont` parity as the quantile query),
+    * with the clipped-row counts and the winsorized mean reported.
+    * Clipped values round to 6 dp BEFORE the decimal sum so the mean
+    * is associative and boundary-safe cross-engine. One aggregate for
+    * the edges (broadcast back) + one pass to clip — two shuffles of
+    * group-sized state at any scale. */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val edges = ev(s, d).groupBy(col("event_type").as("et"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    val clipped = ev(s, d)
+      .join(broadcast(edges), col("event_type") === col("et"))
+      .withColumn("cv", round(least(greatest(col("value"), col("lo")),
+        col("hi")), 6))
+    clipped.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        r6(sum(dec6(col("cv"))).cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+  }
+
+  val winsorizeOracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.05) AS lo,
+      |    quantile_cont(value, 0.95) AS hi
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_low,
+      |  CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_clipped_high,
+      |  ROUND(CAST(CAST(SUM(CAST(ROUND(LEAST(GREATEST(value, lo), hi), 6)
+      |    AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6)
+      |    AS winsorized_mean
+      |FROM events JOIN e USING (event_type)
+      |GROUP BY event_type""".stripMargin
+
   /** Pivot: per-user event-type counts as columns (the D9 pivot
     * pattern generalized). Fixed pivot values keep the single-pass
     * plan (no distinct-scan) and a stable schema. */
@@ -765,6 +809,7 @@ object Events {
     Q("events_json_extract", jsonExtract, Some(jsonExtractOracle)),
     Q("events_json_struct", jsonStruct, Some(jsonStructOracle)),
     Q("events_quantiles_by_type", quantilesByType, Some(quantilesOracle)),
+    Q("ml_winsorize", winsorize, Some(winsorizeOracle)),
     Q("events_pivot_counts", pivotCounts, Some(pivotOracle)),
     Q("events_funnel", funnel, Some(funnelOracle)),
     Q("events_dow_hourly", dowHourly, Some(dowHourlyOracle)),

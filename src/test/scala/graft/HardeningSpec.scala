@@ -129,4 +129,17 @@ class HardeningSpec extends SparkSpec {
       .map(StreamingQueries.statePartitionsFor(spark, _))
     assert(seq == seq.sorted, "derivation must be monotonic in keys")
   }
+
+  test("winsorize: ~5% clipped per tail, mean stays inside the band") {
+    val rows = graft.queries.Events.winsorize(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // exact-percentile clipping leaves at most ~5% per tail (ties
+      // and interpolation can only shrink the strict-inequality count)
+      assert(lo <= n * 0.06 && hi <= n * 0.06, s"overclipped: $r")
+      assert(lo >= n * 0.03 && hi >= n * 0.03, s"underclipped: $r")
+      assert(!r.isNullAt(4) && !r.getDouble(4).isNaN)
+    }
+  }
 }
