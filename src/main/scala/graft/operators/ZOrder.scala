@@ -35,12 +35,16 @@ object ZOrder {
     * range-partition on z (so partitions own disjoint z-ranges →
     * disjoint file-level min/max windows) and sort within each
     * partition (so row groups inside a file are tight too). This is
-    * exactly the two-level layout parquet scan pruning consumes. */
+    * exactly the two-level layout parquet scan pruning consumes.
+    * Returns the input schema unchanged: the z helper column lives
+    * under a collision-proof name and is dropped after the sort (a
+    * projection — partitioning and intra-partition order survive). */
   def clusterBy(df: DataFrame, xCol: String, yCol: String,
                 numPartitions: Int): DataFrame = {
-    val z = zValue(col(xCol), col(yCol)).as("_z")
-    df.withColumn("_z", z)
-      .repartitionByRange(numPartitions, col("_z"))
-      .sortWithinPartitions("_z")
+    val zc = "__graft_zorder_" + java.util.UUID.randomUUID.toString.take(8)
+    df.withColumn(zc, zValue(col(xCol), col(yCol)))
+      .repartitionByRange(numPartitions, col(zc))
+      .sortWithinPartitions(zc)
+      .drop(zc)
   }
 }

@@ -243,6 +243,41 @@ object OperatorQueries {
       |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
       |FROM cands WHERE levenshtein(name_a, name_b) <= 3""".stripMargin
 
+  /** The CAPPED fuzzy-join path — the hot-token guard actually
+    * exercised in the gate (the uncapped query never hits it). The
+    * dictionary is `p_name ⧺ p_brand`: brand tokens are rare
+    * (df ≈ n/25) while color tokens appear in over a third of names,
+    * so capping df at n/10 drops every color token and keeps every
+    * brand token — candidates come only from shared brands, a
+    * ~25× reduction the oracle replays exactly (integer-division cap,
+    * same anti-join, same Levenshtein verify). Both branches of the
+    * guard run at every SF: colors capped, brands kept. */
+  def fuzzyPartsCapped(s: SparkSession, d: String): DataFrame = {
+    val dict = Tables.load(s, d, "part")
+      .select(concat_ws(" ", col("p_name"), col("p_brand")).as("name"))
+    val nNames = dict.select(col("name")).distinct().count()
+    graft.operators.FuzzyJoin.nearMatchPairs(dict, "name", maxDist = 5,
+      maxDf = Some(nNames / 10))
+  }
+
+  val fuzzyPartsCappedOracle: String =
+    """WITH names AS (
+      |  SELECT DISTINCT p_name || ' ' || p_brand AS name FROM part),
+      |toks AS (
+      |  SELECT DISTINCT name, UNNEST(string_split_regex(name, '\s+')) AS tok
+      |  FROM names),
+      |dfs AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok),
+      |kept AS (
+      |  SELECT t.name, t.tok FROM toks t JOIN dfs USING (tok)
+      |  WHERE df <= (SELECT COUNT(*) FROM names) // 10),
+      |cands AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM kept a JOIN kept b USING (tok)
+      |  WHERE a.name < b.name)
+      |SELECT name_a, name_b,
+      |  CAST(levenshtein(name_a, name_b) AS INT) AS dist
+      |FROM cands WHERE levenshtein(name_a, name_b) <= 5""".stripMargin
+
   /** Z-order layout certification ([[graft.operators.ZOrder]]): the
     * Morton code of (partkey, suppkey) is pure mask arithmetic, so
     * the oracle replays the interleave bit-for-bit; grouping by the
@@ -320,6 +355,7 @@ object OperatorQueries {
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
+    Q("fuzzy_join_capped", fuzzyPartsCapped, Some(fuzzyPartsCappedOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
     Q("q_sql_surface", sqlSurface, Some(sqlSurfaceOracle)),
     Q("q_expectations", expectations, Some(expectationsOracle)),

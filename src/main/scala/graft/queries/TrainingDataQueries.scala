@@ -433,10 +433,10 @@ object TrainingDataQueries {
   val weightedSampleOracle: String =
     """WITH h AS (
       |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS weight,
-      |    ROUND(POWER(
+      |    ROUND(LN(
       |      CAST((((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
-      |        % 1000003 + 1) AS DOUBLE) / CAST(1000004 AS DOUBLE),
-      |      CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS es_key
+      |        % 1000003 + 1) AS DOUBLE) / CAST(1000004 AS DOUBLE))
+      |      / CAST(n_chars AS DOUBLE), 9) AS es_key
       |  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0)
       |SELECT source, rk, doc_id, weight, es_key FROM (
       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -504,15 +504,20 @@ object TrainingData {
     * `u = (h+1)/(M+1) ∈ (0,1)`, so the whole sample is deterministic,
     * repartition-stable, and exactly replayable in SQL. Selection
     * probability tracks the weight; zero/negative weights are
-    * excluded outright (their E-S key is 0). The per-group rank
-    * window is partitioned — no global sort. Keys are rounded to 9 dp
-    * with an id tiebreak so the top-k cut is stable cross-engine. */
+    * excluded outright (their E-S key is −∞). The per-group rank
+    * window is partitioned — no global sort. The key is ranked in the
+    * LOG domain, ln(u)/w (monotone in u^(1/w), so the selected set is
+    * the E-S set): u^(1/w) itself plateaus at 1.0 for large weights,
+    * where 9-dp rounding ties everything and the id tiebreak — not
+    * the weight — would decide the cut; ln(u)/w spreads those keys.
+    * Rounded to 9 dp with an id tiebreak so the cut is stable
+    * cross-engine (ln is the safer op than pow ULP-wise too). */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String,
                      groupCol: String, k: Int): DataFrame = {
     val m = 1000003L
     val h = pmod(pmod(col(idCol), lit(m)) * mixPrime, lit(m))
     val u = (h + 1).cast("double") / (m + 1).toDouble
-    val key = round(pow(u, lit(1.0) / col(weightCol).cast("double")), 9)
+    val key = round(log(u) / col(weightCol).cast("double"), 9)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCol).orderBy(col("es_key").desc, col(idCol).asc)
     docs.filter(col(weightCol).cast("double") > 0.0)

@@ -250,11 +250,15 @@ class OperatorsSpec extends SparkSpec {
       .head().getLong(0)
     // x=0b11 → even bits 0,2; y=0b101 → odd bits 1,5 → 0b100111
     assert(z == 39L)
-    // clusterBy: partitions own disjoint z-ranges (range partitioning)
+    // clusterBy: partitions own disjoint z-ranges (range partitioning).
+    // The helper column is dropped — the output schema is the input's;
+    // recompute z on the clustered output (projection keeps layout)
     val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
       .toDF("x", "y")
-    val parts = graft.operators.ZOrder.clusterBy(grid, "x", "y", 8)
-      .select("_z").rdd
+    val clustered = graft.operators.ZOrder.clusterBy(grid, "x", "y", 8)
+    assert(clustered.columns.toSeq == Seq("x", "y"))
+    val parts = clustered
+      .select(graft.operators.ZOrder.zValue(col("x"), col("y")).as("z")).rdd
       .mapPartitions(it => { val zs = it.map(_.getLong(0)).toSeq
         if (zs.isEmpty) Iterator.empty
         else Iterator((zs.min, zs.max)) })
@@ -265,11 +269,15 @@ class OperatorsSpec extends SparkSpec {
     }
     // per-cell x-span far below global span: 8 z-range cells over a
     // 32×32 grid each cover ≤ a half-plane of x (span ≤ 16 of 31)
-    val spans = graft.operators.ZOrder.clusterBy(grid, "x", "y", 8)
-      .select("x", "_z").rdd
+    val spans = clustered
+      .select("x").rdd
       .mapPartitions(it => { val xs = it.map(_.getLong(0)).toSeq
         if (xs.isEmpty) Iterator.empty else Iterator(xs.max - xs.min) })
       .collect()
     assert(spans.forall(_ <= 16), s"x spans not tight: ${spans.mkString(",")}")
+    // a pre-existing column with a z-ish name passes through untouched
+    val withZ = grid.withColumn("_z", lit(7L))
+    assert(graft.operators.ZOrder.clusterBy(withZ, "x", "y", 4)
+      .filter(col("_z") =!= 7L).count() == 0)
   }
 }
