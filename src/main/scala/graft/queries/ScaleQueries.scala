@@ -177,16 +177,20 @@ object ScaleQueries {
     * twin: every LSH-found pair must appear in the brute set with an
     * identical score (`subset_ok` — candidates are exact-verified, so
     * a false here means broken scoring), and measured recall must
-    * clear 0.8 (measured 0.864/0.908/0.955 at sf0.01/0.1/0.001 with
-    * 3 planes × 8 tables on the fixed seed-42 corpus). The oracle
-    * recomputes the DuckDB-computable exact-pair count; the booleans
-    * flip on any engine defect → hash mismatch. The brute twin is
-    * harness-SF certification cost — production callers use
-    * [[Similarity.nearDupPairsLsh]] alone. */
+    * clear 0.8. Plane/table counts are CORPUS-DERIVED
+    * ([[Similarity.lshDerivedParams]]: planes ≈ log2(n/512) capped by
+    * what 32 tables can recover at the threshold angle) — the rule
+    * the production path runs, so the gate certifies the same config
+    * at every SF (500 vecs → 1 plane × 4 tables, 2k → 2 × 4, 20k →
+    * 6 × 30; measured recall 1.000/0.908/0.913 at sf0.01/0.1/sf1).
+    * The oracle recomputes the DuckDB-computable exact-pair count;
+    * the booleans flip on any engine defect → hash mismatch. The
+    * brute twin is harness-SF certification cost — production callers
+    * use [[Similarity.nearDupPairsLshDerived]] alone. */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val approx = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
-      threshold = 0.4, dim = 64, numPlanes = 3, numTables = 8)
+    val approx = Similarity.nearDupPairsLshDerived(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
     val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
       threshold = 0.4)
     val notInExact = approx.join(exact, Seq("a", "b", "cos"), "left_anti")
@@ -227,16 +231,19 @@ object ScaleQueries {
     * [[Similarity.semDedupPairs]]): KMeans cells with 3-probe soft
     * assignment bound the pair search, connected components pick the
     * min-id survivor. Certified against the brute exact twin:
-    * `subset_ok` — every cluster-found pair is an exact pair with an
-    * identical rounded cosine (candidates are exact-verified, so a
-    * false here means broken scoring); `recall_ok` — pair recall ≥ 0.8
-    * (measured with probes=3 at the derived k: 1.000/1.000/0.965 at
-    * sf0.001/0.01/0.1 (k=8) and 0.820 at the 20k-vector sf1 soak
-    * (k=16) — SemDedupProbe); `drop_sound` — every dropped
-    * doc is a
-    * vertex of some found pair; `partition_ok` — kept + dropped =
-    * corpus. The O(n²) brute twin is gate-SF certification cost only;
-    * production callers use [[Similarity.semDedup]] alone. */
+    * `subset_ok` — every cluster-found pair (within the certification
+    * sample) is an exact pair with an identical rounded cosine
+    * (candidates are exact-verified, so a false here means broken
+    * scoring); `recall_ok` — pair recall ≥ 0.8 on the sampled pair
+    * domain (full-corpus recall measured with probes=3 at the derived
+    * k: 1.000/1.000/0.965 at sf0.001/0.01/0.1 (k=8) and 0.820 at the
+    * 20k-vector sf1 soak (k=16) — SemDedupProbe); `drop_sound` —
+    * every dropped doc is a vertex of some found pair; `partition_ok`
+    * — kept + dropped = corpus (both FULL-corpus). The exact twin is
+    * capped to a ~1000-vertex deterministic id-hash sample so the
+    * certification pays O(cap²), not O(n²) — the sampled exact pair
+    * set is what the oracle replays; production callers use
+    * [[Similarity.semDedup]] alone and never pay any twin. */
   def dedupSemantic(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     // cells sized to the corpus (k ∝ n, the SemDeDup paper's own
@@ -251,54 +258,81 @@ object ScaleQueries {
     // at sf1) is the better tool; cluster-then-prune wins at high τ
     // where duplicate groups are tight (SimilaritySpec pins that
     // regime at τ = 0.95). Derived: gate SFs → 8, sf1 soak → 16.
-    val nClusters = Similarity.semDedupDerivedK(emb.count())
+    val n = emb.count()
+    val nClusters = Similarity.semDedupDerivedK(n)
     val semPairs = Similarity.semDedupPairs(emb, "vec_id", "embedding",
       threshold = 0.4, nClusters = nClusters, assignProbes = 3)
       .localCheckpoint(eager = false) // feeds 4 certification consumers
-    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+    // The exact twin is restricted to a DETERMINISTIC id-hash sample
+    // of ~1000 vertices (the engine's id-arithmetic sampling rule —
+    // TrainingData.mixtureKeep — so the oracle replays the SAME
+    // restriction exactly): certification cost is O(cap²) however big
+    // the corpus, instead of O(n²). Pairs whose endpoints BOTH land in
+    // the sample are an unbiased pair sample, so the recall and
+    // subset witnesses keep their meaning; drop-soundness and the
+    // kept/dropped partition stay FULL-corpus. Integer permille =
+    // min(1000, 1_000_000/n) so Spark and DuckDB compare identical
+    // integers (cap·1000/n with cap = 1000).
+    val permille = math.min(1000L, 1000000L / math.max(1L, n))
+    val keep = graft.scaleops.TrainingData.mixtureKeep(
+      col("vec_id"), lit(permille.toDouble / 1000.0))
+    val sampled = emb.filter(keep)
+    val exactS = Similarity.nearDupPairs(sampled, "vec_id", "embedding",
       threshold = 0.4)
-      .localCheckpoint(eager = false) // O(n²) twin, 3 consumers below
+      .localCheckpoint(eager = false) // sampled twin, 3 consumers below
     // keep-list from the SAME pair set — the KMeans build and pair
     // search run once, not twice
     val kept = Similarity.keepFromPairs(emb, "vec_id", semPairs)
-    val notInExact = semPairs.join(exact, Seq("a", "b", "cos"), "left_anti")
-    val common = semPairs.select("a", "b")
-      .join(exact.select("a", "b"), Seq("a", "b"))
+    val semPairsS = semPairs
+      .filter(graft.scaleops.TrainingData.mixtureKeep(
+          col("a"), lit(permille.toDouble / 1000.0)) &&
+        graft.scaleops.TrainingData.mixtureKeep(
+          col("b"), lit(permille.toDouble / 1000.0)))
+    val notInExact = semPairsS.join(exactS, Seq("a", "b", "cos"), "left_anti")
+    val common = semPairsS.select("a", "b")
+      .join(exactS.select("a", "b"), Seq("a", "b"))
     val dropped = emb.select(col("vec_id"))
       .join(kept, Seq("vec_id"), "left_anti")
     val pairVertices = semPairs.select(col("a").as("vec_id"))
       .union(semPairs.select(col("b").as("vec_id"))).distinct()
     val orphanDropped = dropped.join(pairVertices, Seq("vec_id"), "left_anti")
-    exact.agg(count(lit(1)).as("n_exact"))
+    exactS.agg(count(lit(1)).as("n_exact_sampled"))
       .crossJoin(emb.agg(count(lit(1)).as("n_docs")))
+      .crossJoin(sampled.agg(count(lit(1)).as("n_sample")))
       .crossJoin(notInExact.agg(count(lit(1)).as("n_bad")))
       .crossJoin(common.agg(count(lit(1)).as("n_common")))
       .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
       .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
       .crossJoin(orphanDropped.agg(count(lit(1)).as("n_orphan")))
-      .select(col("n_docs"), col("n_exact"),
+      .select(col("n_docs"), col("n_sample"), col("n_exact_sampled"),
         (col("n_bad") === 0).as("subset_ok"),
         // zero-pair guard: n_common/0 would be NULL, and the oracle's
         // literal TRUE would then read as a hash mismatch for a
         // vacuously-correct run
-        (col("n_exact") === 0 ||
-          col("n_common").cast("double") / col("n_exact") >= 0.8)
+        (col("n_exact_sampled") === 0 ||
+          col("n_common").cast("double") / col("n_exact_sampled") >= 0.8)
           .as("recall_ok"),
         (col("n_orphan") === 0).as("drop_sound"),
         (col("n_kept") + col("n_dropped") === col("n_docs")).as("partition_ok"))
   }
 
   val dedupSemanticOracle: String =
-    """WITH e AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    """WITH perm AS (
+      |  SELECT LEAST(1000, 1000000 // GREATEST(1, COUNT(*))) AS permille
       |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings, perm
+      |  WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761)
+      |    % 1000 < permille),
       |p AS (
       |  SELECT a.vec_id AS a, b.vec_id AS b,
       |    ROUND(list_dot_product(a.v, b.v) /
       |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-      |SELECT (SELECT COUNT(*) FROM e) AS n_docs,
-      |  COUNT(*) AS n_exact, TRUE AS subset_ok, TRUE AS recall_ok,
+      |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+      |SELECT (SELECT COUNT(*) FROM embeddings) AS n_docs,
+      |  (SELECT COUNT(*) FROM s) AS n_sample,
+      |  COUNT(*) AS n_exact_sampled, TRUE AS subset_ok, TRUE AS recall_ok,
       |  TRUE AS drop_sound, TRUE AS partition_ok
       |FROM p WHERE cos >= 0.4""".stripMargin
 
@@ -367,19 +401,22 @@ object ScaleQueries {
       |  FROM s),
       |topk AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5)""".stripMargin
 
-  /** Multi-table LSH ANN certified against brute top-k. Recall with
-    * 4 planes × 8 tables on the fixed seed-42 corpus: 0.52 / 0.66 /
-    * 0.78 at sf0.01 / 0.001 / 0.1 — bound 0.5 (single-table recall
-    * was 0.04–0.26; tables are the recall dial, planes the cost
-    * dial). Bucket count must track corpus size: 2^planes ≪ n or
-    * buckets go singleton; at 100 TB raise planes so bucket size
-    * stays bounded, then raise tables to recover recall. */
+  /** Multi-table LSH ANN certified against brute top-k, at
+    * CORPUS-DERIVED plane/table counts ([[Similarity.knnLshDerived]]
+    * with the default minCos=0.5 neighbor floor — the same
+    * [[Similarity.lshDerivedParams]] rule the pair path certifies,
+    * sized so bucket occupancy tracks n instead of letting candidate
+    * volume grow quadratically at fixed planes). Bound 0.5: k-NN
+    * recall is inherently softer than pair recall — the k-th neighbor
+    * can sit BELOW the sizing floor's cosine, where collision odds
+    * decay (static 4×8 measured 0.52–0.78; derived configs measure ≥
+    * that at every SF because fewer planes at gate sizes raise
+    * per-table collision). */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
     knnCertify(
-      Similarity.knnLsh(emb, "vec_id", "embedding", q, k = 5, dim = 64,
-        numPlanes = 4, numTables = 8),
+      Similarity.knnLshDerived(emb, "vec_id", "embedding", q, k = 5, dim = 64),
       Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
       minRecall = 0.5)
   }
@@ -570,8 +607,28 @@ object ScaleQueries {
   private def ivfLoadOrBuild(s: SparkSession, baseDir: String, d: String)
                             (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
     val dir = baseDir + "/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
-    if (!new java.io.File(s"$dir/cells/_SUCCESS").exists)
+    // stale-index guard: the memo is keyed by dataset DIR NAME, so a
+    // regenerated dataset under the same path would otherwise serve an
+    // index fitted on the old rows — surfacing as a baffling gate
+    // failure instead of a rebuild. Stamp the saved index with a
+    // fingerprint of the source parquet (per-file name+size+mtime) and
+    // rebuild on mismatch.
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val srcFiles =
+      if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
+    val fingerprint = srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .mkString("\n")
+    val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
+    val fresh = new java.io.File(s"$dir/cells/_SUCCESS").exists &&
+      stampFile.exists && {
+        val st = java.nio.file.Files.readString(stampFile.toPath)
+        st == fingerprint
+      }
+    if (!fresh) {
       Similarity.ivfSave(build, dir)
+      java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
+    }
     Similarity.ivfLoad(s, dir)
   }
 

@@ -167,9 +167,85 @@ object Similarity {
       lit(0L), (acc, v) => acc + v)
   }
 
-  /** ANN top-k via LSH buckets: exact search within each query's
-    * bucket. Recall < 1 by construction (log the trade); bucket size
-    * distribution bounds the work per query. */
+  /** Derived hyperplane-LSH sizing — the corpus-tracking rule, ONE
+    * definition shared by the gate queries, the probes, and
+    * production callers (mirror of [[semDedupDerivedK]]'s discipline:
+    * recalibrating here can never diverge the certified config from
+    * the measured one).
+    *
+    * Why derivation is mandatory at scale: bucket occupancy is
+    * n/2^planes per table, so FIXED planes make candidate pairs grow
+    * quadratically in corpus size — at the 20k-vector soak the static
+    * 3-plane config prunes to only 8 buckets/table and the LSH path
+    * barely beats brute force; at 100× it inverts outright.
+    *
+    * The rule (collision prob per plane for a pair at angle θ is
+    * c = 1 − θ/π, per-table collision c^planes, union recall over
+    * tables 1 − (1 − c^planes)^tables):
+    *  - `planes` grows with the corpus, targeting `targetBucket`
+    *    rows/bucket: ceil(log2(n / targetBucket)) — keeps per-table
+    *    candidate volume ≈ n·targetBucket/2, LINEAR in n;
+    *  - but planes is capped by what `maxTables` tables can recover
+    *    at the threshold angle: recall ≥ R needs c^planes ≥
+    *    1 − (1−R)^(1/maxTables), i.e. planes ≤ ln(1−(1−R)^(1/maxTables))
+    *    / ln c — past that cap, extra planes trade recall below the
+    *    certified floor for speed (low thresholds bind hard: τ=0.4 →
+    *    c=0.63 caps planes at 6; τ=0.9 → c=0.86 allows 20+);
+    *  - `tables` is then the smallest count hitting R at the BOUNDARY
+    *    cosine: ceil(ln(1−R) / ln(1−c^planes)). Pairs above the
+    *    threshold collide more (c rises with cos), so measured recall
+    *    sits above R — the certification bound keeps its margin. */
+  final case class LshParams(numPlanes: Int, numTables: Int)
+
+  def lshDerivedParams(n: Long, threshold: Double,
+                       targetBucket: Long = 512L,
+                       targetRecall: Double = 0.85,
+                       maxTables: Int = 32): LshParams = {
+    require(threshold > -1.0 && threshold < 1.0, s"threshold=$threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0, s"targetRecall=$targetRecall")
+    val c = 1.0 - math.acos(threshold) / math.Pi
+    val sizePlanes =
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    val recallCap = // planes beyond this can't reach targetRecall with maxTables
+      math.floor(math.log(1.0 - math.pow(1.0 - targetRecall, 1.0 / maxTables)) /
+        math.log(c)).toInt
+    val planes = math.max(1, math.min(math.min(sizePlanes, recallCap), 30))
+    val pTable = math.pow(c, planes)
+    // floor of 4 tables: the formula's expectation is exact but a
+    // 2-table config has high recall VARIANCE on small corpora (one
+    // unlucky plane set can sink a whole table); 4 keeps the measured
+    // recall comfortably over the certified floor at trivial cost
+    val tables = math.max(4, math.min(maxTables,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - pTable)).toInt))
+    LshParams(planes, tables)
+  }
+
+  /** [[nearDupPairsLsh]] with corpus-derived sizing — the production
+    * entry point (one extra count() pass; at 100 TB that's a
+    * metadata-cheap scan vs a quadratically-mis-sized candidate join). */
+  def nearDupPairsLshDerived(emb: DataFrame, idCol: String, vecCol: String,
+                             threshold: Double, dim: Int,
+                             targetBucket: Long = 512L,
+                             targetRecall: Double = 0.85): DataFrame = {
+    val p = lshDerivedParams(emb.count(), threshold, targetBucket, targetRecall)
+    nearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
+      p.numPlanes, p.numTables)
+  }
+
+  /** [[knnLsh]] with corpus-derived sizing. k-NN has no cosine
+    * threshold; `minCos` is the lowest neighbor cosine the caller
+    * still cares to recall reliably (the k-th-neighbor cosine floor
+    * of the workload — lower = more tables). */
+  def knnLshDerived(emb: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, k: Int, dim: Int,
+                    minCos: Double = 0.5,
+                    targetBucket: Long = 512L,
+                    targetRecall: Double = 0.85): DataFrame = {
+    val p = lshDerivedParams(emb.count(), minCos, targetBucket, targetRecall)
+    knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables)
+  }
+
   /** IVF (inverted-file) ANN index: KMeans-partition the corpus into
     * `nList` cells. Build once, search many — `save`/`load` persist
     * the fitted centroids + cell assignments so search never refits. */

@@ -26,9 +26,12 @@ object RecallProbe {
         val common = a.join(exactKnn, Seq("query_id", "neighbor_id")).count()
         (common, exactKnn.count(), a.count())
       }
+      val nEmb = emb.count()
+      val knnP = Similarity.lshDerivedParams(nEmb, 0.5)
       val (lc, le, la) = recallOf(
-        Similarity.knnLsh(emb, "vec_id", "embedding", q, 5, 64, 4))
-      println(f"$d knn_lsh  common=$lc exact=$le approx=$la recall=${lc.toDouble / le}%.3f")
+        Similarity.knnLshDerived(emb, "vec_id", "embedding", q, 5, 64))
+      println(f"$d knn_lsh  planes=${knnP.numPlanes} tables=${knnP.numTables} " +
+        f"common=$lc exact=$le approx=$la recall=${lc.toDouble / le}%.3f")
       val (ic, ie, ia) = recallOf(
         Similarity.knnIvf(emb, "vec_id", "embedding", q, 5, nList = 8, nProbe = 3))
       println(f"$d knn_ivf  common=$ic exact=$ie approx=$ia recall=${ic.toDouble / ie}%.3f")
@@ -42,11 +45,13 @@ object RecallProbe {
 
       val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b")
-      val lshPairs = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
-        0.4, 64, 3, 8).select("a", "b")
+      val pairP = Similarity.lshDerivedParams(nEmb, 0.4)
+      val lshPairs = Similarity.nearDupPairsLshDerived(emb, "vec_id",
+        "embedding", 0.4, 64).select("a", "b")
       val pc = lshPairs.join(exactPairs, Seq("a", "b")).count()
       val pe = exactPairs.count(); val pa = lshPairs.count()
-      println(f"$d emb_lsh  common=$pc exact=$pe approx=$pa recall=${pc.toDouble / pe}%.3f")
+      println(f"$d emb_lsh  planes=${pairP.numPlanes} tables=${pairP.numTables} " +
+        f"common=$pc exact=$pe approx=$pa recall=${pc.toDouble / pe}%.3f")
 
       // the gate's derived k (ScaleQueries.dedupSemantic) plus the
       // fixed configs around it, all at the gate threshold

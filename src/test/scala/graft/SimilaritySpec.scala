@@ -117,6 +117,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshDerivedParams: corpus-tracking, threshold-capped, recall-sufficient") {
+    import Similarity.lshDerivedParams
+    // monotonic: planes never shrink as the corpus grows (the whole
+    // point — static planes let candidates grow quadratically)
+    val ns = Seq(100L, 500L, 2000L, 20000L, 200000L, 2000000L, 200000000L)
+    val planesSeq = ns.map(n => lshDerivedParams(n, 0.4).numPlanes)
+    assert(planesSeq == planesSeq.sorted, s"not monotonic: $planesSeq")
+    // the gate-certified configs at the harness SFs (recalibrating the
+    // rule must consciously re-pin these alongside the measured recall
+    // in ScaleQueries.dedupEmbeddingLsh's doc)
+    assert(lshDerivedParams(500L, 0.4) == Similarity.LshParams(1, 4))
+    assert(lshDerivedParams(2000L, 0.4) == Similarity.LshParams(2, 4))
+    assert(lshDerivedParams(20000L, 0.4) == Similarity.LshParams(6, 30))
+    // threshold cap: at τ=0.4 (c≈0.63) no corpus size pushes planes
+    // past what 32 tables can recover — candidates stop shrinking,
+    // they never trade below the recall floor
+    assert(lshDerivedParams(200000000L, 0.4).numPlanes ==
+      lshDerivedParams(2000000L, 0.4).numPlanes)
+    // ...while a tight threshold (c≈0.86) lets planes keep tracking n
+    assert(lshDerivedParams(2000000L, 0.9).numPlanes >
+      lshDerivedParams(2000000L, 0.4).numPlanes)
+    // every emitted config reaches the recall target at the boundary
+    // cosine, or is pinned at maxTables (the declared cap regime)
+    for (n <- ns; tau <- Seq(0.4, 0.6, 0.9)) {
+      val p = lshDerivedParams(n, tau)
+      val c = 1.0 - math.acos(tau) / math.Pi
+      val recall = 1.0 - math.pow(1.0 - math.pow(c, p.numPlanes), p.numTables)
+      assert(p.numTables == 32 || recall >= 0.85 - 1e-9,
+        s"n=$n tau=$tau -> $p boundary recall $recall")
+      assert(p.numTables >= 4 && p.numTables <= 32 && p.numPlanes >= 1)
+    }
+  }
+
   test("sq8: encode/intdot round-trip approximates the float dot") {
     val df = Seq((Array(0.5f, -1.25f, 3.0f, 0.0f), Array(2.0f, 0.75f, -0.5f, 1.0f)))
       .toDF("a", "b")
