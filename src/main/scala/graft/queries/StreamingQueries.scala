@@ -200,9 +200,70 @@ object StreamingQueries {
       |  TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
       |FROM events WHERE value IS NOT NULL GROUP BY event_type""".stripMargin
 
+  /** The Spark-4 arbitrary-state API (`transformWithState` +
+    * RocksDB state store) IN the gate: per-user gap sessionization via
+    * a typed `StatefulProcessor` emitting CLOSED sessions (a session
+    * closes when a ≥30-min-later event arrives; each user's final
+    * session stays open in state and never emits — exactly the
+    * unbounded-stream contract). The oracle replays the lag/cumsum
+    * batch sessionization and DROPS each user's last session, so the
+    * certified equivalence is the real open/closed split, not a
+    * bounded-replay artifact. StreamingSpec separately pins tws ≡
+    * flatMapGroupsWithState row-for-row. */
+  def streamTwsSessions(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+      // state keys = users (one ValueState entry each)
+      val keys = approxKeys(graft.sources.Tables.load(s, d, "events"),
+        col("user_id"))
+      val sessions = EventsStream.twsSessions(ev)
+        .toDF("user_id", "sess_events")
+      awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
+        sessions.writeStream.format("memory").queryName("st_tws")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    s.table("st_tws")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_closed_sessions"),
+        sum(col("sess_events")).as("n_events_closed"),
+        max(col("sess_events")).as("max_closed_session_events"))
+  }
+
+  val streamTwsSessionsOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS sess_events,
+      |    MAX(sess_id) OVER (PARTITION BY user_id) AS last_sess
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, COUNT(*) AS n_closed_sessions,
+      |  CAST(SUM(sess_events) AS BIGINT) AS n_events_closed,
+      |  MAX(sess_events) AS max_closed_session_events
+      |FROM per_sess WHERE sess_id < last_sess GROUP BY user_id""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
     Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),
     Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)),
-    Q("stream_quantile_sketch", streamQuantile, Some(streamQuantileOracle)))
+    Q("stream_quantile_sketch", streamQuantile, Some(streamQuantileOracle)),
+    Q("stream_tws_sessions", streamTwsSessions, Some(streamTwsSessionsOracle)))
 }
