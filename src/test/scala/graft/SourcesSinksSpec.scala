@@ -93,6 +93,39 @@ class SourcesSinksSpec extends SparkSpec {
     assert(session.displayData.count() == 3)
   }
 
+  test("S2: multi-file xlsx directory ingest parallelizes per file and widens types") {
+    val dir = new java.io.File(tmp() + "/xlsxdir"); dir.mkdirs()
+    // file 1: ids long, sensor long (whole numbers)
+    graft.sources.Xlsx.write(Seq(
+      Seq("engine_no", "sensor", "note"),
+      Seq(1L, 10L, "a"), Seq(2L, 20L, "b")), s"$dir/part1.xlsx")
+    // file 2: same header, sensor double → union widens long→double
+    graft.sources.Xlsx.write(Seq(
+      Seq("engine_no", "sensor", "note"),
+      Seq(3L, 30.5, "c")), s"$dir/part2.xlsx")
+    // file 3: blank cell survives the union as null
+    graft.sources.Xlsx.write(Seq(
+      Seq("engine_no", "sensor", "note"),
+      Seq(4L, null, "d")), s"$dir/part3.xlsx")
+    // a non-xlsx file in the directory is ignored by the glob filter
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/README.txt"), "not a workbook")
+    val df = graft.sources.Xlsx.readAll(spark, dir.toString)
+    assert(df.schema.map(f => f.name -> f.dataType.typeName).toSeq == Seq(
+      "engine_no" -> "long", "sensor" -> "double", "note" -> "string"))
+    val rows = df.orderBy("engine_no").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0).getDouble(1) == 10.0 && rows(2).getDouble(1) == 30.5)
+    assert(rows(3).isNullAt(1))
+    assert(rows.map(_.getString(2)).toSeq == Seq("a", "b", "c", "d"))
+    // mismatched header fails fast with both paths named
+    graft.sources.Xlsx.write(Seq(Seq("other"), Seq(1L)), s"$dir/bad.xlsx")
+    val e = intercept[Exception] {
+      graft.sources.Xlsx.readAll(spark, dir.toString).collect()
+    }
+    assert(e.getMessage.contains("header"))
+  }
+
   test("S2: xlsx round-trip beyond 26 columns (AA-style refs)") {
     val path = tmp() + "/wide.xlsx"
     val n = 30 // crosses the Z→AA boundary
