@@ -94,6 +94,58 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"))
   }
 
+  test("q8: promo filter hits the fact before the fact-fact join; dims broadcast") {
+    val p = plan("q8_market_share")
+    // the selective dimension predicates reach their scans
+    assert(p.contains("EqualTo(p_type,PROMO)") && p.contains("EqualTo(r_name,ASIA)"))
+    // every dimension attach is a broadcast (part, supplier, both
+    // nation roles, customer, region — orders also broadcasts at this
+    // SF); nothing falls back to a product
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 5)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the promo part join applies DIRECTLY to the lineitem side (the
+    // fact is thinned before anything wider happens to it)
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin [l_partkey")))
+    // lineitem scan reads exactly the five needed columns
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint," +
+      "l_suppkey:bigint,l_extendedprice:double,l_discount:double>"))
+    // one data shuffle total: the final year aggregate
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1)
+  }
+
+  test("q21: per-supplier aggregate before enrichment; self-join shuffles, supplier broadcasts") {
+    val lines = plan("q21_waiting_suppliers").linesIterator.toVector
+    val p = lines.mkString("\n")
+    // the (order, supplier) lateness aggregate runs on the raw join
+    // output BEFORE the supplier name attach — printed deeper than it
+    val aggIdx = lines.indexWhere(_.contains("partial_max"))
+    val suppJoinIdx = lines.indexWhere(l =>
+      l.contains("BroadcastHashJoin") && l.contains("s_suppkey"))
+    assert(aggIdx >= 0 && suppJoinIdx >= 0 && aggIdx > suppJoinIdx)
+    // the aggregated perSupp × perOrder self-join is the one
+    // shuffle-side join (two big aggregates — broadcast would be
+    // wrong at scale); never a product
+    assert(p.linesIterator.count(_.contains("SortMergeJoin")) == 1)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // status filter pushed; limit plans as distributed top-k
+    assert(p.contains("EqualTo(o_orderstatus,F)"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q22: scalar stats attach as one-row broadcast; idle check is an anti join") {
+    val p = plan("q22_idle_customers")
+    // the positive-balance average is a one-row broadcast (scalar
+    // subquery shape), not a shuffled join
+    assert(p.contains("IdentityBroadcastMode"))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1)
+    // "no recent order" is a broadcast LeftAnti, with the date filter
+    // pushed into the orders scan
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"))
+  }
+
   test("vocabulary: top-k plans as distributed TakeOrdered, not a global window sort") {
     val p = plan("text_vocabulary")
     assert(p.contains("TakeOrderedAndProject"))
