@@ -977,6 +977,146 @@ object ScaleQueries {
       |  WHEN 'signup' THEN 100 WHEN 'error' THEN 50 ELSE 0 END
       |GROUP BY event_type""".stripMargin
 
+  /** The FULL curation pipeline a 100 TB pretraining corpus runs, as
+    * ONE composed query with every stage's count replayed in SQL:
+    * Gopher rule gate → duplicated-span filter (Lee 2022 coverage,
+    * integer 2·dup ≤ n so no rounding boundary) → embedding-cosine
+    * dedup keep-list (exact pairs ≥ 0.4 over the survivors'
+    * embeddings → connected components → min-id survivor; the
+    * SQL-replayable twin of the SemDeDup prune — production swaps in
+    * [[Similarity.semDedup]] on the same keep-list contract) →
+    * 64/48 chunking → 512-token sequence packing. Stage COMPOSITION
+    * is what this row certifies: schema drift or filter reordering
+    * between any two stages moves a count and flips the hash. Every
+    * stage reuses an already-oracled operator; each intermediate is
+    * checkpoint-pinned because it feeds ≥2 consumers (the stage
+    * filter and the stage count). */
+  def docsCurationE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val gated = graft.scaleops.TrainingData
+      .gopherGate(docs, "doc_id", "text", minTokens = 10)
+      .filter(col("passed"))
+      .select("doc_id", "source", "text")
+      .localCheckpoint(eager = false) // feeds span build, span join, count
+    val spanCov = graft.scaleops.TrainingData
+      .duplicatedSpans(gated, "doc_id", "text", k = 8)
+      .select(col("doc_id"), col("dup_tokens"), col("n_tokens"))
+    val spanPass = gated.join(spanCov, Seq("doc_id"))
+      .filter(lit(2L) * col("dup_tokens") <= col("n_tokens"))
+      .select("doc_id", "source", "text")
+      .localCheckpoint(eager = false) // feeds emb semi-join, anti, count
+    val embS = t(s, d, "embeddings")
+      .join(spanPass.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi")
+    val pairs = Similarity.nearDupPairs(embS, "vec_id", "embedding",
+      threshold = 0.4)
+    val dropped = graft.operators.ConnectedComponents
+      .components(pairs, "a", "b")
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as("doc_id"))
+      .localCheckpoint(eager = false) // feeds anti join + count
+    val survivors = spanPass.join(dropped, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false) // feeds chunk, pack, count
+    val chunks = graft.scaleops.TrainingData
+      .chunkDocs(survivors, "doc_id", "text", chunkSize = 64, stride = 48)
+    val packed = graft.scaleops.TrainingData
+      .packSequences(survivors, "doc_id", "text", shardCol = "source",
+        seqLen = 512)
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(gated.agg(count(lit(1)).as("n_gate_pass")))
+      .crossJoin(spanPass.agg(count(lit(1)).as("n_span_pass")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_sem_dropped")))
+      .crossJoin(survivors.agg(count(lit(1)).as("n_survivors")))
+      .crossJoin(chunks.agg(count(lit(1)).as("n_chunks")))
+      .crossJoin(packed.agg(count(lit(1)).as("n_sequences"),
+        sum(col("n_tokens")).as("n_packed_tokens")))
+  }
+
+  val docsCurationE2eOracle: String = {
+    val stops = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE tok AS (
+       |  SELECT doc_id, source,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, source, toks, len(toks) AS n,
+       |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+       |    len(list_distinct(toks)) AS n_dist,
+       |    len(list_intersect(list_distinct(toks), [$stops])) AS n_stops
+       |  FROM tok),
+       |gated AS (
+       |  SELECT doc_id, source, toks, n FROM m
+       |  WHERE n >= 10 AND n <= 100000 AND 3 * n <= sum_len
+       |    AND sum_len <= 10 * n AND 5 * n_alpha >= 4 * n
+       |    AND n_stops >= 2 AND 10 * n_dist >= 3 * n),
+       |spans AS (
+       |  SELECT doc_id, s - 1 AS start,
+       |    array_to_string(toks[s:s+7], ' ') AS span
+       |  FROM gated, UNNEST(generate_series(1, n - 7)) AS g(s)
+       |  WHERE n >= 8),
+       |dup AS (SELECT span FROM spans GROUP BY span HAVING COUNT(*) >= 2),
+       |flagged AS (
+       |  SELECT doc_id, start, start + 7 AS e
+       |  FROM spans SEMI JOIN dup USING (span)),
+       |isl AS (
+       |  SELECT doc_id, start, e,
+       |    CASE WHEN start > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+       |      ORDER BY start ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      -1) THEN 1 ELSE 0 END AS ni
+       |  FROM flagged),
+       |isl2 AS (
+       |  SELECT doc_id, start, e,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY start
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl),
+       |cov0 AS (
+       |  SELECT doc_id, island, MIN(start) AS i_start, MAX(e) AS i_end
+       |  FROM isl2 GROUP BY 1, 2),
+       |cov AS (
+       |  SELECT doc_id, CAST(SUM(i_end - i_start + 1) AS BIGINT) AS dup_tokens
+       |  FROM cov0 GROUP BY 1),
+       |span_pass AS (
+       |  SELECT g.doc_id, g.source, g.n FROM gated g
+       |  LEFT JOIN cov USING (doc_id)
+       |  WHERE 2 * COALESCE(cov.dup_tokens, 0) <= g.n),
+       |e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings SEMI JOIN span_pass ON vec_id = doc_id),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE ROUND(list_dot_product(a.v, b.v) /
+       |    (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) >= 0.4),
+       |sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+       |reach(id, comp) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s2.a, r.comp FROM sym s2 JOIN reach r ON s2.b = r.id),
+       |cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+       |dropped AS (SELECT id FROM cc WHERE comp <> id),
+       |survivors AS (
+       |  SELECT sp.doc_id, sp.source, sp.n FROM span_pass sp
+       |  ANTI JOIN dropped d ON sp.doc_id = d.id),
+       |pk AS (
+       |  SELECT source, n,
+       |    COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM survivors),
+       |seqs AS (
+       |  SELECT DISTINCT source, CAST(FLOOR(prior / 512) AS BIGINT) AS seq_id
+       |  FROM pk)
+       |SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT COUNT(*) FROM gated) AS n_gate_pass,
+       |  (SELECT COUNT(*) FROM span_pass) AS n_span_pass,
+       |  (SELECT COUNT(*) FROM dropped) AS n_sem_dropped,
+       |  (SELECT COUNT(*) FROM survivors) AS n_survivors,
+       |  (SELECT CAST(SUM(((n - 1) // 48) + 1) AS BIGINT) FROM survivors
+       |    WHERE n >= 1) AS n_chunks,
+       |  (SELECT COUNT(*) FROM seqs) AS n_sequences,
+       |  (SELECT CAST(SUM(n) AS BIGINT) FROM survivors) AS n_packed_tokens""".stripMargin
+  }
+
   /** The end-to-end cleaning pipeline a training corpus goes through,
     * as ONE composed query: quality-score filter → language match →
     * fingerprint dedup (keep lowest doc_id) → per-source survivor
@@ -1262,5 +1402,7 @@ object ScaleQueries {
     Q("text_bpeish", textBpeish, Some(textBpeishOracle)),
     Q("dedup_fingerprint", dedupFingerprint, Some(dedupFingerprintOracle)),
     Q("events_stratified_sample", stratifiedSample, Some(stratifiedSampleOracle)),
-    Q("docs_clean_pipeline", docsCleanPipeline, Some(docsCleanPipelineOracle)))
+    Q("docs_clean_pipeline", docsCleanPipeline, Some(docsCleanPipelineOracle)),
+    Q("docs_curation_e2e", docsCurationE2e, Some(docsCurationE2eOracle),
+      bench = true))
 }
