@@ -352,8 +352,47 @@ object OperatorQueries {
       |      FROM documents) d ON e.vec_id = d.doc_id
       |WHERE e.vec_id < 20""".stripMargin
 
+  /** S2 xlsx ingest, certified end-to-end in the gate (the last §2
+    * operator family that had only spec coverage): write a TWO-workbook
+    * fixture derived from the nation table via [[graft.sources.Xlsx.write]]
+    * (inline strings + numeric cells), read it back with the
+    * executor-parallel [[graft.sources.Xlsx.readAll]], and let the
+    * oracle replay the same rows straight from parquet — sheet-XML
+    * parsing, cell refs, type inference (numeric → long), and the
+    * multi-file union are all pinned by the hash compare. The
+    * driver-side collect() is the 25-row nation table: xlsx is the
+    * upload-sized format by design (Xlsx scaladoc — the 100 TB path
+    * is convert-once-to-parquet; a directory of workbooks
+    * parallelizes across files, which is exactly the path exercised
+    * here). */
+  def xlsxIngest(s: SparkSession, d: String): DataFrame = {
+    val rows = Tables.load(s, d, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey").collect()
+    val header = Seq[Any]("n_nationkey", "n_name", "n_regionkey")
+    def body(rs: Seq[org.apache.spark.sql.Row]): Seq[Seq[Any]] =
+      rs.map(r => Seq[Any](r.getInt(0).toLong, r.getString(1),
+        r.getInt(2).toLong))
+    val dir = new java.io.File(
+      s"target/xlsx_fixture/${new java.io.File(d).getName}")
+    dir.mkdirs()
+    val (lo, hi) = rows.toSeq.partition(_.getInt(0) < 12)
+    graft.sources.Xlsx.write(header +: body(lo), s"$dir/nation_a.xlsx")
+    graft.sources.Xlsx.write(header +: body(hi), s"$dir/nation_b.xlsx")
+    graft.sources.Xlsx.readAll(s, dir.toString)
+  }
+
+  /** BIGINT casts: the xlsx reader infers integral columns as long
+    * (there is no width metadata in a sheet cell), so the oracle
+    * widens parquet's int32 to match. */
+  val xlsxIngestOracle: String =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
+    Q("xlsx_ingest", xlsxIngest, Some(xlsxIngestOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
     Q("fuzzy_join_capped", fuzzyPartsCapped, Some(fuzzyPartsCappedOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),

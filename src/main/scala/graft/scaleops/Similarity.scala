@@ -101,10 +101,17 @@ object Similarity {
     * (θ ≈ 66°, disagreement ≈ 0.37) needs ~3 planes and more tables,
     * or per-table recall collapses to (0.63)^planes. Fewer planes ⇒
     * bigger buckets ⇒ more exact verifications — the classic LSH
-    * recall/cost dial. */
-  def nearDupPairsLsh(emb: DataFrame, idCol: String, vecCol: String,
-                      threshold: Double, dim: Int, numPlanes: Int = 4,
-                      numTables: Int = 8): DataFrame = {
+    * recall/cost dial.
+    *
+    * `private[graft]`: raw plane/table counts invite exactly the
+    * quadratic mis-sizing [[lshDerivedParams]] closed (fixed planes ⇒
+    * candidate pairs grow quadratically in n). Library users go
+    * through [[nearDupPairsLshDerived]]; the raw knobs stay reachable
+    * for the in-package recall probes and the derived wrapper. */
+  private[graft] def nearDupPairsLsh(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, numPlanes: Int = 4,
+      numTables: Int = 8): DataFrame = {
     // pinned: vectors+norms feed all table builds and both verify
     // joins; the bucket table feeds both sides of its own self-join —
     // without the checkpoints the plane projections run ~2× and the
@@ -221,6 +228,30 @@ object Similarity {
     LshParams(planes, tables)
   }
 
+  /** Provenance stamp: the derived entry points record the
+    * [[LshParams]] they instantiated as metadata on the `cos` column,
+    * so any consumer (the gate queries pin this) can PROVE a frame
+    * came from the corpus-derived sizing rule rather than a caller
+    * quietly passing static plane counts — the exact mis-sizing class
+    * the derivation exists to prevent. Metadata rides the schema
+    * through select/filter/checkpoint, costs nothing at runtime. */
+  private def stampLshParams(df: DataFrame, p: LshParams): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("lsh_planes", p.numPlanes.toLong)
+      .putLong("lsh_tables", p.numTables.toLong).build()
+    df.withColumn("cos", col("cos").as("cos", m))
+  }
+
+  /** The [[LshParams]] stamped by a derived entry point, or None for
+    * a frame that did not come from the derived path. */
+  def lshParamsOf(df: DataFrame): Option[LshParams] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("lsh_planes") && m.contains("lsh_tables"))
+      Some(LshParams(m.getLong("lsh_planes").toInt,
+        m.getLong("lsh_tables").toInt))
+    else None
+  }
+
   /** [[nearDupPairsLsh]] with corpus-derived sizing — the production
     * entry point (one extra count() pass; at 100 TB that's a
     * metadata-cheap scan vs a quadratically-mis-sized candidate join). */
@@ -229,8 +260,9 @@ object Similarity {
                              targetBucket: Long = 512L,
                              targetRecall: Double = 0.85): DataFrame = {
     val p = lshDerivedParams(emb.count(), threshold, targetBucket, targetRecall)
-    nearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
-      p.numPlanes, p.numTables)
+    stampLshParams(
+      nearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
+        p.numPlanes, p.numTables), p)
   }
 
   /** [[knnLsh]] with corpus-derived sizing. k-NN has no cosine
@@ -243,7 +275,8 @@ object Similarity {
                     targetBucket: Long = 512L,
                     targetRecall: Double = 0.85): DataFrame = {
     val p = lshDerivedParams(emb.count(), minCos, targetBucket, targetRecall)
-    knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables)
+    stampLshParams(
+      knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables), p)
   }
 
   /** IVF (inverted-file) ANN index: KMeans-partition the corpus into
@@ -475,8 +508,18 @@ object Similarity {
 
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 16,
-                    assignProbes: Int = 2, seed: Long = 42L): DataFrame = {
-    val index = ivfBuild(emb, idCol, vecCol, nClusters, seed)
+                    assignProbes: Int = 2, seed: Long = 42L): DataFrame =
+    semDedupPairsIndexed(ivfBuild(emb, idCol, vecCol, nClusters, seed),
+      threshold, assignProbes)
+
+  /** [[semDedupPairs]] over an ALREADY-BUILT cluster index — the
+    * KMeans fit is the dominant fixed cost of SemDeDup and is a pure
+    * function of (corpus, k, seed), so a repeated run (the bench's
+    * warm reps, a nightly re-dedup over an unchanged base corpus)
+    * should load it, not refit. Pairs with the gate's
+    * `ivfLoadOrBuild` memo exactly as `knn_ivf_prebuilt` does. */
+  def semDedupPairsIndexed(index: IvfIndex, threshold: Double,
+                           assignProbes: Int = 2): DataFrame = {
     // multi-probe assignment: each vector belongs to its `assignProbes`
     // nearest cells, not just the winner — a pair split by a cluster
     // boundary still meets in one of the overlap cells (hard
@@ -548,8 +591,11 @@ object Similarity {
     * up toward 1). One corpus pass computes all table buckets
     * (exploded), candidates dedup on bare ids, and every candidate
     * is scored with the exact cosine — returned scores are exact,
-    * only the candidate set is approximate. */
-  def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
+    * only the candidate set is approximate.
+    *
+    * `private[graft]` for the same reason as [[nearDupPairsLsh]]:
+    * library callers size via [[knnLshDerived]]. */
+  private[graft] def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
              numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =

@@ -10,18 +10,23 @@ import graft.queries.Registry
   * single-rep driver bench inherits host noise and session residue;
   * see TODO.md).
   *
-  * `runMain graft.tools.BenchWarm [sfDir] [outPath] [reps]` — writes
-  * one JSON object: {"sf":…, "reps":…, "queries": {name:
-  * {"cold":…, "warm":…}}, "warm_total":…}.
+  * `runMain graft.tools.BenchWarm [sfDir] [outPath] [reps] [only]` —
+  * writes one JSON object: {"sf":…, "reps":…, "queries": {name:
+  * {"cold":…, "warm":…}}, "warm_total":…}. `only` is an optional
+  * comma-separated query-name filter for targeted probes (the ML
+  * drift A/B, a single-operator iteration loop).
   */
 object BenchWarm {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "BENCH_WARM.json"
     val reps = if (args.length > 2) args(2).toInt else 2
+    val only = args.lift(3).map(_.split(",").toSet)
     require(reps >= 2, "need at least 2 reps for a warm number")
     val spark = Sessions.local(appName = "graft-bench-warm")
-    val results = Registry.all.filterNot(_.benchSkip).map { q =>
+    val selected = Registry.all.filterNot(_.benchSkip)
+      .filter(q => only.forall(_.contains(q.name)))
+    val results = selected.map { q =>
       val times = (1 to reps).map { _ =>
         // clean block manager per rep: un-released localCheckpoint
         // blocks from prior reps/queries inflate later timings (the
