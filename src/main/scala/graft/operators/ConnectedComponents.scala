@@ -28,13 +28,58 @@ object ConnectedComponents {
     * @return (id, component) for every vertex that appears in any
     *         edge; component = min vertex id reachable. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 50): DataFrame = {
+                 maxIter: Int = 50,
+                 smallGraphEdgeLimit: Long = 2000000L): DataFrame = {
     val sym = edges
       .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
       .union(edges.select(col(dstCol).cast("long").as("a"),
         col(srcCol).cast("long").as("b")))
       .distinct()
       .localCheckpoint(eager = true)
+
+    // Size-adaptive hybrid: at or below `smallGraphEdgeLimit`
+    // (2M edges ≈ 32 MB — an EXPLICIT driver-memory bound, the same
+    // discipline as a broadcast-join size threshold) the components
+    // come from ONE driver-side union-find over the already
+    // materialized edge list. Each distributed propagation round
+    // costs 2-3 scheduler jobs plus a fresh codegen pass — ~1 s of
+    // fixed overhead per round regardless of data — which DOMINATES
+    // small graphs, and small is the usual shape: candidate pruning
+    // leaves a pair graph orders of magnitude smaller than the
+    // corpus. Above the limit, the label-propagation loop below runs
+    // unchanged, so 100 TB-scale graphs never touch the driver.
+    val m = sym.count()
+    if (m > 0 && m <= smallGraphEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      // path-compressed union-find attaching the larger root under
+      // the smaller, so every set's root IS its minimum member —
+      // exactly the distributed loop's fixpoint. `<=` keeps
+      // self-loop-only vertices in the vertex set.
+      val half = sym.filter(col("a") <= col("b")).as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+        var c = x
+        while (parent.getOrDefault(c, c) != c) {
+          val nxt = parent.getOrDefault(c, c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      half.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      parent.keySet().forEach { v => val vv: Long = v; out += ((vv, find(vv))) }
+      sym.unpersist(blocking = false)
+      // one partition: kilobytes of labels must not fan downstream
+      // joins into 32-task stages
+      return out.toSeq.toDF("id", "comp").coalesce(1)
+        .localCheckpoint(eager = true)
+    }
 
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id"))

@@ -664,6 +664,16 @@ object ScaleQueries {
     * use — the shared protocol of both prebuilt-index gate queries
     * (one definition, so a change to the memoization contract — e.g.
     * partial-write invalidation — lands everywhere at once). */
+  /** In-JVM residency for loaded IVF indexes: an index handle is a
+    * driver-side KMeansModel plus a LAZY scan of the cells parquet,
+    * and a hot index re-read from disk on every query batch is not
+    * how a serving path behaves — vector stores keep live indexes
+    * resident. Keyed by (session, dir, source fingerprint) so a
+    * regenerated dataset or a new session can never be served a stale
+    * handle; bounded at 8 entries (a handle is kilobytes). */
+  private val ivfResident =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
   private def ivfLoadOrBuild(s: SparkSession, baseDir: String, d: String)
                             (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
     val dir = baseDir + "/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -685,11 +695,19 @@ object ScaleQueries {
         val st = java.nio.file.Files.readString(stampFile.toPath)
         st == fingerprint
       }
+    val key = System.identityHashCode(s) + "\n" + dir + "\n" + fingerprint
+    if (fresh) {
+      val resident = ivfResident.get(key)
+      if (resident != null) return resident
+    }
     if (!fresh) {
       Similarity.ivfSave(build, dir)
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
     }
-    Similarity.ivfLoad(s, dir)
+    val loaded = Similarity.ivfLoad(s, dir)
+    if (ivfResident.size >= 8) ivfResident.clear()
+    ivfResident.put(key, loaded)
+    loaded
   }
 
   def knnIvfPrebuilt(s: SparkSession, d: String): DataFrame = {

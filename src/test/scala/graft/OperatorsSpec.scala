@@ -125,13 +125,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("connected components: chains, self-loops, isolated pairs") {
-    // 1-2-3-4 chain (diameter 3), 10-11 pair, 20-20 self loop
+    // 1-2-3-4 chain (diameter 3), 10-11 pair, 20-20 self loop —
+    // asserted on BOTH execution paths: the small-graph driver
+    // union-find (default limit) and the distributed propagation
+    // loop (limit forced to 0)
     val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (20L, 20L))
       .toDF("a", "b")
-    val got = graft.operators.ConnectedComponents.components(edges, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L)
+    for (limit <- Seq(2000000L, 0L)) {
+      val got = graft.operators.ConnectedComponents
+        .components(edges, "a", "b", smallGraphEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"limit=$limit")
+    }
   }
 
   test("connected components: empty edge list returns empty, no NPE") {
@@ -141,9 +148,12 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("connected components: long path converges past one round") {
-    // 0-1-2-...-9 path: min label must travel 9 hops
+    // 0-1-2-...-9 path: min label must travel 9 hops — forced onto
+    // the DISTRIBUTED loop (limit 0), which is what multi-round
+    // convergence exercises
     val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = graft.operators.ConnectedComponents.components(edges, "a", "b")
+    val got = graft.operators.ConnectedComponents
+      .components(edges, "a", "b", smallGraphEdgeLimit = 0L)
       .collect().map(r => r.getLong(1)).toSet
     assert(got == Set(0L))
   }

@@ -199,8 +199,11 @@ class PropertySpec extends SparkSpec {
     val edgeGen = Gen.listOfN(25,
       Gen.zip(Gen.choose(0L, 14L), Gen.choose(0L, 14L)))
     samples(edgeGen, 4).foreach { edges =>
+      // limit 0 forces the DISTRIBUTED propagation loop — the oracle
+      // below is itself a union-find, so letting the small-graph
+      // driver path run would compare an implementation to itself
       val got = graft.operators.ConnectedComponents
-        .components(edges.toDF("a", "b"), "a", "b")
+        .components(edges.toDF("a", "b"), "a", "b", smallGraphEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // oracle: plain union-find
       val parent = scala.collection.mutable.Map.empty[Long, Long]
