@@ -390,9 +390,32 @@ object OperatorQueries {
       |  CAST(n_regionkey AS BIGINT) AS n_regionkey
       |FROM nation""".stripMargin
 
+  /** JSONL round-trip ingest — the lingua franca of LLM corpora (one
+    * JSON object per line): a slice of `documents` is written as
+    * multi-file JSONL and read back with an EXPLICIT schema (no
+    * inference pass — at 100 TB a schema-inference scan reads the
+    * corpus twice; line-delimited JSON is splittable, so the read
+    * parallelizes per-block like CSV). Returning the text itself makes
+    * the oracle a byte-exact fidelity check of the JSON escaping
+    * round-trip (quotes, backslashes, unicode) against the parquet
+    * original. */
+  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "documents").filter(col("doc_id") < 50)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val dir = s"target/jsonl_fixture/${new java.io.File(d).getName}"
+    src.repartition(4).write.mode("overwrite").json(dir)
+    s.read.schema(src.schema).json(dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  val jsonlIngestOracle: String =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents WHERE doc_id < 50""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("xlsx_ingest", xlsxIngest, Some(xlsxIngestOracle)),
+    Q("jsonl_ingest", jsonlIngest, Some(jsonlIngestOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
     Q("fuzzy_join_capped", fuzzyPartsCapped, Some(fuzzyPartsCappedOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),

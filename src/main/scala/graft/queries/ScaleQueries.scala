@@ -265,6 +265,61 @@ object ScaleQueries {
       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
       |SELECT a, b, cos FROM p WHERE cos >= 0.4""".stripMargin
 
+  /** Cost-routed pair search ([[Similarity.nearDupPairsAuto]]): the
+    * router predicts LSH candidate volume from (n, τ) and takes the
+    * LSH path only when it forecasts ≥3× fewer candidates than brute
+    * — at τ=0.4 the recall cap freezes planes at 6, candidates grow
+    * quadratically again, and the sf1 soak MEASURED derived-LSH at
+    * 1.56× brute wall-time, so routing to brute here is the correct
+    * call, not a cop-out. The oracle replays the sizing formula AND
+    * the routing inequality from COUNT(*), and pins the routed
+    * output (pair count + exact decimal cosine mass) against the
+    * brute definition — if the engine ever mis-routes to LSH at a
+    * gate SF, `routed_lsh` flips and the subset output breaks
+    * `n_pairs`/`sum_cos` too. */
+  def dedupEmbeddingAuto(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val auto = Similarity.nearDupPairsAuto(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 64)
+    val p = Similarity.lshParamsOf(auto).getOrElse(
+      throw new IllegalStateException(
+        "dedup_embedding_auto must come from the routed path"))
+    val routed = Similarity.lshRoutedOf(auto).getOrElse(
+      throw new IllegalStateException(
+        "dedup_embedding_auto must carry the routing decision"))
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(auto.agg(count(lit(1)).as("n_pairs"),
+        sum(col("cos").cast("decimal(18,6)")).cast("double").as("sum_cos")))
+      .select(col("n_vectors"),
+        lit(p.numPlanes).as("lsh_planes"), lit(p.numTables).as("lsh_tables"),
+        lit(routed).as("routed_lsh"), col("n_pairs"), col("sum_cos"))
+  }
+
+  val dedupEmbeddingAutoOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |    ROUND(list_dot_product(a.v, b.v) /
+       |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |${lshParamsSql(0.4)},
+       |route AS (
+       |  SELECT n, planes, tabs,
+       |    (tabs * CAST(n AS DOUBLE) * n / POWER(CAST(2.0 AS DOUBLE), planes)
+       |        / CAST(2.0 AS DOUBLE)) * CAST(3.0 AS DOUBLE)
+       |      <= CAST(n AS DOUBLE) * (n - 1) / CAST(2.0 AS DOUBLE) AS routed
+       |  FROM sz, tab),
+       |agg AS (
+       |  SELECT COUNT(*) AS n_pairs,
+       |    CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS sum_cos
+       |  FROM p WHERE cos >= 0.4)
+       |SELECT n AS n_vectors, planes AS lsh_planes, tabs AS lsh_tables,
+       |  routed AS routed_lsh, n_pairs, sum_cos
+       |FROM route, agg""".stripMargin
+
   /** SemDeDup certification (Abbas et al. 2023 cluster-then-prune,
     * [[Similarity.semDedupPairs]]): KMeans cells with 3-probe soft
     * assignment bound the pair search, connected components pick the
@@ -584,6 +639,54 @@ object ScaleQueries {
        |    AS clustering_coeff
        |FROM tri, w""".stripMargin
 
+  /** PageRank centrality over the near-dup graph — ranks each doc by
+    * how central it is to its duplication neighborhood (the canonical-
+    * doc-per-cluster signal; see [[graft.operators.PageRank]]). Five
+    * synchronous rounds at α=0.85; every iteration's arithmetic is
+    * 9-dp-rounded with DECIMAL(18,9) contribution sums, so the oracle
+    * replays ALL five rounds bit-for-bit as chained (unrolled) CTEs —
+    * the whole trajectory is pinned, not just the fixpoint shape. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
+    graft.operators.PageRank.pagerank(pairs, "a", "b",
+      damping = 0.85, iters = 5)
+      .select(col("id").as("doc_id"), col("pagerank"))
+  }
+
+  val graphPagerankOracle: String = {
+    // one chained CTE per synchronous round — DuckDB disallows
+    // aggregates in a recursive term, so the fixed iteration count is
+    // unrolled instead (same arithmetic as the engine, incl. the
+    // double-forced damping constants: a bare `1.0 - 0.85` would be
+    // DECIMAL arithmetic, a DIFFERENT double than the engine's)
+    val rounds = (1 to 5).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.b AS id,
+         |    ROUND((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |        / (SELECT n FROM nv)
+         |      + CAST(0.85 AS DOUBLE) * CAST(SUM(CAST(
+         |          ROUND(p.score / d.deg, 9) AS DECIMAL(18,9))) AS DOUBLE),
+         |      9) AS score
+         |  FROM pr${i - 1} p
+         |  JOIN deg d ON p.id = d.id
+         |  JOIN edges e ON p.id = e.a
+         |  GROUP BY e.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $jaccardPairCtes,
+       |edges AS (
+       |  SELECT a, b FROM pairs WHERE jaccard >= 0.8
+       |  UNION SELECT b, a FROM pairs WHERE jaccard >= 0.8),
+       |deg AS (SELECT a AS id, COUNT(*) AS deg FROM edges GROUP BY a),
+       |nv AS (SELECT COUNT(*) AS n FROM deg),
+       |pr0 AS (
+       |  SELECT id, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nv), 9)
+       |    AS score
+       |  FROM deg),
+       |$rounds
+       |SELECT id AS doc_id, score AS pagerank FROM pr5""".stripMargin
+  }
+
   /** SQ8-quantized ANN (int8 codes + exact re-rank, refine=4)
     * certified against brute top-k — see [[Similarity.knnSq8]]: the
     * candidate scan reads 64 B codes instead of 256 B floats (the
@@ -695,7 +798,7 @@ object ScaleQueries {
         val st = java.nio.file.Files.readString(stampFile.toPath)
         st == fingerprint
       }
-    val key = System.identityHashCode(s) + "\n" + dir + "\n" + fingerprint
+    val key = s"${System.identityHashCode(s)}\n$dir\n$fingerprint"
     if (fresh) {
       val resident = ivfResident.get(key)
       if (resident != null) return resident
@@ -1455,12 +1558,14 @@ object ScaleQueries {
     Q("dedup_simhash", dedupSimHash, Some(dedupSimHashOracle), bench = true),
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
+    Q("dedup_embedding_auto", dedupEmbeddingAuto, Some(dedupEmbeddingAutoOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
+    Q("graph_pagerank", graphPagerank, Some(graphPagerankOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),

@@ -508,7 +508,62 @@ object TrainingDataQueries {
       |  seq_id * 512 AS starts_at_token
       |FROM q GROUP BY 1, 2""".stripMargin
 
+  // ---- per-source caps (domain balancing) ---------------------------------
+
+  /** Domain caps: at most 15 docs survive per source (sf0.01 has ~25
+    * per source, so the cap binds), selected by the deterministic
+    * id-hash priority — the oracle replays the hash and the per-group
+    * rank, pinning the ENTIRE kept set and its ordering. */
+  def sourceCaps(s: SparkSession, d: String): DataFrame =
+    TrainingData.sourceCaps(docs(s, d), "doc_id", "source", cap = 15)
+
+  val sourceCapsOracle: String =
+    """WITH h AS (
+      |  SELECT source, doc_id,
+      |    ((((doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
+      |      % 1000003 AS pri
+      |  FROM documents)
+      |SELECT source, doc_id, rk, pri FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY pri, doc_id) AS INT) AS rk
+      |  FROM h)
+      |WHERE rk <= 15""".stripMargin
+
+  // ---- group-disjoint folds ------------------------------------------------
+
+  /** GroupKFold over events by user: per-fold distinct-user and event
+    * counts, plus the engine-witnessed leakage check — the fold-wise
+    * distinct-user counts must sum to the corpus total (they can only
+    * if no user appears in two folds; a row-level split would flip
+    * it). The oracle replays the group-hash fold arithmetic. */
+  def groupFoldSplit(s: SparkSession, d: String): DataFrame = {
+    val folds = TrainingData.groupFolds(
+      Tables.load(s, d, "events"), "user_id", k = 5)
+    val total = folds.agg(countDistinct("user_id")).first().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("fold").rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    folds.groupBy("fold")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"))
+      .withColumn("groups_disjoint",
+        sum(col("n_users")).over(w) === total)
+      .orderBy("fold")
+  }
+
+  val groupFoldSplitOracle: String =
+    """WITH f AS (
+      |  SELECT ((((user_id % 1000003) + 1000003) % 1000003) * 2654435761)
+      |    % 5 AS fold, user_id
+      |  FROM events)
+      |SELECT fold, COUNT(DISTINCT user_id) AS n_users,
+      |  COUNT(*) AS n_events, TRUE AS groups_disjoint
+      |FROM f GROUP BY fold ORDER BY fold""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("docs_source_caps", sourceCaps, Some(sourceCapsOracle)),
+    Q("ml_group_folds", groupFoldSplit, Some(groupFoldSplitOracle)),
     Q("text_pii_redact", piiRedact, Some(piiRedactOracle)),
     Q("text_repetition", repetition, Some(repetitionOracle)),
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),

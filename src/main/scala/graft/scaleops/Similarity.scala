@@ -191,7 +191,10 @@ object Similarity {
     * tables 1 − (1 − c^planes)^tables):
     *  - `planes` grows with the corpus, targeting `targetBucket`
     *    rows/bucket: ceil(log2(n / targetBucket)) — keeps per-table
-    *    candidate volume ≈ n·targetBucket/2, LINEAR in n;
+    *    candidate volume ≈ n·targetBucket/2, LINEAR in n — but only
+    *    while THIS rule (not the recall cap below) picks the planes:
+    *    once the cap binds, occupancy grows ∝ n and candidates are
+    *    quadratic again, which is why [[nearDupPairsAuto]] exists;
     *  - but planes is capped by what `maxTables` tables can recover
     *    at the threshold angle: recall ≥ R needs c^planes ≥
     *    1 − (1−R)^(1/maxTables), i.e. planes ≤ ln(1−(1−R)^(1/maxTables))
@@ -263,6 +266,69 @@ object Similarity {
     stampLshParams(
       nearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
         p.numPlanes, p.numTables), p)
+  }
+
+  /** Expected candidate-pair volume of an LSH config under uniform
+    * bucket occupancy: tables · n²/2^planes / 2 — each table holds
+    * 2^planes buckets of ~n/2^planes rows, each contributing
+    * occupancy²/2 pairs. The quantity the router compares against
+    * brute's n(n−1)/2. */
+  def lshPredictedCandidates(n: Long, p: LshParams): Double =
+    p.numTables.toDouble * n.toDouble * n.toDouble /
+      (1L << math.min(p.numPlanes, 62)) / 2.0
+
+  /** The router's decision rule, exposed so the gate oracle can
+    * replay it: LSH must PREDICT at least `minAdvantage`× fewer
+    * candidates than brute to justify its hashing + explode + dedup
+    * overhead (measured at the 20k-vector soak: a predicted-1.1×
+    * config ran 1.56× SLOWER than brute end-to-end). */
+  def lshWorthIt(n: Long, p: LshParams, minAdvantage: Double = 3.0): Boolean =
+    lshPredictedCandidates(n, p) * minAdvantage <= n.toDouble * (n - 1).toDouble / 2.0
+
+  /** Cost-routed near-duplicate pairs — the entry point a production
+    * caller should use when the threshold is workload-driven rather
+    * than known-high. Hyperplane LSH is NOT always a win: the
+    * [[lshDerivedParams]] recall cap binds at low thresholds (τ=0.4 →
+    * c=0.63 caps planes at 6), and with planes frozen the bucket
+    * occupancy — hence the candidate volume — grows QUADRATICALLY in
+    * n again, at 30 tables of overhead on top. Measured at the
+    * 20k-vector sf1 soak: derived LSH 1.56× SLOWER than brute at
+    * τ=0.4, but ~⅓ at τ=0.8 where the size rule (not the recall cap)
+    * picks the planes. So the router predicts both candidate volumes
+    * from (n, τ) and takes LSH only when it forecasts ≥3× fewer
+    * candidates; otherwise the exact path runs (same output, recall
+    * 1). For corpora too big for brute at a threshold too low for
+    * LSH, the right tool is the cluster-routed [[semDedupPairs]] —
+    * that trade (bounded work, sub-1 recall) is a declared policy,
+    * not a silent fallback, so it stays caller-opt-in.
+    *
+    * The returned frame carries `lsh_routed` metadata on `cos`
+    * (true = LSH path, false = brute) plus the derived params, so a
+    * consumer can PROVE which plan ran. */
+  def nearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, dim: Int,
+                       targetBucket: Long = 512L,
+                       targetRecall: Double = 0.85,
+                       minAdvantage: Double = 3.0): DataFrame = {
+    val n = emb.count()
+    val p = lshDerivedParams(n, threshold, targetBucket, targetRecall)
+    val useLsh = lshWorthIt(n, p, minAdvantage)
+    val pairs =
+      if (useLsh) nearDupPairsLsh(emb, idCol, vecCol, threshold, dim,
+        p.numPlanes, p.numTables)
+      else nearDupPairs(emb, idCol, vecCol, threshold)
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("lsh_planes", p.numPlanes.toLong)
+      .putLong("lsh_tables", p.numTables.toLong)
+      .putBoolean("lsh_routed", useLsh).build()
+    pairs.withColumn("cos", col("cos").as("cos", m))
+  }
+
+  /** The routing decision recorded by [[nearDupPairsAuto]], or None
+    * for frames from other entry points. */
+  def lshRoutedOf(df: DataFrame): Option[Boolean] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("lsh_routed")) Some(m.getBoolean("lsh_routed")) else None
   }
 
   /** [[knnLsh]] with corpus-derived sizing. k-NN has no cosine

@@ -587,4 +587,58 @@ object TrainingData {
         sum(col("n_tokens")).as("n_tokens"))
       .withColumn("starts_at_token", col("seq_id") * seqLen)
   }
+
+  // ---- per-source caps (domain balancing) ---------------------------------
+
+  /** Per-group document caps — the domain-balancing step of a corpus
+    * build (C4/RefinedWeb cap over-represented hosts so one boilerplate
+    * domain can't dominate the mixture): at most `cap` docs survive per
+    * `groupCol` value, chosen by the deterministic [[mixtureKeep]]
+    * id-hash priority instead of RNG, so the SELECTION (not just its
+    * size) is reproducible, repartition-stable, and SQL-replayable.
+    *
+    * 100 TB shape: a single per-group rank window would sort entire
+    * mega-groups (a hot domain can hold billions of rows) just to keep
+    * `cap` of them. Instead the classic two-phase top-k-per-group: a
+    * first window partitioned by (group, priority-derived bucket)
+    * keeps each bucket's local top-`cap` — an exact SUPERSET of the
+    * global top-`cap`, since any globally-kept row is also in its own
+    * bucket's top-`cap` — then the real rank runs over ≤ buckets·cap
+    * rows per group. Both windows are partitioned; no global sort at
+    * any scale. */
+  def sourceCaps(docs: DataFrame, idCol: String, groupCol: String,
+                 cap: Int, buckets: Int = 32): DataFrame = {
+    require(cap >= 1, s"cap=$cap must be >= 1")
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val m = 1000003L
+    val w = org.apache.spark.sql.expressions.Window
+    val local = w.partitionBy(col(groupCol), col("_bkt"))
+      .orderBy(col("pri"), col(idCol))
+    val global = w.partitionBy(groupCol).orderBy(col("pri"), col(idCol))
+    docs.select(col(groupCol), col(idCol))
+      .withColumn("pri", pmod(pmod(col(idCol), lit(m)) * mixPrime, lit(m)))
+      .withColumn("_bkt", pmod(col("pri"), lit(buckets.toLong)))
+      .withColumn("_lrk", row_number().over(local))
+      .filter(col("_lrk") <= cap)
+      .withColumn("rk", row_number().over(global).cast("int"))
+      .filter(col("rk") <= cap)
+      .select(col(groupCol), col(idCol), col("rk"), col("pri"))
+  }
+
+  // ---- group-disjoint folds (leakage-safe splits) --------------------------
+
+  /** Group-disjoint k-fold assignment (sklearn's GroupKFold semantics,
+    * deterministically): the fold is the [[mixtureKeep]] id-hash of the
+    * GROUP key, so every row of a group lands in the same fold — the
+    * leakage-safe split for grouped data (all events of a user, all
+    * chunks of a doc — a random row split would leak a group across
+    * train/test). Pure map-side arithmetic: no shuffle, no state, and
+    * a row arriving tomorrow for a known group joins its fold forever
+    * (the property an RNG split can't give). */
+  def groupFolds(df: DataFrame, groupCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    df.withColumn("fold",
+      pmod(pmod(col(groupCol).cast("long"), lit(1000003L)) * mixPrime,
+        lit(k.toLong)).cast("int"))
+  }
 }

@@ -158,6 +158,54 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Set(0L))
   }
 
+  test("pagerank: two-node graph stays at exactly 0.5 each (both paths)") {
+    // a-b symmetric: init 1/2 = 0.5; every round 0.15/2 + 0.85·0.5 =
+    // 0.5 exactly — any drift means the damping combine is wrong
+    for (limit <- Seq(2000000L, 0L)) {
+      val got = graft.operators.PageRank
+        .pagerank(Seq((1L, 2L)).toDF("a", "b"), "a", "b", iters = 5,
+          smallGraphEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == Map(1L -> 0.5, 2L -> 0.5), s"limit=$limit")
+    }
+  }
+
+  test("pagerank: star center outranks leaves, mass sums to ~1") {
+    // K1,3 star: by symmetry the three leaves tie; the center, fed by
+    // all of them, must outrank each
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val got = graft.operators.PageRank.pagerank(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == 4)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(0L) > got(1L))
+    val mass = got.values.sum
+    assert(math.abs(mass - 1.0) < 1e-6, s"mass=$mass")
+  }
+
+  test("pagerank: driver and distributed paths agree bit-for-bit") {
+    // the size-adaptive split is only sound if the small-graph loop
+    // reproduces the distributed arithmetic EXACTLY (string-route
+    // 9-dp rounding, exact decimal contribution sums, double combine)
+    val edges = (0L until 40L).map(i => (i, (i * 7 + 3) % 40)).toDF("a", "b")
+    val small = graft.operators.PageRank.pagerank(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = graft.operators.PageRank
+      .pagerank(edges, "a", "b", smallGraphEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(small == dist)
+    // and the distributed path is deterministic under repartitioning
+    val again = graft.operators.PageRank
+      .pagerank(edges.repartition(13), "a", "b", smallGraphEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dist == again)
+  }
+
+  test("pagerank: empty edge list returns empty, no NPE") {
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(graft.operators.PageRank.pagerank(edges, "a", "b").isEmpty)
+  }
+
   test("bloom-pruned join equals plain join (false positives killed)") {
     val probe = (1 to 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
     val build = Seq(3L, 500L, 999L, 5000L).toDF("bk")

@@ -173,6 +173,38 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.lshParamsOf(static).isEmpty)
   }
 
+  test("cost router: refuses LSH at low tau, takes it when prediction wins") {
+    import Similarity.{lshDerivedParams, lshPredictedCandidates, lshWorthIt}
+    // τ=0.4: the recall cap freezes planes at 6 — candidates grow
+    // quadratically, the predicted advantage never reaches 3×, and
+    // the sf1 soak MEASURED derived-LSH at 1.56× brute wall-time:
+    // the router must refuse the LSH path at every corpus size
+    for (n <- Seq(500L, 2000L, 20000L, 2000000L))
+      assert(!lshWorthIt(n, lshDerivedParams(n, 0.4)), s"n=$n")
+    // τ=0.8: the size rule picks the planes, candidates stay ~linear,
+    // and the advantage grows with n — LSH wins from ~20k vectors on
+    assert(lshWorthIt(20000L, lshDerivedParams(20000L, 0.8)))
+    assert(lshWorthIt(2000000L, lshDerivedParams(2000000L, 0.8)))
+    // prediction arithmetic itself: tables·n²/2^planes/2
+    assert(lshPredictedCandidates(1000L, Similarity.LshParams(3, 4)) ==
+      4.0 * 1000.0 * 1000.0 / 8.0 / 2.0)
+  }
+
+  test("nearDupPairsAuto: brute-routed output identical to exact twin") {
+    val rnd = new scala.util.Random(7L)
+    val emb = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.nearDupPairsAuto(emb, "vec_id", "embedding",
+      threshold = 0.4, dim = 8)
+    // small corpus at low τ: router must pick brute and the output
+    // must be the exact pair set bit-for-bit
+    assert(Similarity.lshRoutedOf(auto).contains(false))
+    assert(Similarity.lshParamsOf(auto)
+      .contains(Similarity.lshDerivedParams(60L, 0.4)))
+    val exact = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
+    assert(auto.except(exact).isEmpty && exact.except(auto).isEmpty)
+  }
+
   test("sq8: encode/intdot round-trip approximates the float dot") {
     val df = Seq((Array(0.5f, -1.25f, 3.0f, 0.0f), Array(2.0f, 0.75f, -0.5f, 1.0f)))
       .toDF("a", "b")

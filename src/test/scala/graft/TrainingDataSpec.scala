@@ -328,4 +328,45 @@ class TrainingDataSpec extends SparkSpec {
     TrainingData.psiCategorical(same, "bin", col("is_ref"))
       .collect().foreach(r => assert(r.getDouble(5) == 0.0))
   }
+
+  test("source caps: two-phase top-k equals the brute hash ranking") {
+    import spark.implicits._
+    // 30 docs in g1 (cap binds), 3 in g2 (cap doesn't)
+    val docs = ((0L until 30L).map(i => (i, "g1")) ++
+      (100L until 103L).map(i => (i, "g2"))).toDF("doc_id", "source")
+    val got = TrainingData.sourceCaps(docs, "doc_id", "source", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // brute expectation: same hash, full sort per group in Scala
+    def pri(id: Long): Long =
+      (Math.floorMod(id, 1000003L) * TrainingData.mixPrime) % 1000003L
+    val expected =
+      ((0L until 30L).sortBy(id => (pri(id), id)).take(5).zipWithIndex
+        .map { case (id, i) => ("g1", id, i + 1) } ++
+       (100L until 103L).sortBy(id => (pri(id), id)).zipWithIndex
+        .map { case (id, i) => ("g2", id, i + 1) }).toSet
+    assert(got == expected)
+    // repartition-stable: the kept SET is a pure function of ids
+    val re = TrainingData.sourceCaps(docs.repartition(7), "doc_id",
+      "source", cap = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(re == expected)
+    // fewer buckets than cap still exact (bucket-local top-cap is a
+    // superset of the global top-cap for ANY bucket count)
+    val few = TrainingData.sourceCaps(docs, "doc_id", "source", cap = 5,
+      buckets = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(few == expected)
+  }
+
+  test("group folds: every group lands in exactly one fold") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => (i % 37L, i)).toDF("grp", "x")
+    val folds = TrainingData.groupFolds(rows, "grp", k = 5)
+    val perGroup = folds.groupBy("grp")
+      .agg(countDistinct("fold").as("nf")).collect()
+    assert(perGroup.forall(_.getLong(1) == 1L))
+    val fs = folds.select("fold").distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(fs.subsetOf((0 until 5).toSet) && fs.size > 1)
+  }
 }
