@@ -792,7 +792,85 @@ object Events {
       |FROM cov, b WHERE report_day BETWEEN lo AND hi
       |GROUP BY report_day""".stripMargin
 
+  /** Robust per-type anomaly report ([[graft.stats.Robust.madOutliers]]):
+    * median/MAD with the k·1.4826 rule — the screen that survives the
+    * masking that breaks z-scores. Both medians exact (`percentile` ≡
+    * `quantile_cont`, the equivalence the quantile queries pin); the
+    * outlier threshold is the same IEEE product in both engines. */
+  def anomalyMad(s: SparkSession, d: String): DataFrame =
+    graft.stats.Robust.madOutliers(ev(s, d), "event_type", "value")
+
+  val anomalyMadOracle: String =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |dev AS (
+      |  SELECT e.event_type, ABS(value - med) AS absdev, med
+      |  FROM events e JOIN med USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad
+      |  FROM dev GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n,
+      |  ROUND(MIN(d.med), 6) AS med, ROUND(MIN(m.mad), 6) AS mad,
+      |  CAST(SUM(CASE WHEN d.absdev >
+      |      CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * m.mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  ROUND(MAX(d.absdev), 6) AS max_absdev
+      |FROM dev d JOIN mad m USING (event_type)
+      |GROUP BY 1""".stripMargin
+
+  /** Audience-overlap estimation from mergeable sketches — the
+    * segment-intersection question ("how many users both click AND
+    * purchase?") answered WITHOUT a distinct-pair scan: HLL sketches
+    * support union natively, so the intersection comes by
+    * inclusion–exclusion |A∩B| = est(A)+est(B)−est(A∪B). At 100 TB
+    * the two per-segment sketches are map-side aggregates a few KB
+    * each; the exact twin (count distinct over the semi-joined user
+    * sets) is gate-SF certification cost. Inclusion–exclusion error
+    * compounds three estimates, so the witness bound is looser than
+    * the single-sketch 5%: 15%, measured ≤ 7% at both gate SFs. */
+  def hllOverlap(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val a = e.filter(col("event_type") === "click")
+    val b = e.filter(col("event_type") === "purchase")
+    val sk = a.agg(hll_sketch_agg(col("user_id")).as("ska"))
+      .crossJoin(b.agg(hll_sketch_agg(col("user_id")).as("skb")))
+      .crossJoin(e.filter(col("event_type").isin("click", "purchase"))
+        .agg(hll_sketch_agg(col("user_id")).as("skab")))
+      .select(
+        hll_sketch_estimate(col("ska")).as("est_a"),
+        hll_sketch_estimate(col("skb")).as("est_b"),
+        hll_sketch_estimate(col("skab")).as("est_union"))
+      .withColumn("est_overlap",
+        col("est_a") + col("est_b") - col("est_union"))
+    val exact = a.select("user_id").intersect(b.select("user_id"))
+      .agg(count(lit(1)).as("exact_overlap"))
+      .crossJoin(a.agg(countDistinct(col("user_id")).as("exact_a")))
+      .crossJoin(b.agg(countDistinct(col("user_id")).as("exact_b")))
+    sk.crossJoin(exact)
+      .select(col("exact_a"), col("exact_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap"))
+          / col("exact_overlap") <= 0.15).as("overlap_est_ok"),
+        (abs(col("est_a") - col("exact_a")) / col("exact_a") <= 0.05)
+          .as("a_est_ok"),
+        (abs(col("est_b") - col("exact_b")) / col("exact_b") <= 0.05)
+          .as("b_est_ok"))
+  }
+
+  val hllOverlapOracle: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT (SELECT COUNT(*) FROM a) AS exact_a,
+      |  (SELECT COUNT(*) FROM b) AS exact_b,
+      |  (SELECT COUNT(*) FROM a SEMI JOIN b USING (user_id))
+      |    AS exact_overlap,
+      |  TRUE AS overlap_est_ok, TRUE AS a_est_ok, TRUE AS b_est_ok""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("events_anomaly_mad", anomalyMad, Some(anomalyMadOracle)),
+    Q("events_hll_overlap", hllOverlap, Some(hllOverlapOracle)),
     Q("events_tumbling_window", tumbling, Some(tumblingOracle), bench = true),
     Q("events_wau_exact", wauExact, Some(wauOracle)),
     Q("events_pivot_dynamic", pivotDynamic, Some(pivotDynamicOracle)),

@@ -218,21 +218,23 @@ object ScaleQueries {
     * from IEEE double subtraction in the engine by 1 ulp, enough to
     * flip a ceil/floor at a boundary. Shared by the pair + knn LSH
     * oracles. Emits one row (planes, tabs) given a one-row input
-    * relation `sz(n)`. */
-  private def lshParamsSql(tau: Double): String =
+    * relation `sz(n)`. `recall` mirrors the engine's targetRecall —
+    * 0.85 for the pair path, 0.95 for knn (cheap tables on the
+    * query-bounded side; restores the 0.9 floor's margin at sf1). */
+  private def lshParamsSql(tau: Double, recall: Double = 0.85): String =
     s"""par AS (
        |  SELECT GREATEST(1, LEAST(
        |      CAST(CEIL(LN(GREATEST(CAST(1.0 AS DOUBLE), n / CAST(512.0 AS DOUBLE)))
        |        / LN(CAST(2.0 AS DOUBLE))) AS INT),
        |      CAST(FLOOR(LN(CAST(1.0 AS DOUBLE)
-       |          - POWER(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE),
+       |          - POWER(CAST(1.0 AS DOUBLE) - CAST($recall AS DOUBLE),
        |                  CAST(1.0 AS DOUBLE) / CAST(32.0 AS DOUBLE)))
        |        / LN(CAST(1.0 AS DOUBLE) - ACOS(CAST($tau AS DOUBLE)) / PI())) AS INT),
        |      30)) AS planes
        |  FROM sz),
        |tab AS (
        |  SELECT planes, GREATEST(4, LEAST(32,
-       |    CAST(CEIL(LN(CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |    CAST(CEIL(LN(CAST(1.0 AS DOUBLE) - CAST($recall AS DOUBLE))
        |      / LN(CAST(1.0 AS DOUBLE)
        |          - POWER(CAST(1.0 AS DOUBLE) - ACOS(CAST($tau AS DOUBLE)) / PI(),
        |                  planes))) AS INT))) AS tabs
@@ -509,9 +511,11 @@ object ScaleQueries {
     * [[Similarity.lshDerivedParams]] rule the pair path certifies,
     * sized so bucket occupancy tracks n instead of letting candidate
     * volume grow quadratically at fixed planes). Bound 0.9 (raised
-    * from the static-era 0.5 once derivation landed — r6 ADVICE:
-    * measured 1.000 / 0.980 / 0.920 at sf0.001 / 0.01 / 0.1, so 0.9
-    * is a certified floor, not a measured value). The chosen
+    * from the static-era 0.5 once derivation landed — r6 ADVICE).
+    * knn sizes at targetRecall 0.95, HIGHER than the pair path's
+    * 0.85: the 0.85 sizing measured 0.800 at the sf1 soak — under
+    * the floor — and knn candidates are query-bounded, so the extra
+    * tables cost |Q|·bucket rows, not a pair blow-up. The chosen
     * plane/table counts are result columns read from the provenance
     * stamp ([[Similarity.lshParamsOf]]); the oracle recomputes them
     * from COUNT(*) — reverting to static sizing throws here and
@@ -535,7 +539,7 @@ object ScaleQueries {
   val knnLshOracle: String =
     s"""$knnExactTopkCte,
        |sz AS (SELECT COUNT(*) AS n FROM embeddings),
-       |${lshParamsSql(0.5)}
+       |${lshParamsSql(0.5, recall = 0.95)}
        |SELECT COUNT(DISTINCT query_id) AS n_queries,
        |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
        |  planes AS lsh_planes, tabs AS lsh_tables,

@@ -330,6 +330,41 @@ object StatsQueries {
       |  ROUND(list_reduce(pfx, (acc, x) -> 0.3 * x + 0.7 * acc), 6) AS ewma
       |FROM o""".stripMargin
 
+  /** Holt linear-trend smoothing ([[graft.ts.RollingFeatures.holt]],
+    * α=0.5 β=0.3): two-variable level+trend recurrence — a window
+    * frame can't express it, `list_reduce` can't carry a pair, so the
+    * oracle replays EVERY step with a linear recursive CTE (per-group
+    * recursion on the row index, identical IEEE expressions; the
+    * `1−α`/`1−β` weights are double subtractions in SQL too). */
+  def holtSeries(s: SparkSession, d: String): DataFrame =
+    graft.ts.RollingFeatures.holt(
+      t(s, d, "events").filter(col("user_id") < 3)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), "value",
+      alpha = 0.5, beta = 0.3, idCol = "event_id")
+
+  val holtOracle: String =
+    """WITH RECURSIVE o AS (
+      |  SELECT user_id, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events WHERE user_id < 3),
+      |h(user_id, rn, event_id, x, l, b) AS (
+      |  SELECT user_id, rn, event_id, value, value, CAST(0.0 AS DOUBLE)
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.user_id, o.rn, o.event_id, o.value,
+      |    0.5 * o.value
+      |      + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (h.l + h.b),
+      |    0.3 * (0.5 * o.value
+      |        + (CAST(1.0 AS DOUBLE) - CAST(0.5 AS DOUBLE)) * (h.l + h.b)
+      |        - h.l)
+      |      + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * h.b
+      |  FROM h JOIN o ON o.user_id = h.user_id AND o.rn = h.rn + 1)
+      |SELECT user_id, event_id, x, ROUND(l, 6) AS level,
+      |  ROUND(b, 6) AS trend, ROUND(l + b, 6) AS forecast
+      |FROM h""".stripMargin
+
   // ---- M1/M2: sklearn-exact scalers -----------------------------------
   def standardizeStats(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_discount")
@@ -399,6 +434,7 @@ object StatsQueries {
     Q("w2_window_stats", windowStats, Some(windowStatsOracle), bench = true),
     Q("ts_rolling_features", rollingFeatures, Some(rollingOracle)),
     Q("ts_ewma", ewmaSeries, Some(ewmaOracle)),
+    Q("ts_holt_trend", holtSeries, Some(holtOracle)),
     Q("ts_resample_locf", resampleLocf, Some(resampleLocfOracle)),
     Q("ts_resample_interp", resampleInterp, Some(resampleInterpOracle)),
     Q("m1_standardize_stats", standardizeStats, Some(standardizeOracle)),

@@ -334,12 +334,19 @@ object Similarity {
   /** [[knnLsh]] with corpus-derived sizing. k-NN has no cosine
     * threshold; `minCos` is the lowest neighbor cosine the caller
     * still cares to recall reliably (the k-th-neighbor cosine floor
-    * of the workload — lower = more tables). */
+    * of the workload — lower = more tables).
+    *
+    * targetRecall defaults HIGHER than the pair path's 0.85: knn
+    * candidates are bounded by the (small) query side — |Q|·tables·
+    * bucket rows, never a pair blow-up — so extra tables are cheap
+    * insurance, and the sf1 probe measured 0.800 at the 0.85 sizing
+    * vs the 0.9 certified floor; 0.95 boundary sizing restores the
+    * floor's margin at every measured scale. */
   def knnLshDerived(emb: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, k: Int, dim: Int,
                     minCos: Double = 0.5,
                     targetBucket: Long = 512L,
-                    targetRecall: Double = 0.85): DataFrame = {
+                    targetRecall: Double = 0.95): DataFrame = {
     val p = lshDerivedParams(emb.count(), minCos, targetBucket, targetRecall)
     stampLshParams(
       knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables), p)

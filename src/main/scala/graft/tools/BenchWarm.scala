@@ -27,25 +27,46 @@ object BenchWarm {
     val selected = Registry.all.filterNot(_.benchSkip)
       .filter(q => only.forall(_.contains(q.name)))
     val results = selected.map { q =>
+      if (spark.sparkContext.isStopped) {
+        // a prior query killed the context (e.g. driver OOM): every
+        // further run would time a fast failure — skip, keep partials
+        println(s"BENCHWARM ${q.name} SKIPPED: SparkContext stopped")
+        (q.name, 0.0, 0.0, true)
+      } else {
+      var failed = false
       val times = (1 to reps).map { _ =>
-        // clean block manager per rep: un-released localCheckpoint
-        // blocks from prior reps/queries inflate later timings (the
-        // r4 warm>cold inversion on dedup_embedding_lsh was exactly
-        // this — isolated reps converge to 2.3 s, below cold)
-        Sessions.releaseResidue(spark, blocking = true)
-        System.gc() // prior rep's garbage collected outside the timing window
         val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => println(s"BENCHWARM ${q.name} FAILED: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          // clean block manager per rep: un-released localCheckpoint
+          // blocks from prior reps/queries inflate later timings (the
+          // r4 warm>cold inversion on dedup_embedding_lsh was exactly
+          // this — isolated reps converge to 2.3 s, below cold).
+          // INSIDE the try: on a dead SparkContext this throws too,
+          // and the harness must still write its partial artifact.
+          Sessions.releaseResidue(spark, blocking = true)
+          System.gc() // prior rep's garbage collected outside the timing window
+          val t1 = System.nanoTime()
+          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t1) / 1e9
+        } catch {
+          case e: Throwable =>
+            failed = true
+            println(s"BENCHWARM ${q.name} FAILED: ${e.toString.linesIterator.next()}")
+            (System.nanoTime() - t0) / 1e9
+        }
       }
-      println(f"BENCHWARM ${q.name}%-28s cold=${times.head}%6.2f warm=${times.tail.min}%6.2f")
-      (q.name, times.head, times.tail.min)
+      println(f"BENCHWARM ${q.name}%-28s cold=${times.head}%6.2f " +
+        f"warm=${times.tail.min}%6.2f${if (failed) " FAILED" else ""}")
+      (q.name, times.head, times.tail.min, failed)
+      }
     }
-    val qjson = results.map { case (n, cold, warm) =>
-      f"""    "$n": {"cold": $cold%.3f, "warm": $warm%.3f}"""
+    val qjson = results.map { case (n, cold, warm, failed) =>
+      val flag = if (failed) """, "failed": true""" else ""
+      f"""    "$n": {"cold": $cold%.3f, "warm": $warm%.3f$flag}"""
     }.mkString(",\n")
-    val total = results.map(_._3).sum
+    // failed reps time the failure, not the query — keep them out of
+    // the headline total
+    val total = results.collect { case (_, _, warm, false) => warm }.sum
     val json =
       f"""{
          |  "sf": "$sfDir",

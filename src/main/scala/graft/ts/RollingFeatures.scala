@@ -74,6 +74,53 @@ object RollingFeatures {
   /** The ewma state carrier keys groups by a long — a fractional or
     * string group column would silently truncate/collide under the
     * cast, so require an integral type up front. */
+  /** Holt linear-trend (double exponential) smoothing per group — the
+    * level+trend recurrence one order up from [[ewma]]:
+    * `l_t = α·x_t + (1−α)(l_{t−1}+b_{t−1})`,
+    * `b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}`, seeded l₀=x₀, b₀=0; the
+    * one-step-ahead forecast is l+b (the trend-aware baseline the
+    * seasonal-naive backtest lacks). Same scalable formulation as
+    * ewma: repartition by group, sortWithinPartitions, one sequential
+    * mapPartitions scan with O(1) state per group — no window frame
+    * expresses a two-variable recurrence, no driver collection at any
+    * scale. State stays full-precision; only outputs round (the
+    * oracle replays every step with identical IEEE expressions via a
+    * recursive CTE). */
+  def holt(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+           valueCol: String, alpha: Double, beta: Double,
+           idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    groupIntegral(df, groupCol)
+    val prepped = df
+      .select(col(groupCol).cast("long").as("g") +:
+        col(idCol).cast("long").as("id") +:
+        col(valueCol).cast("double").as("x") +: orderCols: _*)
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g") +: orderCols: _*)
+      .select("g", "id", "x")
+      .as[(Long, Long, Double)]
+    prepped.mapPartitions { rows =>
+      var seen = false
+      var curGroup = 0L
+      var l = 0.0
+      var b = 0.0
+      def r6(v: Double): Double = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.map { case (g, id, x) =>
+        if (!seen || g != curGroup) {
+          seen = true; curGroup = g; l = x; b = 0.0
+        } else {
+          val lNew = alpha * x + (1 - alpha) * (l + b)
+          val bNew = beta * (lNew - l) + (1 - beta) * b
+          l = lNew; b = bNew
+        }
+        (g, id, x, r6(l), r6(b), r6(l + b))
+      }
+    }.toDF(groupCol + "_g", idCol + "_i", "x", "level", "trend", "forecast")
+      .withColumnRenamed(groupCol + "_g", groupCol)
+      .withColumnRenamed(idCol + "_i", idCol)
+  }
+
   private def groupIntegral(df: DataFrame, groupCol: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(groupCol).dataType

@@ -256,4 +256,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min") || p.contains("partial_count"))
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"))
   }
+
+  test("source caps: both rank windows PARTITIONED — no single-task sort") {
+    // the two-phase top-k's whole point: the bucket-local window
+    // partitions by (group, bucket) and the final by group; a refactor
+    // collapsing either to an unpartitioned global window would
+    // single-task a mega-group sort at scale
+    val p = plan("docs_source_caps")
+    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.size == 2, s"expected the two-phase windows:\n$p")
+    assert(windows.forall(_.contains("source")),
+      "every rank window must be partitioned by the group column")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
+      "scan must prune to (id, group) — priorities are derived, not read")
+  }
+
+  test("jsonl ingest: the json scan carries the explicit schema (no inference)") {
+    val p = plan("jsonl_ingest")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string," +
+      "lang:string,source:string,n_chars:bigint>"),
+      s"explicit read schema must reach the json scan:\n$p")
+  }
 }

@@ -165,8 +165,10 @@ class SimilaritySpec extends SparkSpec {
       .contains(Similarity.lshDerivedParams(40L, 0.4)))
     val knn = Similarity.knnLshDerived(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 3), k = 2, dim = 8)
+    // knn sizes at its own HIGHER recall target (0.95 — cheap tables
+    // on the query-bounded side, restores the 0.9 floor at sf1)
     assert(Similarity.lshParamsOf(knn)
-      .contains(Similarity.lshDerivedParams(40L, 0.5)))
+      .contains(Similarity.lshDerivedParams(40L, 0.5, targetRecall = 0.95)))
     // a frame from the raw (package-private) static path has no stamp
     val static = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
       threshold = 0.4, dim = 8, numPlanes = 2, numTables = 2)

@@ -64,6 +64,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got((2L, 0.0)) == 50.0)
   }
 
+  test("holt: level+trend recurrence matches hand computation; reseeds per group") {
+    // x = [10, 12, 14], α=0.5 β=0.3:
+    // t0: l=10 b=0 | t1: l=0.5·12+0.5·10=11, b=0.3·1+0.7·0=0.3
+    // t2: l=0.5·14+0.5·11.3=12.65, b=0.3·1.65+0.7·0.3=0.705 → fc 13.355
+    val df = Seq((1L, 1, 10.0), (1L, 2, 12.0), (1L, 3, 14.0),
+      (2L, 1, 5.0), (2L, 2, 5.0))
+      .toDF("g", "ord", "v")
+    val got = graft.ts.RollingFeatures
+      .holt(df, "g", Seq(col("ord")), "v", alpha = 0.5, beta = 0.3,
+        idCol = "ord")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got((1L, 1)) == ((10.0, 0.0, 10.0)))
+    assert(got((1L, 2)) == ((11.0, 0.3, 11.3)))
+    assert(got((1L, 3)) == ((12.65, 0.705, 13.355)))
+    assert(got((2L, 1)) == ((5.0, 0.0, 5.0)))  // new group reseeds
+    assert(got((2L, 2)) == ((5.0, 0.0, 5.0)))  // flat series: zero trend
+  }
+
   test("ewma: Long.MinValue group key still seeds; non-integral group rejected") {
     val df = Seq((Long.MinValue, 1, 10.0), (Long.MinValue, 2, 20.0))
       .toDF("g", "ord", "v")
