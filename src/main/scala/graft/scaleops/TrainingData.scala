@@ -597,30 +597,26 @@ object TrainingData {
     * id-hash priority instead of RNG, so the SELECTION (not just its
     * size) is reproducible, repartition-stable, and SQL-replayable.
     *
-    * 100 TB shape: a single per-group rank window would sort entire
-    * mega-groups (a hot domain can hold billions of rows) just to keep
-    * `cap` of them. Instead the classic two-phase top-k-per-group: a
-    * first window partitioned by (group, priority-derived bucket)
-    * keeps each bucket's local top-`cap` — an exact SUPERSET of the
-    * global top-`cap`, since any globally-kept row is also in its own
-    * bucket's top-`cap` — then the real rank runs over ≤ buckets·cap
-    * rows per group. Both windows are partitioned; no global sort at
-    * any scale. */
+    * 100 TB shape: ONE rank window, and Catalyst's rank-limit pushdown
+    * (SPARK-37099 `WindowGroupLimit`) turns the `row_number ≤ cap`
+    * filter into a MAP-SIDE partial top-`cap` per group before the
+    * exchange — each input partition forwards at most `cap` rows per
+    * group, so a billion-row hot domain never materializes through
+    * the shuffle. A hand-rolled two-phase (bucket-local top-k, then
+    * global) re-implements exactly this with a second exchange on
+    * top — measured plan: the built-in is one Exchange, the manual
+    * form two. PlanSpec pins the partial `WindowGroupLimit` so a
+    * refactor that breaks pushdown eligibility (e.g. `rank` over a
+    * non-prefix filter) fails loudly. */
   def sourceCaps(docs: DataFrame, idCol: String, groupCol: String,
-                 cap: Int, buckets: Int = 32): DataFrame = {
+                 cap: Int): DataFrame = {
     require(cap >= 1, s"cap=$cap must be >= 1")
-    require(buckets >= 1, s"buckets=$buckets must be >= 1")
     val m = 1000003L
     val w = org.apache.spark.sql.expressions.Window
-    val local = w.partitionBy(col(groupCol), col("_bkt"))
-      .orderBy(col("pri"), col(idCol))
-    val global = w.partitionBy(groupCol).orderBy(col("pri"), col(idCol))
+      .partitionBy(groupCol).orderBy(col("pri"), col(idCol))
     docs.select(col(groupCol), col(idCol))
       .withColumn("pri", pmod(pmod(col(idCol), lit(m)) * mixPrime, lit(m)))
-      .withColumn("_bkt", pmod(col("pri"), lit(buckets.toLong)))
-      .withColumn("_lrk", row_number().over(local))
-      .filter(col("_lrk") <= cap)
-      .withColumn("rk", row_number().over(global).cast("int"))
+      .withColumn("rk", row_number().over(w).cast("int"))
       .filter(col("rk") <= cap)
       .select(col(groupCol), col(idCol), col("rk"), col("pri"))
   }

@@ -257,16 +257,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_suppkey:bigint>"))
   }
 
-  test("source caps: both rank windows PARTITIONED — no single-task sort") {
-    // the two-phase top-k's whole point: the bucket-local window
-    // partitions by (group, bucket) and the final by group; a refactor
-    // collapsing either to an unpartitioned global window would
-    // single-task a mega-group sort at scale
+  test("source caps: rank-limit pushdown prunes map-side, one exchange") {
+    // the scale contract: Catalyst's WindowGroupLimit (SPARK-37099)
+    // must turn `row_number <= cap` into a partial per-group top-cap
+    // BEFORE the exchange, so a mega-group never materializes through
+    // the shuffle; a refactor that breaks pushdown eligibility (rank
+    // over a non-prefix filter, an extra sort key after the filter)
+    // fails here
     val p = plan("docs_source_caps")
-    val windows = p.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.size == 2, s"expected the two-phase windows:\n$p")
-    assert(windows.forall(_.contains("source")),
-      "every rank window must be partitioned by the group column")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      "one group-keyed exchange only")
     assert(p.contains("ReadSchema: struct<doc_id:bigint,source:string>"),
       "scan must prune to (id, group) — priorities are derived, not read")
   }

@@ -329,7 +329,7 @@ class TrainingDataSpec extends SparkSpec {
       .collect().foreach(r => assert(r.getDouble(5) == 0.0))
   }
 
-  test("source caps: two-phase top-k equals the brute hash ranking") {
+  test("source caps: kept set equals the brute hash ranking") {
     import spark.implicits._
     // 30 docs in g1 (cap binds), 3 in g2 (cap doesn't)
     val docs = ((0L until 30L).map(i => (i, "g1")) ++
@@ -350,12 +350,6 @@ class TrainingDataSpec extends SparkSpec {
       "source", cap = 5)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     assert(re == expected)
-    // fewer buckets than cap still exact (bucket-local top-cap is a
-    // superset of the global top-cap for ANY bucket count)
-    val few = TrainingData.sourceCaps(docs, "doc_id", "source", cap = 5,
-      buckets = 2)
-      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
-    assert(few == expected)
   }
 
   test("group folds: every group lands in exactly one fold") {
