@@ -1,0 +1,129 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.scaleops.Retrieval
+import graft.sources.Tables
+import graft.stats.EvalMetrics
+import QUtil._
+
+/** Ranked-retrieval, corpus-drift and signal-detection queries:
+  * BM25 document ranking, RAKE keyword extraction, per-source KL
+  * divergence, exact ROC-AUC, and two-sided CUSUM changepoints.
+  * Every row is oracle-checked — the score arithmetic is restated
+  * in DuckDB SQL term for term. */
+object SignalQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  // ---- BM25 ranked retrieval ------------------------------------------
+  private val bmTerms = Seq("spark", "join", "hash")
+
+  def bm25Rank(s: SparkSession, d: String): DataFrame =
+    Retrieval.bm25(t(s, d, "documents"), "doc_id", "text", bmTerms)
+
+  val bm25Oracle: String =
+    Retrieval.bm25OracleSql("documents", "doc_id", "text", bmTerms)
+
+  // ---- RAKE keywords ---------------------------------------------------
+  private val rakeStops = Seq("a", "the")
+
+  def rakeKeywords(s: SparkSession, d: String): DataFrame =
+    Retrieval.rakeKeywords(t(s, d, "documents"), "doc_id", "text",
+      rakeStops, topK = 3, docFilter = col("doc_id") < 20)
+
+  val rakeOracle: String =
+    Retrieval.rakeOracleSql("documents", "doc_id", "text", rakeStops,
+      topK = 3, docFilterSql = "doc_id < 20")
+
+  // ---- per-source KL divergence ---------------------------------------
+  def sourceDivergence(s: SparkSession, d: String): DataFrame =
+    Retrieval.sourceDivergence(t(s, d, "documents"), "source", "text")
+
+  val sourceDivergenceOracle: String =
+    Retrieval.sourceDivergenceOracleSql("documents", "source", "text")
+
+  // ---- exact ROC-AUC over the deterministic groupwise-mean scorer -----
+  /** Same decimal-exact predictor as `d7_eval_metrics` (so both
+    * engines score identically), label = quantity < 25; AUC via the
+    * integer Mann–Whitney identity. Score cardinality = the group
+    * count (≤ 9), honoring rocAuc's distinct-score contract. */
+  def rocAuc(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val pred = li.groupBy("l_returnflag", "l_linestatus")
+      .agg((sum(dec4(col("l_quantity"))).cast("double") / count(lit(1))).as("pred"))
+    val joined = li.join(broadcast(pred), Seq("l_returnflag", "l_linestatus"))
+    EvalMetrics.rocAuc(joined, col("pred"),
+      when(col("l_quantity") < 25.0, 1).otherwise(0))
+  }
+
+  val rocAucOracle: String =
+    """WITH p AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS pred
+      |  FROM lineitem GROUP BY 1, 2),
+      |j AS (
+      |  SELECT pred AS s,
+      |    CASE WHEN l_quantity < 25.0 THEN 1 ELSE 0 END AS y
+      |  FROM lineitem JOIN p USING (l_returnflag, l_linestatus)),
+      |g AS (
+      |  SELECT s, CAST(SUM(y) AS BIGINT) AS pos_eq,
+      |    CAST(SUM(1 - y) AS BIGINT) AS neg_eq
+      |  FROM j GROUP BY s),
+      |c AS (
+      |  SELECT s, pos_eq, neg_eq,
+      |    COALESCE(CAST(SUM(neg_eq) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS neg_lt
+      |  FROM g)
+      |SELECT CAST(SUM(pos_eq) AS BIGINT) AS n_pos,
+      |  CAST(SUM(neg_eq) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(pos_eq * (2 * neg_lt + neg_eq)) AS DOUBLE)
+      |    / (2.0 * SUM(pos_eq) * SUM(neg_eq)), 6) AS auc
+      |FROM c""".stripMargin
+
+  // ---- two-sided CUSUM changepoints -----------------------------------
+  private val cusumSlack = 5.0
+  private val cusumThreshold = 50.0
+  private val cusumFilter = "user_id < 3 AND value IS NOT NULL"
+
+  def cusumChanges(s: SparkSession, d: String): DataFrame =
+    graft.ts.RollingFeatures.cusum(
+      t(s, d, "events")
+        .filter(col("user_id") < 3 && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), "value",
+      slack = cusumSlack, threshold = cusumThreshold, idCol = "event_id")
+
+  val cusumOracle: String = graft.ts.RollingFeatures.cusumOracleSql(
+    "events", "user_id", "value", cusumSlack, cusumThreshold, cusumFilter)
+
+  // ---- BPE tokenizer training -----------------------------------------
+  private val bpeMerges = 6
+
+  def bpeTrainMerges(s: SparkSession, d: String): DataFrame =
+    graft.scaleops.BpeTrain.train(t(s, d, "documents"), "text", bpeMerges)._1
+
+  val bpeTrainOracle: String = graft.scaleops.BpeTrain.oracleSql(
+    "documents", "text", bpeMerges,
+    "SELECT CAST(rank AS INT) AS rank, lft AS merge_left, rgt AS merge_right, " +
+      "c AS pair_count FROM merges")
+
+  def bpeSegment(s: SparkSession, d: String): DataFrame =
+    graft.scaleops.BpeTrain.train(t(s, d, "documents"), "text", bpeMerges)._2
+      .orderBy(col("cnt").desc, col("word").asc).limit(20)
+
+  val bpeSegmentOracle: String = graft.scaleops.BpeTrain.oracleSql(
+    "documents", "text", bpeMerges,
+    s"SELECT word, CAST(cnt AS BIGINT) AS cnt, seg FROM v$bpeMerges " +
+      "ORDER BY cnt DESC, word ASC LIMIT 20")
+
+  val all: Seq[Q] = Seq(
+    Q("bpe_train_merges", bpeTrainMerges, Some(bpeTrainOracle)),
+    Q("bpe_segment", bpeSegment, Some(bpeSegmentOracle)),
+    Q("text_bm25_rank", bm25Rank, Some(bm25Oracle)),
+    Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
+    Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),
+    Q("ml_roc_auc", rocAuc, Some(rocAucOracle)),
+    Q("ts_cusum_changes", cusumChanges, Some(cusumOracle)))
+}

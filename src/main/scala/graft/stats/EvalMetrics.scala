@@ -52,6 +52,39 @@ object EvalMetrics {
   def classificationReport(df: DataFrame, y: Column, pred: Column): DataFrame =
     reportFrom(df, y, pred, y.cast("int"), pred.cast("int"))
 
+  /** Exact tie-aware ROC-AUC via per-distinct-score concordance
+    * counting (the Mann–Whitney U identity): with pos_eq/neg_eq the
+    * class counts at each score and neg_lt the negatives strictly
+    * below it,
+    *
+    *   AUC = Σ_s pos_eq·(2·neg_lt + neg_eq) / (2·n_pos·n_neg)
+    *
+    * — every term integral until the final division, so the oracle
+    * matches bit-for-bit. The cumulative pass runs over DISTINCT
+    * scores only; the contract is score cardinality ≪ row count
+    * (model outputs, calibrated bins). For a continuous
+    * high-cardinality score, quantize first (e.g. `round(s, 4)` or a
+    * KLL-bucketed bin) — the unpartitioned window below is a
+    * single-task sort over the distinct-score frame by design.
+    */
+  def rocAuc(df: DataFrame, score: Column, labelBin: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(score.as("s")).agg(
+      sum(when(labelBin === 1, 1L).otherwise(0L)).as("pos_eq"),
+      sum(when(labelBin === 0, 1L).otherwise(0L)).as("neg_eq"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("neg_lt", coalesce(sum(col("neg_eq")).over(w), lit(0L)))
+      .agg(
+        sum(col("pos_eq")).as("n_pos"),
+        sum(col("neg_eq")).as("n_neg"),
+        sum(col("pos_eq") * (lit(2L) * col("neg_lt") + col("neg_eq")))
+          .as("numer2"))
+      .select(col("n_pos"), col("n_neg"),
+        round(col("numer2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+  }
+
   private def reportFrom(df: DataFrame, y: Column, pred: Column,
                          yBin: Column, pBin: Column): DataFrame = {
     val base = df.agg(

@@ -121,6 +121,84 @@ object RollingFeatures {
       .withColumnRenamed(idCol + "_i", idCol)
   }
 
+  /** Two-sided CUSUM change detection per group (Page 1954): with
+    * dev = x − μ_g (μ_g the group mean, decimal-exact so both engines
+    * hold identical bits),
+    *
+    *   s⁺_t = max(0, s⁺_{t−1} + dev_t − slack)
+    *   s⁻_t = max(0, s⁻_{t−1} − dev_t − slack),  s⁺₀ = s⁻₀ = 0
+    *
+    * and an alarm where either side exceeds `threshold`. Slack and
+    * threshold are in raw value units — the deliberately
+    * σ-free formulation, so every arithmetic step is reproducible
+    * (a σ-standardized variant would fold an engine-specific stddev
+    * summation order into every state). Same scalable shape as
+    * [[ewma]]: one keyed aggregate for μ, one repartition+sorted
+    * partition scan, O(1) state per group. The oracle replays the
+    * fold with `list_reduce` over a zero-seeded prefix list. */
+  def cusum(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+            valueCol: String, slack: Double, threshold: Double,
+            idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    groupIntegral(df, groupCol)
+    val mu = df.groupBy(groupCol).agg(
+      (sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+        .cast("double") / count(lit(1))).as("mu"))
+    val prepped = df.join(mu, groupCol)
+      .select(col(groupCol).cast("long").as("g") +:
+        col(idCol).cast("long").as("id") +:
+        col(valueCol).cast("double").as("x") +:
+        col("mu") +: orderCols: _*)
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g") +: orderCols: _*)
+      .select("g", "id", "x", "mu")
+      .as[(Long, Long, Double, Double)]
+    prepped.mapPartitions { rows =>
+      var seen = false
+      var curGroup = 0L
+      var sPos = 0.0
+      var sNeg = 0.0
+      def r6(v: Double): Double = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      rows.map { case (g, id, x, m) =>
+        if (!seen || g != curGroup) { seen = true; curGroup = g; sPos = 0.0; sNeg = 0.0 }
+        val dev = x - m
+        sPos = math.max(0.0, sPos + dev - slack)
+        sNeg = math.max(0.0, sNeg - dev - slack)
+        (g, id, x, r6(sPos), r6(sNeg),
+          sPos > threshold || sNeg > threshold)
+      }
+    }.toDF(groupCol + "_g", idCol + "_i", "x", "cusum_pos", "cusum_neg", "alarm")
+      .withColumnRenamed(groupCol + "_g", groupCol)
+      .withColumnRenamed(idCol + "_i", idCol)
+  }
+
+  /** DuckDB twin of [[cusum]] (constants interpolated through Scala
+    * double toString — shortest-round-trip, identical bits). */
+  def cusumOracleSql(table: String, groupCol: String, valueCol: String,
+                     slack: Double, threshold: Double,
+                     filterSql: String): String =
+    s"""WITH m AS (
+       |  SELECT $groupCol,
+       |    CAST(CAST(SUM(CAST($valueCol AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mu
+       |  FROM $table WHERE $filterSql GROUP BY 1),
+       |o AS (
+       |  SELECT e.$groupCol, event_id, $valueCol AS x,
+       |    list($valueCol - mu) OVER (PARTITION BY e.$groupCol
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |      ROWS UNBOUNDED PRECEDING) AS pfx
+       |  FROM $table e JOIN m USING ($groupCol) WHERE $filterSql)
+       |SELECT $groupCol, event_id, x,
+       |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pfx),
+       |    (acc, z) -> GREATEST(CAST(0.0 AS DOUBLE), acc + z - CAST($slack AS DOUBLE))), 6) AS cusum_pos,
+       |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pfx),
+       |    (acc, z) -> GREATEST(CAST(0.0 AS DOUBLE), acc - z - CAST($slack AS DOUBLE))), 6) AS cusum_neg,
+       |  (list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pfx),
+       |    (acc, z) -> GREATEST(CAST(0.0 AS DOUBLE), acc + z - CAST($slack AS DOUBLE))) > CAST($threshold AS DOUBLE)
+       |   OR list_reduce(list_prepend(CAST(0.0 AS DOUBLE), pfx),
+       |    (acc, z) -> GREATEST(CAST(0.0 AS DOUBLE), acc - z - CAST($slack AS DOUBLE))) > CAST($threshold AS DOUBLE)) AS alarm
+       |FROM o""".stripMargin
+
   private def groupIntegral(df: DataFrame, groupCol: String): Unit = {
     import org.apache.spark.sql.types._
     val dt = df.schema(groupCol).dataType

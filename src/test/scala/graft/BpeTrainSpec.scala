@@ -1,0 +1,42 @@
+package graft
+
+import graft.scaleops.BpeTrain
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bpe: hand-traced merge trajectory on low/low/lower, " +
+    "ties break (count desc, left asc), early exhaustion") {
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (merges, vocab) = BpeTrain.train(docs, "text", nMerges = 6)
+    val m = merges.orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // (l,o)=3 ties (o,w)=3 -> left asc picks (l,o); then (lo,w)=3;
+    // then (low,e)=1 ties (e,r)=1 -> (e,r); then (low,er)=1; then dry.
+    assert(m.toSeq == Seq(
+      (1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L), (4, "low", "er", 1L)))
+    val segs = vocab.collect().map(r =>
+      r.getAs[String]("word") -> r.getAs[String]("seg")).toMap
+    assert(segs == Map("low" -> "low", "lower" -> "lower"))
+  }
+
+  test("bpe: merge application is leftmost non-overlapping — " +
+    "'aaa' segments to 'aa a', not 'a aa'") {
+    val docs = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val (merges, vocab) = BpeTrain.train(docs, "text", nMerges = 1)
+    val m = merges.collect()
+    assert(m.length == 1 &&
+      m(0).getString(1) == "a" && m(0).getString(2) == "a" &&
+      m(0).getLong(3) == 4L) // (a,a) twice per word, twice in corpus
+    assert(vocab.collect().head.getAs[String]("seg") == "aa a")
+  }
+
+  test("bpe: word counts weight pairs — frequent word dominates " +
+    "the first merge") {
+    val docs = Seq((0L, "ab ab ab cd")).toDF("doc_id", "text")
+    val (merges, _) = BpeTrain.train(docs, "text", nMerges = 1)
+    val m = merges.collect().head
+    assert(m.getString(1) == "a" && m.getString(2) == "b" && m.getLong(3) == 3L)
+  }
+}

@@ -279,4 +279,28 @@ class PlanSpec extends SparkSpec {
       "lang:string,source:string,n_chars:bigint>"),
       s"explicit read schema must reach the json scan:\n$p")
   }
+
+  test("bm25: top-k cut is TakeOrdered, term stats broadcast — " +
+    "no global sort, no shuffled join") {
+    val p = plan("text_bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must stay a TakeOrdered:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "df-stats join must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("rake: per-doc top-k rank filter gets WindowGroupLimit pruning") {
+    // unlike source_caps there is no partial/final pair here: the
+    // window's input arrives already hash-partitioned on doc_id from
+    // the upstream phrase join, so Catalyst needs no exchange and a
+    // single Final WindowGroupLimit prunes in place (a cast between
+    // row_number and the filter would kill even that — regression
+    // this pin exists to catch)
+    val p = plan("text_rake_keywords")
+    assert(p.linesIterator.count(_.contains("WindowGroupLimit")) >= 1,
+      s"expected a WindowGroupLimit on the rank<=k cut:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
+      "word-stats join must broadcast")
+  }
 }
