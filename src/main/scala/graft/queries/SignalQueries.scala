@@ -118,9 +118,32 @@ object SignalQueries {
     s"SELECT word, CAST(cnt AS BIGINT) AS cnt, seg FROM v$bpeMerges " +
       "ORDER BY cnt DESC, word ASC LIMIT 20")
 
+  /** Tokenize the corpus with the learned merges: per-doc word /
+    * BPE-token / char counts — the compression-ratio report a
+    * tokenizer-training loop watches. */
+  def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val vocab = graft.scaleops.BpeTrain.train(docs, "text", bpeMerges)._2
+    graft.scaleops.BpeTrain.applyBpe(docs, "doc_id", "text", vocab)
+      .filter(col("doc_id") < 50)
+  }
+
+  val bpeApplyOracle: String = graft.scaleops.BpeTrain.oracleSql(
+    "documents", "text", bpeMerges,
+    s"""SELECT t.doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(len(string_split(v.seg, ' '))) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(len(t.word)) AS BIGINT) AS n_chars
+       |FROM (
+       |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+       |  FROM documents) t
+       |JOIN v$bpeMerges v USING (word)
+       |WHERE len(t.word) > 0 AND t.doc_id < 50
+       |GROUP BY t.doc_id""".stripMargin)
+
   val all: Seq[Q] = Seq(
     Q("bpe_train_merges", bpeTrainMerges, Some(bpeTrainOracle)),
     Q("bpe_segment", bpeSegment, Some(bpeSegmentOracle)),
+    Q("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     Q("text_bm25_rank", bm25Rank, Some(bm25Oracle)),
     Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
     Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),

@@ -88,6 +88,27 @@ object BpeTrain {
     (mergeDf, vocab)
   }
 
+  /** Apply a trained segmentation as a tokenizer: the corpus token
+    * stream joins the (word → seg) vocabulary — broadcast-sized by
+    * construction — and per-doc token statistics come from one keyed
+    * aggregate. Words absent from the vocabulary fall back to fully
+    * character-split (the untrained segmentation), so application is
+    * total. Map + broadcast-join + one aggregate at any scale. */
+  def applyBpe(docs: DataFrame, idCol: String, textCol: String,
+               vocab: DataFrame): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    words
+      .join(broadcast(vocab.select(col("word"), col("seg"))), Seq("word"), "left")
+      .withColumn("seg", coalesce(col("seg"),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_words"),
+        sum(size(split(col("seg"), " "))).as("n_bpe_tokens"),
+        sum(length(col("word"))).as("n_chars"))
+  }
+
   /** SQL twin: every round unrolled as chained CTEs — pair counts,
     * argmax with the same tiebreak, and the same padded plain-string
     * replace. */

@@ -32,6 +32,18 @@ class BpeTrainSpec extends SparkSpec {
     assert(vocab.collect().head.getAs[String]("seg") == "aa a")
   }
 
+  test("bpe apply: trained words use their segmentation, unseen " +
+    "words fall back to character split") {
+    val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val (_, vocab) = BpeTrain.train(train, "text", nMerges = 6)
+    val apply = Seq((7L, "low lower cat")).toDF("doc_id", "text")
+    val got = BpeTrain.applyBpe(apply, "doc_id", "text", vocab).collect().head
+    // low -> "low" (1), lower -> "lower" (1), cat unseen -> "c a t" (3)
+    assert(got.getAs[Long]("n_words") == 3L)
+    assert(got.getAs[Long]("n_bpe_tokens") == 5L)
+    assert(got.getAs[Long]("n_chars") == (3 + 5 + 3).toLong)
+  }
+
   test("bpe: word counts weight pairs — frequent word dominates " +
     "the first merge") {
     val docs = Seq((0L, "ab ab ab cd")).toDF("doc_id", "text")
