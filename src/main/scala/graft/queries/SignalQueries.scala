@@ -37,6 +37,61 @@ object SignalQueries {
     Retrieval.rakeOracleSql("documents", "doc_id", "text", rakeStops,
       topK = 3, docFilterSql = "doc_id < 20")
 
+  // ---- NDCG@10 of the BM25 ranking ------------------------------------
+  /** Ranking-quality evaluation: NDCG@10 of `text_bm25_rank`'s
+    * ordering against a deterministic relevance label (number of
+    * query terms present in the doc, 0–3). Gains 2^rel−1 are small
+    * integers and log2 discounts are shared constants, so the only
+    * float work is ten exact divisions — rounded at 6 dp. The ideal
+    * ranking's top-k cut is TakeOrdered like every other global cut.
+    */
+  def ndcgAt10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents")
+    val ranked = Retrieval.bm25(docs, "doc_id", "text", bmTerms, topK = 10)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val withRank = ranked.withColumn("rank", row_number().over(w))
+    val toks = graft.scaleops.TextAnalysis.tokens(lower(col("text")))
+    val rel = docs.select(col("doc_id"),
+      bmTerms.map(tm => when(array_contains(toks, tm), 1).otherwise(0))
+        .reduce(_ + _).as("rel"))
+    val dcg = withRank.join(rel, "doc_id")
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1.0)).as("dcg"))
+    val wi = Window.orderBy(col("rel").desc, col("doc_id").asc)
+    val idcg = rel.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
+      .withColumn("irank", row_number().over(wi))
+      .agg(sum((pow(lit(2.0), col("rel")) - 1.0) / log2(col("irank") + 1.0)).as("idcg"))
+    dcg.crossJoin(idcg) // two one-row frames
+      .select(lit(10).as("k"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+  }
+
+  val ndcgOracle: String = {
+    val relExpr = bmTerms
+      .map(tm => s"CASE WHEN list_contains(toks, '$tm') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH rel AS (
+       |  SELECT doc_id, $relExpr AS rel
+       |  FROM (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents)),
+       |bm AS (
+       |  SELECT doc_id, score,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM (${Retrieval.bm25OracleSql("documents", "doc_id", "text", bmTerms)})),
+       |d AS (
+       |  SELECT SUM((POW(2.0, rel) - 1.0) / LOG2(rank + 1.0)) AS dcg
+       |  FROM bm JOIN rel USING (doc_id)),
+       |ideal AS (
+       |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT) AS irank
+       |  FROM rel ORDER BY rel DESC, doc_id ASC LIMIT 10),
+       |i AS (
+       |  SELECT SUM((POW(2.0, rel) - 1.0) / LOG2(irank + 1.0)) AS idcg FROM ideal)
+       |SELECT 10 AS k, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+       |  ROUND(dcg / idcg, 6) AS ndcg
+       |FROM d, i""".stripMargin
+  }
+
   // ---- per-source KL divergence ---------------------------------------
   def sourceDivergence(s: SparkSession, d: String): DataFrame =
     Retrieval.sourceDivergence(t(s, d, "documents"), "source", "text")
@@ -145,6 +200,7 @@ object SignalQueries {
     Q("bpe_segment", bpeSegment, Some(bpeSegmentOracle)),
     Q("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     Q("text_bm25_rank", bm25Rank, Some(bm25Oracle)),
+    Q("ml_ndcg", ndcgAt10, Some(ndcgOracle)),
     Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
     Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),
     Q("ml_roc_auc", rocAuc, Some(rocAucOracle)),

@@ -260,7 +260,47 @@ object StreamingQueries {
       |  MAX(sess_events) AS max_closed_session_events
       |FROM per_sess WHERE sess_id < last_sess GROUP BY user_id""".stripMargin
 
+  /** Streaming CUSUM IN the gate: the per-user (s⁺, s⁻) recurrence
+    * carried by `transformWithState` over the event stream, baseline
+    * means decimal-exact from the batch table (stream-static join).
+    * The oracle is the SAME list_reduce replay that certifies the
+    * batch `ts_cusum_changes` — so the certified statement is
+    * "streaming state fold ≡ batch fold ≡ DuckDB fold", one
+    * trajectory pinned across all three execution models. */
+  def streamCusum(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+        .filter(col("user_id") < 3 && col("value").isNotNull)
+      val batch = graft.sources.Tables.load(s, d, "events")
+        .filter(col("user_id") < 3 && col("value").isNotNull)
+      // identical decimal-exact mean as the batch cusum operator
+      val mu = batch.groupBy("user_id").agg(
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mu"))
+      val out = EventsStream.cusumStream(ev, mu, slack = 5.0, threshold = 50.0)
+        .toDF("user_id", "event_id", "x", "cusum_pos", "cusum_neg", "alarm")
+      awaitWithStatePartitions(s, statePartitionsFor(s, 3L))(
+        out.writeStream.format("memory").queryName("st_cusum")
+          .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    s.table("st_cusum")
+  }
+
+  val streamCusumOracle: String = graft.ts.RollingFeatures.cusumOracleSql(
+    "events", "user_id", "value", 5.0, 50.0,
+    "user_id < 3 AND value IS NOT NULL")
+
   val all: Seq[Q] = Seq(
+    Q("stream_cusum", streamCusum, Some(streamCusumOracle)),
     Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
     Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),
     Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)),

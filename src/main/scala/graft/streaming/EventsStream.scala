@@ -151,6 +151,65 @@ object EventsStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming two-sided CUSUM monitor on the arbitrary-state API:
+    * each key's (s⁺, s⁻) pair rides a typed `ValueState` across
+    * micro-batches — two doubles per key, the smallest possible
+    * state. The baseline mean arrives joined onto the stream (the
+    * production shape: baseline from history, CUSUM over the live
+    * feed). Within a batch rows fold in (us, event_id) order, so on
+    * an ordered replay the trajectory is bit-identical to the batch
+    * [[graft.ts.RollingFeatures.cusum]] — the gate certifies exactly
+    * that. Same RocksDB-provider requirement as [[SessionProcessor]].
+    */
+  class CusumProcessor(slack: Double, threshold: Double)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Double, Double),
+        (Long, Long, Double, Double, Double, Boolean)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var st: ValueState[(Double, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Double, Double)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Double, Double)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double, Double)],
+        timerValues: TimerValues)
+        : Iterator[(Long, Long, Double, Double, Double, Boolean)] = {
+      // (user, us, id, x, mu) sorted by event time within the batch
+      val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+      var (p, n) = if (st.exists()) st.get() else (0.0, 0.0)
+      def r6(v: Double): Double = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = sorted.map { case (_, _, id, x, mu) =>
+        val dev = x - mu
+        p = math.max(0.0, p + dev - slack)
+        n = math.max(0.0, n - dev - slack)
+        (user, id, x, r6(p), r6(n), p > threshold || n > threshold)
+      }
+      st.update((p, n))
+      out.iterator
+    }
+  }
+
+  /** events must carry (user_id, ts, event_id, value); baseline is a
+    * STATIC (user_id, mu) frame — the join is stream-static. */
+  def cusumStream(events: DataFrame, baseline: DataFrame,
+                  slack: Double, threshold: Double)
+      : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Double, Boolean)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .join(broadcast(baseline), "user_id")
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"),
+        col("event_id").cast("long"), col("value").cast("double"),
+        col("mu").cast("double"))
+      .as[(Long, Long, Long, Double, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(slack, threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming exact dedup on a key ALONE (a redelivery with a
     * re-stamped/jittered ts is still the same event):
     * `dropDuplicatesWithinWatermark` keys state by `keyCol` only and

@@ -154,6 +154,48 @@ class StreamingSpec extends SparkSpec {
     assert(tws.nonEmpty && tws == fmgws)
   }
 
+  test("streaming CUSUM equals the batch mapPartitions fold row-for-row") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val batch = graft.sources.Tables.load(spark, sf, "events")
+        .filter(col("user_id") < 3 && col("value").isNotNull)
+      val mu = batch.groupBy("user_id").agg(
+        (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double") / count(lit(1))).as("mu"))
+      val q = EventsStream.startMemorySink(
+        EventsStream.cusumStream(
+          EventsStream.readEvents(spark, streamDir)
+            .filter(col("user_id") < 3 && col("value").isNotNull),
+          mu, slack = 5.0, threshold = 50.0)
+          .toDF("user_id", "event_id", "x", "cusum_pos", "cusum_neg", "alarm"),
+        "cusum_out", "append")
+      q.processAllAvailable(); q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5))).sorted.toSeq
+    val streamed = rows(spark.table("cusum_out")
+      .select("user_id", "event_id", "x", "cusum_pos", "cusum_neg", "alarm"))
+    val batchTwin = rows(graft.ts.RollingFeatures.cusum(
+      graft.sources.Tables.load(spark, sf, "events")
+        .filter(col("user_id") < 3 && col("value").isNotNull)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")),
+      "user_id", Seq(col("ts"), col("event_id")), "value",
+      slack = 5.0, threshold = 50.0, idCol = "event_id")
+      .select(col("user_id"), col("event_id"), col("x"),
+        col("cusum_pos"), col("cusum_neg"), col("alarm")))
+    assert(streamed.nonEmpty && streamed == batchTwin)
+  }
+
   test("streaming session windows agree with the batch lag/cumsum sessionization") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.startMemorySink(
