@@ -912,6 +912,26 @@ object ScaleQueries {
     s"""WITH $jaccardPairCtes
        |SELECT a, b, jaccard FROM pairs WHERE jaccard >= 0.8""".stripMargin
 
+  /** Near-subset detection: containment C = common/min(|A|,|B|) at
+    * 0.9 — catches a short doc quoted inside a long one, where
+    * Jaccard collapses with the size gap. */
+  def textContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      shingleK = 2, minContainment = 0.9)
+
+  val textContainmentOracle: String =
+    s"""WITH $jaccardPairCtes,
+       |cpairs AS (
+       |  SELECT a.doc_id AS a, b.doc_id AS b,
+       |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      LEAST(len(a.s), len(b.s)), 6) AS containment,
+       |    ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |      len(list_distinct(a.s || b.s)), 6) AS jaccard
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE len(a.s) > 0 AND len(b.s) > 0)
+       |SELECT a, b, containment, jaccard FROM cpairs
+       |WHERE containment >= 0.9""".stripMargin
+
   /** Near-dup clustering end-to-end: exact-Jaccard pair edges →
     * distributed connected components → (doc, component) assignment.
     * The oracle recomputes the same edges and closes them with a
@@ -1577,6 +1597,7 @@ object ScaleQueries {
     Q("knn_ivf_incremental", knnIvfIncremental, Some(knnIvfIncrementalOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
+    Q("text_containment", textContainment, Some(textContainmentOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     Q("dedup_survivorship", dedupSurvivorship, Some(dedupSurvivorshipOracle)),
     Q("dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle), bench = true),

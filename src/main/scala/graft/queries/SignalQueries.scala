@@ -153,6 +153,88 @@ object SignalQueries {
   val cusumOracle: String = graft.ts.RollingFeatures.cusumOracleSql(
     "events", "user_id", "value", cusumSlack, cusumThreshold, cusumFilter)
 
+  // ---- quality-classifier training (curation model stage) -------------
+  /** The fastText-style curation step: train a model to predict the
+    * rule-based quality gate from cheap per-doc statistics, so the
+    * learned scorer can replace the rule stack on corpora where the
+    * rules are miscalibrated. Protocol certification row (the m3
+    * pattern): split/label counts are integer arithmetic the oracle
+    * replays exactly (deterministic doc_id%5 hold-out, Gopher-rule
+    * labels); the fitted-model quality enters as engine witnesses —
+    * test AUC (via the exact rocAuc operator) and accuracy over
+    * measured floors, finite coefficients. */
+  def qualityClassifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    val docs = t(s, d, "documents")
+    val gated = graft.scaleops.TrainingData.gopherGate(docs, "doc_id", "text",
+      minTokens = 10)
+    val feat = gated.select(col("doc_id"),
+      col("n_tokens").cast("double").as("f_tokens"),
+      (col("sum_len").cast("double") / col("n_tokens")).as("f_mean_len"),
+      (col("n_alpha_tok").cast("double") / col("n_tokens")).as("f_alpha"),
+      (col("n_distinct_tok").cast("double") / col("n_tokens")).as("f_distinct"),
+      col("n_stops").cast("double").as("f_stops"),
+      when(col("passed"), 0.0).otherwise(1.0).as("label"))
+      .localCheckpoint(false) // feeds train, test, and the counts agg
+    val isTest = pmod(col("doc_id"), lit(5)) === 0
+    val va = new VectorAssembler()
+      .setInputCols(Array("f_tokens", "f_mean_len", "f_alpha", "f_distinct", "f_stops"))
+      .setOutputCol("features")
+    val model = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
+      .fit(va.transform(feat.filter(!isTest)))
+    val pred = model.transform(va.transform(feat.filter(isTest)))
+      .select(col("doc_id"), col("label"),
+        round(element_at(vector_to_array(col("probability")), 2), 6).as("score"))
+      .localCheckpoint(false) // feeds both the AUC and accuracy passes
+    val auc = graft.stats.EvalMetrics.rocAuc(pred, col("score"),
+      col("label").cast("int")).head().getDouble(2)
+    val acc = pred.agg(avg(when((col("score") > 0.5) === (col("label") === 1.0),
+      1.0).otherwise(0.0))).head().getDouble(0)
+    val coefsFinite = model.coefficients.toArray
+      .forall(c => !c.isNaN && !c.isInfinite)
+    feat.agg(
+      sum(when(!isTest, 1L).otherwise(0L)).as("n_train"),
+      sum(when(isTest, 1L).otherwise(0L)).as("n_test"),
+      sum(when(!isTest && col("label") === 1.0, 1L).otherwise(0L)).as("n_reject_train"),
+      sum(when(isTest && col("label") === 1.0, 1L).otherwise(0L)).as("n_reject_test"))
+      .select(col("n_train"), col("n_test"),
+        col("n_reject_train"), col("n_reject_test"),
+        lit(auc >= 0.85).as("auc_ok"),
+        lit(acc >= 0.8).as("acc_ok"),
+        lit(coefsFinite).as("coefs_finite"))
+  }
+
+  val qualityClassifierOracle: String = {
+    val stops = graft.scaleops.TextAnalysis.stopwords
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH m AS (
+       |  SELECT doc_id, len(toks) AS n,
+       |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+       |    len(list_distinct(toks)) AS n_dist,
+       |    len(list_intersect(list_distinct(toks), [$stops])) AS n_stops
+       |  FROM (SELECT doc_id,
+       |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents)),
+       |lab AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n >= 10 AND n <= 100000
+       |      AND 3 * n <= sum_len AND sum_len <= 10 * n
+       |      AND 5 * n_alpha >= 4 * n
+       |      AND n_stops >= 2
+       |      AND 10 * n_dist >= 3 * n THEN 0 ELSE 1 END AS rej
+       |  FROM m)
+       |SELECT
+       |  CAST(SUM(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |  CAST(SUM(CASE WHEN doc_id % 5 <> 0 AND rej = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reject_train,
+       |  CAST(SUM(CASE WHEN doc_id % 5 = 0 AND rej = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_reject_test,
+       |  TRUE AS auc_ok, TRUE AS acc_ok, TRUE AS coefs_finite
+       |FROM lab""".stripMargin
+  }
+
   // ---- BPE tokenizer training -----------------------------------------
   private val bpeMerges = 6
 
@@ -201,6 +283,7 @@ object SignalQueries {
     Q("bpe_apply", bpeApply, Some(bpeApplyOracle)),
     Q("text_bm25_rank", bm25Rank, Some(bm25Oracle)),
     Q("ml_ndcg", ndcgAt10, Some(ndcgOracle)),
+    Q("docs_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
     Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),
     Q("ml_roc_auc", rocAuc, Some(rocAucOracle)),

@@ -135,6 +135,62 @@ object Dedup {
     * so the output is identical to the all-pairs scan the oracle
     * runs.
     */
+  /** Directional containment (near-subset) pairs: C = |A∩B| / min(|A|,
+    * |B|) ≥ t — the signal Jaccard misses when a short document is
+    * quoted inside a long one (J collapses with the size gap, C does
+    * not). Same machinery as [[exactJaccardPairs]]: shingles travel
+    * as sorted xxhash64 arrays, candidates come from an inverted
+    * index, verification is the codegen sorted-merge intersect.
+    *
+    * Candidate completeness: order each doc's shingles by global
+    * rarity and keep a prefix of |S| − ⌈t·|S|⌉ + 1; for any pair with
+    * C ≥ t the SMALLER side must hit the index with ≥ 1 prefix
+    * shingle (else common ≤ ⌈t|A|⌉ − 1 < t·|A|), and the smaller side
+    * is always present on the prefix side of the join. The −0.5 ceil
+    * slack keeps the float product from rounding the prefix a slot
+    * too short (longer = safe, shorter = can miss). The containing
+    * side indexes ALL its postings — at corpus scale that side would
+    * carry the contamination screen's maxDf hot-shingle guard; the
+    * exact operator keeps every posting so the output is exactly the
+    * all-pairs truth the oracle computes. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 2,
+                       minContainment: Double = 0.9): DataFrame = {
+    val sh = docs.select(col(idCol),
+      sort_array(transform(shingles(col(textCol), shingleK),
+        x => xxhash64(x))).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+      .localCheckpoint(eager = false)
+    val inv = sh.select(col(idCol), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val byRarity = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
+    val prefix = inv.join(dfreq, Seq("h"))
+      .withColumn("rnk", row_number().over(byRarity))
+      .filter(col("rnk") <=
+        col("sz") - ceil(col("sz") * lit(minContainment) - lit(0.5)) + 1)
+    val cands = prefix.select(col("h"), col(idCol).as("ida"))
+      .join(inv.select(col("h"), col(idCol).as("idb")), Seq("h"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("a"),
+        greatest(col("ida"), col("idb")).as("b"))
+      .distinct()
+    cands
+      .join(sh.select(col(idCol).as("a"), col("hs").as("hs_a"),
+        col("sz").as("sz_a")), "a")
+      .join(sh.select(col(idCol).as("b"), col("hs").as("hs_b"),
+        col("sz").as("sz_b")), "b")
+      .withColumn("common", graft.functions.SortedIntersectCount(
+        col("hs_a"), col("hs_b")))
+      .withColumn("containment", round(col("common").cast("double") /
+        least(col("sz_a"), col("sz_b")), 6))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("containment") >= minContainment)
+      .select(col("a"), col("b"), col("containment"), col("jaccard"))
+  }
+
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame =
     jaccardPairsCore(

@@ -133,6 +133,27 @@ class DedupSpec extends SparkSpec {
     assert(exprSigs == aggSigs)
   }
 
+  test("containment: a doc quoted inside a longer one scores C=1.0 " +
+    "where Jaccard collapses; unrelated docs never pair") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6 x1 x2 x3 x4 x5"),
+      (3L, "totally unrelated words in this one here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+      shingleK = 2, minContainment = 0.9).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getAs[Double]("containment") == 1.0) // all 5 bigrams of 1 in 2
+    assert(r.getAs[Double]("jaccard") == 0.5) // 5 / (5 + 10 - 5): J misses it
+    // the same corpus at Jaccard >= 0.9 finds nothing — the operator
+    // exists precisely for this blind spot
+    assert(Dedup.exactJaccardPairs(df, "doc_id", "text",
+      shingleK = 2, minJaccard = 0.9).count() == 0L)
+  }
+
   test("simhash: identical texts collide, hamming 0; distinct texts differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "completely different words here"))
