@@ -153,6 +153,70 @@ object SignalQueries {
   val cusumOracle: String = graft.ts.RollingFeatures.cusumOracleSql(
     "events", "user_id", "value", cusumSlack, cusumThreshold, cusumFilter)
 
+  // ---- Welch's t-test (A/B experiment analysis) -----------------------
+  /** Two-sample Welch's t between click and purchase values: moments
+    * accumulate as DECIMAL (sum of x as (18,6), sum of x² as (38,12)
+    * — the squares are computed in IEEE double first, identically in
+    * both engines, then cast, so the decimal sums are associative
+    * and order-free), and every derived double (means, sample
+    * variances, t, Welch–Satterthwaite df) follows one expression
+    * order the oracle restates verbatim. No p-value — neither engine
+    * ships a t CDF; |t| > 1.96 is the large-df 5% line. One aggregate
+    * pass + a 1×1-row join at any scale. */
+  def abTtest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = t(s, d, "events")
+      .filter(col("event_type").isin("click", "purchase") &&
+        col("value").isNotNull)
+    val g = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sx"),
+      sum((col("value") * col("value")).cast(DecimalType(38, 12)))
+        .cast("double").as("sxx"))
+    val a = g.filter(col("event_type") === "click")
+      .select(col("n").as("n_a"), col("sx").as("sx_a"), col("sxx").as("sxx_a"))
+    val b = g.filter(col("event_type") === "purchase")
+      .select(col("n").as("n_b"), col("sx").as("sx_b"), col("sxx").as("sxx_b"))
+    val meanA = col("sx_a") / col("n_a")
+    val meanB = col("sx_b") / col("n_b")
+    val varA = (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a")) / (col("n_a") - 1)
+    val varB = (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b")) / (col("n_b") - 1)
+    val seA = varA / col("n_a")
+    val seB = varB / col("n_b")
+    val se = seA + seB
+    val tStat = (meanA - meanB) / sqrt(se)
+    val dfW = se * se / (seA * seA / (col("n_a") - 1) + seB * seB / (col("n_b") - 1))
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"),
+      round(meanA, 6).as("mean_a"), round(meanB, 6).as("mean_b"),
+      round(tStat, 6).as("t_stat"), round(dfW, 6).as("df_welch"),
+      (abs(tStat) > 1.96).as("significant_05"))
+  }
+
+  val abTtestOracle: String =
+    """WITH g AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+      |    CAST(CAST(SUM(CAST(value * value AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx
+      |  FROM events
+      |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+      |  GROUP BY 1),
+      |a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM g WHERE event_type = 'click'),
+      |b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM g WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT n_a, n_b,
+      |    sx_a / n_a AS mean_a, sx_b / n_b AS mean_b,
+      |    (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) / n_a AS se_a,
+      |    (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) / n_b AS se_b
+      |  FROM a, b)
+      |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+      |  ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+      |  ROUND((mean_a - mean_b) / SQRT(se_a + se_b), 6) AS t_stat,
+      |  ROUND((se_a + se_b) * (se_a + se_b) /
+      |    (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)), 6) AS df_welch,
+      |  ABS((mean_a - mean_b) / SQRT(se_a + se_b)) > 1.96 AS significant_05
+      |FROM c""".stripMargin
+
   // ---- quality-classifier training (curation model stage) -------------
   /** The fastText-style curation step: train a model to predict the
     * rule-based quality gate from cheap per-doc statistics, so the
@@ -184,14 +248,21 @@ object SignalQueries {
       .setOutputCol("features")
     val model = new LogisticRegression().setMaxIter(50).setRegParam(0.01)
       .fit(va.transform(feat.filter(!isTest)))
+    // 3-dp quantization honors rocAuc's distinct-score contract
+    // (≤ 1001 buckets regardless of test-fold size — logistic outputs
+    // are otherwise essentially unique per row)
     val pred = model.transform(va.transform(feat.filter(isTest)))
       .select(col("doc_id"), col("label"),
-        round(element_at(vector_to_array(col("probability")), 2), 6).as("score"))
+        round(element_at(vector_to_array(col("probability")), 2), 3).as("score"))
       .localCheckpoint(false) // feeds both the AUC and accuracy passes
-    val auc = graft.stats.EvalMetrics.rocAuc(pred, col("score"),
-      col("label").cast("int")).head().getDouble(2)
-    val acc = pred.agg(avg(when((col("score") > 0.5) === (col("label") === 1.0),
-      1.0).otherwise(0.0))).head().getDouble(0)
+    // an empty or single-class test fold makes AUC/accuracy undefined
+    // (NULL divisions) — surface that as a red witness, never an NPE
+    val aucRow = graft.stats.EvalMetrics.rocAuc(pred, col("score"),
+      col("label").cast("int")).head()
+    val auc = if (aucRow.isNullAt(2)) Double.NaN else aucRow.getDouble(2)
+    val accRow = pred.agg(avg(when((col("score") > 0.5) === (col("label") === 1.0),
+      1.0).otherwise(0.0))).head()
+    val acc = if (accRow.isNullAt(0)) Double.NaN else accRow.getDouble(0)
     val coefsFinite = model.coefficients.toArray
       .forall(c => !c.isNaN && !c.isInfinite)
     feat.agg(
@@ -284,6 +355,7 @@ object SignalQueries {
     Q("text_bm25_rank", bm25Rank, Some(bm25Oracle)),
     Q("ml_ndcg", ndcgAt10, Some(ndcgOracle)),
     Q("docs_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
+    Q("events_ab_ttest", abTtest, Some(abTtestOracle)),
     Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
     Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),
     Q("ml_roc_auc", rocAuc, Some(rocAucOracle)),

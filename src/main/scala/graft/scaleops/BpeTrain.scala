@@ -1,6 +1,6 @@
 package graft.scaleops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import TextAnalysis.tokens
 
@@ -18,11 +18,15 @@ import TextAnalysis.tokens
   * corpus is billions; per-round cost never touches the corpus.
   *
   * Determinism: pair ties break (count desc, left asc, right asc);
-  * merge application is plain (non-regex) string replace on the
-  * space-joined symbol string — leftmost non-overlapping scan,
-  * identical semantics in the JVM and DuckDB, so the oracle replays
-  * the full trajectory. (No end-of-word marker — segmentations are
-  * per word already; documented deviation from the paper's `</w>`.)
+  * merge application is a greedy left-to-right fold over the symbol
+  * array (a padded string replace CANNOT express it: consecutive
+  * occurrences share their separator space, so `replace` skips every
+  * second one — 'a b a b' must become 'ab ab', not 'ab a b'). The
+  * oracle replays the same greedy pairing by repeated FIRST-occurrence
+  * regexp_replace in a recursive CTE — sequential leftmost merging
+  * provably yields the identical non-overlapping pairing. (No
+  * end-of-word marker — segmentations are per word already;
+  * documented deviation from the paper's `</w>`.)
   */
 object BpeTrain {
 
@@ -51,6 +55,35 @@ object BpeTrain {
       .agg(sum(col("cnt")).as("pair_count"))
   }
 
+  /** Apply one merge rule to a space-joined segmentation: greedy
+    * left-to-right fold over the symbol array — state is (built
+    * prefix, pending symbol); a pending `l` followed by `r` emits the
+    * merged symbol and clears the pending slot, so consecutive
+    * occurrences pair disjointly from the left ('a a a a' → 'aa aa',
+    * 'a a a' → 'aa a'), the Sennrich semantics a shared-separator
+    * string replace gets wrong. */
+  private[scaleops] def applyMerge(seg: Column, l: String, r: String): Column = {
+    val z = struct(array().cast("array<string>").as("arr"),
+      lit(null).cast("string").as("prev"))
+    aggregate(
+      split(seg, " "),
+      z,
+      (st, x) => {
+        val arr = st.getField("arr")
+        val prev = st.getField("prev")
+        when(prev === lit(l) && x === lit(r),
+          struct(concat(arr, array(lit(l + r))).as("arr"),
+            lit(null).cast("string").as("prev")))
+          .otherwise(struct(
+            when(prev.isNull, arr).otherwise(concat(arr, array(prev))).as("arr"),
+            x.as("prev")))
+      },
+      st => array_join(
+        when(st.getField("prev").isNull, st.getField("arr"))
+          .otherwise(concat(st.getField("arr"), array(st.getField("prev")))),
+        " "))
+  }
+
   /** Learn `nMerges` rules; returns (merges, finalVocab).
     * merges: (rank, left, right, pair_count); finalVocab:
     * (word, cnt, seg). */
@@ -73,10 +106,7 @@ object BpeTrain {
         val (l, rt, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         r += 1
         merges += ((r, l, rt, c))
-        vocab = vocab.withColumn("seg",
-          trim(call_function("replace",
-            concat(lit(" "), col("seg"), lit(" ")),
-            lit(s" $l $rt "), lit(s" $l$rt "))))
+        vocab = vocab.withColumn("seg", applyMerge(col("seg"), l, rt))
         // k replaces chain in one plan; re-pin every few rounds so
         // deep merge schedules don't replay the whole chain per count
         if (r % 8 == 0) vocab = vocab.localCheckpoint(false)
@@ -110,32 +140,47 @@ object BpeTrain {
   }
 
   /** SQL twin: every round unrolled as chained CTEs — pair counts,
-    * argmax with the same tiebreak, and the same padded plain-string
-    * replace. */
+    * argmax with the same tiebreak, then merge application as a
+    * recursive CTE that rewrites the FIRST padded occurrence per step
+    * (regexp_replace without 'g') until none remain: sequential
+    * leftmost merging yields exactly the greedy disjoint pairing of
+    * the engine's fold (a single global `replace` would skip
+    * consecutive occurrences — they share a separator space). A round
+    * whose argmax is empty (merges exhausted) passes the vocabulary
+    * through unchanged, mirroring the engine's early stop. */
   def oracleSql(table: String, textCol: String, nMerges: Int,
                 finalSelect: String): String = {
     val rounds = (1 to nMerges).map { r =>
       val prev = s"v${r - 1}"
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT s.syms[i] AS lft, s.syms[i + 1] AS rgt, CAST(SUM(s.cnt) AS BIGINT) AS c
          |  FROM (SELECT cnt, string_split(seg, ' ') AS syms FROM $prev) s,
          |    UNNEST(range(1, len(s.syms))) AS t(i)
          |  GROUP BY 1, 2),
-         |m$r AS (SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
-         |v$r AS (
+         |m$r AS MATERIALIZED (SELECT lft, rgt, c FROM p$r ORDER BY c DESC, lft ASC, rgt ASC LIMIT 1),
+         |f$r(word, cnt, seg) AS (
+         |  SELECT word, cnt, ' ' || seg || ' ' FROM $prev, m$r
+         |  UNION ALL
          |  SELECT word, cnt,
-         |    trim(replace(' ' || seg || ' ', ' ' || lft || ' ' || rgt || ' ', ' ' || lft || rgt || ' ')) AS seg
-         |  FROM $prev, m$r)""".stripMargin
+         |    regexp_replace(seg, ' ' || lft || ' ' || rgt || ' ', ' ' || lft || rgt || ' ')
+         |  FROM f$r, m$r
+         |  WHERE position((' ' || lft || ' ' || rgt || ' ') IN seg) > 0),
+         |v$r AS MATERIALIZED (
+         |  SELECT word, cnt, trim(seg) AS seg FROM f$r, m$r
+         |  WHERE position((' ' || lft || ' ' || rgt || ' ') IN seg) = 0
+         |  UNION ALL
+         |  SELECT word, cnt, seg FROM $prev
+         |  WHERE NOT EXISTS (SELECT 1 FROM m$r))""".stripMargin
     }.mkString(",\n")
     val mergeRows = (1 to nMerges)
       .map(r => s"SELECT $r AS rank, lft, rgt, c FROM m$r")
       .mkString(" UNION ALL ")
-    s"""WITH wc AS (
+    s"""WITH RECURSIVE wc AS (
        |  SELECT word, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS word
        |    FROM $table)
        |  WHERE len(word) > 0 GROUP BY 1),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT word, cnt,
        |    array_to_string(regexp_extract_all(word, '.'), ' ') AS seg
        |  FROM wc),

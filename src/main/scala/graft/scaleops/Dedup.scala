@@ -135,6 +135,12 @@ object Dedup {
     * so the output is identical to the all-pairs scan the oracle
     * runs.
     */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame =
+    jaccardPairsCore(
+      docs.select(col(idCol), col(textCol), lit(true).as("is_new")),
+      idCol, textCol, shingleK, minJaccard, incremental = false)
+
   /** Directional containment (near-subset) pairs: C = |A∩B| / min(|A|,
     * |B|) ≥ t — the signal Jaccard misses when a short document is
     * quoted inside a long one (J collapses with the size gap, C does
@@ -190,12 +196,6 @@ object Dedup {
       .filter(col("containment") >= minContainment)
       .select(col("a"), col("b"), col("containment"), col("jaccard"))
   }
-
-  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 2, minJaccard: Double = 0.5): DataFrame =
-    jaccardPairsCore(
-      docs.select(col(idCol), col(textCol), lit(true).as("is_new")),
-      idCol, textCol, shingleK, minJaccard, incremental = false)
 
   /** One pipeline serves [[exactJaccardPairs]] (every doc flagged
     * new, ordered a<b join) and [[exactJaccardPairsIncremental]]

@@ -198,11 +198,16 @@ object Retrieval {
                        textCol: String): DataFrame = {
     val toks = docs.select(col(sourceCol).as("source"),
       explode(tokens(lower(col(textCol)))).as("term"))
+    // pinned: feeds the three derived aggregates AND the final join —
+    // without it the corpus-sized tokenize replays per consumer
     val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("c_sw"))
-    val globTot = toks.count().toDouble
+      .localCheckpoint(false)
     val glob = bySrc.groupBy("term").agg(sum(col("c_sw")).as("c_w"))
     val srcTot = bySrc.groupBy("source")
       .agg(sum(col("c_sw")).as("tot_s"), count(lit(1)).as("n_types"))
+    // total tokens from the |sources|-row frame — never a second
+    // corpus pass (same integer as a direct count of the token stream)
+    val globTot = srcTot.agg(sum(col("tot_s"))).head().getLong(0).toDouble
     bySrc.join(broadcast(glob), "term")
       .join(broadcast(srcTot), "source")
       .withColumn("p", col("c_sw").cast("double") / col("tot_s"))

@@ -32,6 +32,22 @@ class BpeTrainSpec extends SparkSpec {
     assert(vocab.collect().head.getAs[String]("seg") == "aa a")
   }
 
+  test("bpe: CONSECUTIVE occurrences all merge — 'abab' -> 'ab ab' " +
+    "and 'aaaa' -> 'aa aa' (a shared-separator string replace " +
+    "would skip every second one)") {
+    val d1 = Seq((0L, "abab")).toDF("doc_id", "text")
+    val (_, v1) = BpeTrain.train(d1, "text", nMerges = 1)
+    assert(v1.collect().head.getAs[String]("seg") == "ab ab")
+    val d2 = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val (m2, v2) = BpeTrain.train(d2, "text", nMerges = 1)
+    assert(m2.collect().head.getLong(3) == 3L) // (a,a) pairs pre-merge
+    assert(v2.collect().head.getAs[String]("seg") == "aa aa")
+    // six-long run pairs strictly left to right
+    val d3 = Seq((0L, "aaaaaa")).toDF("doc_id", "text")
+    assert(BpeTrain.train(d3, "text", nMerges = 1)
+      ._2.collect().head.getAs[String]("seg") == "aa aa aa")
+  }
+
   test("bpe apply: trained words use their segmentation, unseen " +
     "words fall back to character split") {
     val train = Seq((0L, "low low lower")).toDF("doc_id", "text")
