@@ -153,6 +153,120 @@ object SignalQueries {
   val cusumOracle: String = graft.ts.RollingFeatures.cusumOracleSql(
     "events", "user_id", "value", cusumSlack, cusumThreshold, cusumFilter)
 
+  // ---- SCD2 history construction --------------------------------------
+  /** Type-2 slowly-changing-dimension intervals from a change log:
+    * each user's event_type stream collapses to maximal constant runs
+    * with [valid_from, valid_to) interval bounds (valid_to = next
+    * change, NULL ⇒ current row). Change detection and interval close
+    * are lag/lead over ONE (user, time) window partitioning — a
+    * single shuffle builds the whole history at any scale. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t(s, d, "events").filter(col("user_id") < 5)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("us"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("us").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
+  val scd2Oracle: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id, event_type,
+      |    LAG(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+      |  FROM events WHERE user_id < 5),
+      |ch AS (
+      |  SELECT user_id, us, event_id, event_type FROM o
+      |  WHERE prev_type IS NULL OR prev_type <> event_type)
+      |SELECT user_id, event_type, us AS valid_from,
+      |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+      |  LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+      |FROM ch""".stripMargin
+
+  // ---- entity-resolution pipeline -------------------------------------
+  /** ER end-to-end over the part-name dictionary: token-blocked
+    * Levenshtein pairs → connected components → per-cluster
+    * survivorship report (canonical = lowest part key, member and row
+    * counts). The composition mirrors `dedup_pipeline` on the fuzzy
+    * (edit-distance) pair generator instead of the shingle one; the
+    * oracle replays pairs, recursive closure, and the report. */
+  def erPipelineParts(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.load(s, d, "part")
+    val nameId = part.groupBy(col("p_name").as("name"))
+      .agg(min(col("p_partkey")).as("nid"), count(lit(1)).as("n_rows"))
+      .localCheckpoint(false) // feeds both pair sides and the report
+    val pairs = graft.operators.FuzzyJoin.nearMatchPairs(part, "p_name", maxDist = 3)
+      .join(nameId.select(col("name").as("name_a"), col("nid").as("a")), "name_a")
+      .join(nameId.select(col("name").as("name_b"), col("nid").as("b")), "name_b")
+      .select("a", "b")
+    graft.operators.ConnectedComponents.components(pairs, "a", "b")
+      .join(nameId.select(col("nid").as("id"), col("n_rows")), "id")
+      .groupBy(col("comp").as("cluster"))
+      .agg(count(lit(1)).as("n_names"), sum(col("n_rows")).as("n_rows"),
+        min(col("id")).as("canonical_id"))
+  }
+
+  val erPipelineOracle: String =
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, MIN(p_partkey) AS nid, COUNT(*) AS n_rows
+      |  FROM part GROUP BY 1),
+      |toks AS (
+      |  SELECT DISTINCT name, UNNEST(string_split_regex(name, '\s+')) AS tok
+      |  FROM names),
+      |cands AS (
+      |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      |  FROM toks a JOIN toks b USING (tok)
+      |  WHERE a.name < b.name),
+      |pairs AS (
+      |  SELECT na.nid AS a, nb.nid AS b
+      |  FROM cands JOIN names na ON na.name = cands.name_a
+      |    JOIN names nb ON nb.name = cands.name_b
+      |  WHERE levenshtein(name_a, name_b) <= 3),
+      |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+      |comp AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster, COUNT(*) AS n_names,
+      |  CAST(SUM(n.n_rows) AS BIGINT) AS n_rows, MIN(id) AS canonical_id
+      |FROM comp JOIN names n ON n.nid = comp.id
+      |GROUP BY comp""".stripMargin
+
+  // ---- equal-frequency quantile binning -------------------------------
+  /** Decile discretization of l_extendedprice: nine exact-percentile
+    * cuts (one aggregate; Spark `percentile` ≡ DuckDB `quantile_cont`
+    * interpolation — the equivalence events_quantiles_by_type already
+    * pins), broadcast back, bin = number of cuts strictly below the
+    * value. Per-bin row counts and value ranges certify the cut
+    * placement end to end. */
+  def quantileBins(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val fracs = (1 to 9).map(_ / 10.0)
+    val cuts = li.agg(percentile(col("l_extendedprice"),
+      lit(fracs.toArray)).as("cuts"))
+    li.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        size(filter(col("cuts"), c => c < col("l_extendedprice"))))
+      .groupBy("bin").agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 6).as("lo"),
+        round(max(col("l_extendedprice")), 6).as("hi"))
+  }
+
+  val quantileBinsOracle: String = {
+    val fracs = (1 to 9).map(i => s"${i / 10.0}").mkString(", ")
+    s"""WITH c AS (
+       |  SELECT quantile_cont(l_extendedprice, [$fracs]) AS cuts FROM lineitem)
+       |SELECT len(list_filter(cuts, x -> x < l_extendedprice)) AS bin,
+       |  COUNT(*) AS n, ROUND(MIN(l_extendedprice), 6) AS lo,
+       |  ROUND(MAX(l_extendedprice), 6) AS hi
+       |FROM lineitem, c GROUP BY 1""".stripMargin
+  }
+
   // ---- Welch's t-test (A/B experiment analysis) -----------------------
   /** Two-sample Welch's t between click and purchase values: moments
     * accumulate as DECIMAL (sum of x as (18,6), sum of x² as (38,12)
@@ -356,6 +470,9 @@ object SignalQueries {
     Q("ml_ndcg", ndcgAt10, Some(ndcgOracle)),
     Q("docs_quality_classifier", qualityClassifier, Some(qualityClassifierOracle)),
     Q("events_ab_ttest", abTtest, Some(abTtestOracle)),
+    Q("events_scd2_history", scd2History, Some(scd2Oracle)),
+    Q("er_pipeline_parts", erPipelineParts, Some(erPipelineOracle)),
+    Q("ml_quantile_bins", quantileBins, Some(quantileBinsOracle)),
     Q("text_rake_keywords", rakeKeywords, Some(rakeOracle)),
     Q("docs_source_divergence", sourceDivergence, Some(sourceDivergenceOracle)),
     Q("ml_roc_auc", rocAuc, Some(rocAucOracle)),
