@@ -238,20 +238,22 @@ object SignalQueries {
       |GROUP BY comp""".stripMargin
 
   // ---- equal-frequency quantile binning -------------------------------
-  /** Decile discretization of l_extendedprice: nine exact-percentile
-    * cuts (one aggregate; Spark `percentile` ≡ DuckDB `quantile_cont`
-    * interpolation — the equivalence events_quantiles_by_type already
-    * pins), broadcast back, bin = number of cuts strictly below the
-    * value. Per-bin row counts and value ranges certify the cut
-    * placement end to end. */
+  /** Decile discretization of l_extendedprice: nine exact quantile
+    * cuts via the DISTRIBUTED order statistic
+    * ([[graft.stats.Histogram.exactQuantiles]] — range-partitioned
+    * compressed domain, no single-reducer percentile buffer; its
+    * `(n−1)·p` lerp is the same interpolation as DuckDB's
+    * `quantile_cont`, already hash-pinned by the d1 histogram rows),
+    * then bin = number of cuts strictly below the value. Per-bin row
+    * counts and value ranges certify the cut placement end to end. */
   def quantileBins(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     val fracs = (1 to 9).map(_ / 10.0)
-    val cuts = li.agg(percentile(col("l_extendedprice"),
-      lit(fracs.toArray)).as("cuts"))
-    li.crossJoin(broadcast(cuts))
-      .withColumn("bin",
-        size(filter(col("cuts"), c => c < col("l_extendedprice"))))
+    val n = li.filter(col("l_extendedprice").isNotNull).count()
+    val cuts = graft.stats.Histogram.exactQuantiles(
+      li, "l_extendedprice", fracs, n)
+    li.withColumn("bin",
+        size(filter(lit(cuts.toArray), c => c < col("l_extendedprice"))))
       .groupBy("bin").agg(count(lit(1)).as("n"),
         round(min(col("l_extendedprice")), 6).as("lo"),
         round(max(col("l_extendedprice")), 6).as("hi"))
