@@ -395,7 +395,7 @@ object SignalQueries {
 
   val qualityClassifierOracle: String = {
     val stops = graft.scaleops.TextAnalysis.stopwords
-      .map(w => s"'$w'").mkString(", ")
+      .map(graft.scaleops.TextAnalysis.sqlLit).mkString(", ")
     s"""WITH m AS (
        |  SELECT doc_id, len(toks) AS n,
        |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,

@@ -35,10 +35,14 @@ object TrainingDataQueries {
     * pattern or replacement order flips it). */
   def piiRedact(s: SparkSession, d: String): DataFrame = {
     val base = withPii(docs(s, d))
-    val counts = TrainingData.piiCounts(col("text2"))
+    // one-traversal audit shapes (r8): combined-alternation counts +
+    // total residual — 12 full-text regex passes down to 6 (counts
+    // 4→1, residual 4→1; redaction keeps its 4 sequential per-class
+    // passes, the semantics reference). Same oracle: DuckDB still
+    // counts per class independently, pinning the no-overlap equality
+    val counts = TrainingData.piiCountsCombined(col("text2"))
     val redacted = TrainingData.piiRedact(col("text2"))
-    val residual = TrainingData.piiCounts(redacted)
-      .map(_._2).reduce(_ + _)
+    val residual = TrainingData.piiTotalCount(redacted)
     base
       .select(Seq(col("source"), residual.as("resid")) ++
         counts.map { case (n, c) => c.as(n) }: _*)
@@ -323,7 +327,7 @@ object TrainingDataQueries {
 
   val qualityGateOracle: String = {
     val stops = graft.scaleops.TextAnalysis.stopwords
-      .map(w => s"'$w'").mkString(", ")
+      .map(graft.scaleops.TextAnalysis.sqlLit).mkString(", ")
     s"""WITH m AS (
        |  SELECT source, len(toks) AS n,
        |    list_sum(list_transform(toks, t -> length(t))) AS sum_len,

@@ -142,7 +142,10 @@ object BpeTrain {
   /** SQL twin: every round unrolled as chained CTEs — pair counts,
     * argmax with the same tiebreak, then merge application as a
     * recursive CTE that rewrites the FIRST padded occurrence per step
-    * (regexp_replace without 'g') until none remain: sequential
+    * (a LITERAL position()+substr splice — never a regex, so a learned
+    * symbol containing a regex metacharacter can't corrupt the
+    * rewrite or desynchronize from the position() guard) until none
+    * remain: sequential
     * leftmost merging yields exactly the greedy disjoint pairing of
     * the engine's fold (a single global `replace` would skip
     * consecutive occurrences — they share a separator space). A round
@@ -162,7 +165,10 @@ object BpeTrain {
          |  SELECT word, cnt, ' ' || seg || ' ' FROM $prev, m$r
          |  UNION ALL
          |  SELECT word, cnt,
-         |    regexp_replace(seg, ' ' || lft || ' ' || rgt || ' ', ' ' || lft || rgt || ' ')
+         |    substr(seg, 1, position((' ' || lft || ' ' || rgt || ' ') IN seg) - 1) ||
+         |      ' ' || lft || rgt || ' ' ||
+         |      substr(seg, position((' ' || lft || ' ' || rgt || ' ') IN seg)
+         |             + length(' ' || lft || ' ' || rgt || ' '))
          |  FROM f$r, m$r
          |  WHERE position((' ' || lft || ' ' || rgt || ' ') IN seg) > 0),
          |v$r AS MATERIALIZED (

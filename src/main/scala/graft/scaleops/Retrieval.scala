@@ -68,7 +68,7 @@ object Retrieval {
   def bm25OracleSql(table: String, idCol: String, textCol: String,
                     queryTerms: Seq[String], k1: Double = 1.2,
                     b: Double = 0.75, topK: Int = 10): String = {
-    val termList = queryTerms.map(t => s"'$t'").mkString(", ")
+    val termList = queryTerms.map(TextAnalysis.sqlLit).mkString(", ")
     s"""WITH toks AS (
        |  SELECT $idCol, string_split_regex(trim(lower($textCol)), '\\s+') AS toks
        |  FROM $table),
@@ -147,7 +147,7 @@ object Retrieval {
   def rakeOracleSql(table: String, idCol: String, textCol: String,
                     stopwords: Seq[String], topK: Int,
                     docFilterSql: String): String = {
-    val stopList = stopwords.map(t => s"'$t'").mkString(", ")
+    val stopList = stopwords.map(TextAnalysis.sqlLit).mkString(", ")
     s"""WITH toks AS (
        |  SELECT $idCol AS doc_id,
        |    unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS term,

@@ -304,7 +304,14 @@ object Similarity {
     *
     * The returned frame carries `lsh_routed` metadata on `cos`
     * (true = LSH path, false = brute) plus the derived params, so a
-    * consumer can PROVE which plan ran. */
+    * consumer can PROVE which plan ran.
+    *
+    * The measured decision boundary — refuse at τ=0.4 for every n,
+    * take LSH at τ=0.8 from ~20k vectors (the sf1-soak A/B: 1.56×
+    * slower at τ=0.4, 0.207× brute at τ=0.8) — is pinned by
+    * SimilaritySpec "cost router: refuses LSH at low tau, takes it
+    * when prediction wins"; a formula edit that inverts either side
+    * fails that spec, not just a TODO note. */
   def nearDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, dim: Int,
                        targetBucket: Long = 512L,
@@ -359,19 +366,75 @@ object Similarity {
       model: org.apache.spark.ml.clustering.KMeansModel,
       indexed: DataFrame)
 
+  /** Deterministic id-hash fit-sample cap: a KMeans fit is a
+    * SUMMARY of the corpus geometry, and ~64k vectors summarize it
+    * as well as 100M do — so the fit cost is BOUNDED regardless of
+    * corpus size (at 100 TB a full-corpus KMeans sweep would be 5
+    * scans of everything for centroids that a 64k sample reproduces
+    * to within cell-boundary noise). Sampling is Murmur3-id-hash
+    * deterministic (never `df.sample`, whose output depends on
+    * partitioning), only kicks in above the cap, and changes nothing
+    * at the harness SFs (n ≤ 20k < 64k — gate rows are bit-stable).
+    * Assignment of the FULL corpus still happens below: centroid
+    * quality from a sample affects only recall, never correctness
+    * (full-probe search is exact for ANY cell assignment). */
+  private[graft] val ivfFitSampleCap = 65536L
+
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
                nList: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prep = prepped(emb, idCol, vecCol, "neighbor")
       .withColumn("fv", array_to_vector(col("neighborv")))
+    val n = prep.count()
+    val fitSet =
+      if (n <= ivfFitSampleCap) prep
+      else {
+        // permille chosen so the expected sample lands near the cap;
+        // pmod(hash(id)) is stable across partitionings and sessions
+        val permille = math.max(1L, ivfFitSampleCap * 1000L / n)
+        prep.filter(pmod(hash(col("neighbor_id")), lit(1000)) < permille)
+      }
     // Few iterations suffice: correctness never depends on centroid
     // quality (full-probe search is exact for ANY cell assignment;
     // partial-probe recall degrades only marginally vs converged
     // centroids), so don't pay 20 sweeps of the corpus for an index.
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("cell").fit(prep)
-    IvfIndex(model, model.transform(prep).drop("fv"))
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
+    IvfIndex(model, assignCells(model, prep).drop("fv"))
+  }
+
+  /** Cell count above which per-vector centroid routing goes
+    * TWO-LEVEL (coarse √k quantizer over the centroids, then refine
+    * within the probed coarse groups): flat routing is O(k·d) per
+    * vector, fine below this threshold, but with [[semDedupDerivedK]]
+    * unclamped k grows as n/1250 and flat assignment becomes
+    * O(n·k·d) = O(n²·d/1250) — quadratic again, in the routing stage
+    * this time. Two-level keeps it O(n·√k·d). 64 is the old derived-k
+    * clamp: every harness SF stays on the flat (bit-identical) path,
+    * the structure engages exactly where the clamp used to lie. */
+  private[graft] val twoLevelCellThreshold = 64
+
+  /** Nearest-cell assignment shared by [[ivfBuild]] and
+    * [[ivfAddBatch]] — ONE definition so the incremental path's
+    * union-equivalence witness (assignment is a pure function of
+    * (model, vector)) holds by construction at every k: both paths
+    * route flat below [[twoLevelCellThreshold]] and two-level above
+    * it. Input must carry `neighbor_id`/`neighborv` (from
+    * [[prepped]]); output adds `cell`. */
+  private def assignCells(model: org.apache.spark.ml.clustering.KMeansModel,
+                          prep: DataFrame): DataFrame = {
+    if (model.clusterCenters.length <= twoLevelCellThreshold)
+      model.transform(prep)
+    else {
+      val routed = probedCellsFromCenters(prep.sparkSession,
+        model.clusterCenters.map(_.toArray),
+        prep.select(col("neighbor_id").as("query_id"),
+          col("neighborv").as("queryv")),
+        nProbe = 1)
+        .select(col("query_id").as("neighbor_id"), col("cell"))
+      prep.join(routed, "neighbor_id")
+    }
   }
 
   def ivfSave(index: IvfIndex, dir: String): Unit = {
@@ -400,7 +463,7 @@ object Similarity {
     val prep = prepped(batch, idCol, vecCol, "neighbor")
       .withColumn("fv", array_to_vector(col("neighborv")))
     IvfIndex(index.model,
-      index.indexed.unionByName(index.model.transform(prep).drop("fv")))
+      index.indexed.unionByName(assignCells(index.model, prep).drop("fv")))
   }
 
   /** THE cell-routing step, shared by every IVF consumer
@@ -410,23 +473,125 @@ object Similarity {
     * must carry `query_id`/`queryv` (from [[prepped]]); all of the
     * input's columns pass through. */
   private def probedCells(index: IvfIndex, preppedQueries: DataFrame,
-                          nProbe: Int): DataFrame = {
-    val spark = index.indexed.sparkSession
-    val centroids = index.model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray)
-    }.toSeq
-    val centDf = broadcast(spark.createDataFrame(centroids)
-      .toDF("cell", "centroid"))
-    preppedQueries.crossJoin(centDf)
-      .withColumn("dist2",
-        graft.functions.ArrayDot(col("queryv"), col("queryv")) +
-          graft.functions.ArrayDot(col("centroid"), col("centroid")) -
-          lit(2.0) * graft.functions.ArrayDot(col("queryv"), col("centroid")))
-      .withColumn("cell_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)))
-      .filter(col("cell_rank") <= nProbe)
-      .drop("centroid", "dist2", "cell_rank")
+                          nProbe: Int): DataFrame =
+    probedCellsFromCenters(index.indexed.sparkSession,
+      index.model.clusterCenters.map(_.toArray), preppedQueries, nProbe)
+
+  /** Driver-local Lloyd's over the (small) centroid array — the
+    * coarse quantizer of the two-level route. Deterministic:
+    * evenly-spaced init over the input order, fixed iteration count,
+    * lowest-index tie-break. Input is k points of d doubles — at the
+    * unclamped derived k this is ≤ corpus/1250 rows, megabytes on the
+    * driver where the corpus itself is terabytes on disk. */
+  private[graft] def localKMeans(points: Array[Array[Double]], k: Int,
+                                 iters: Int = 10): (Array[Array[Double]], Array[Int]) = {
+    val n = points.length
+    val kk = math.min(k, n)
+    def seedIdx(i: Int): Int = ((i.toLong * n) / kk).toInt
+    var centers = Array.tabulate(kk)(i => points(seedIdx(i)).clone)
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          var d2 = 0.0; var j = 0
+          val p = points(i); val ce = centers(c)
+          while (j < p.length) { val dj = p(j) - ce(j); d2 += dj * dj; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](points(0).length))
+      val cnt = new Array[Int](kk)
+      var i2 = 0
+      while (i2 < n) {
+        val a = assign(i2); cnt(a) += 1
+        var j = 0
+        while (j < points(i2).length) { sums(a)(j) += points(i2)(j); j += 1 }
+        i2 += 1
+      }
+      centers = Array.tabulate(kk) { c =>
+        if (cnt(c) == 0) points(seedIdx(c)).clone // empty cell: re-seed deterministically
+        else { val s = sums(c); s.map(_ / cnt(c)) }
+      }
+      it += 1
+    }
+    (centers, assign)
+  }
+
+  /** Centroid routing shared by every IVF consumer ([[ivfSearch]],
+    * [[knnIvfSq8]], [[semDedupPairsIndexed]], [[assignCells]]):
+    * `nProbe` nearest centroids per prepped query, deterministic
+    * (dist², cell) tie-break. ONE definition so a routing fix can
+    * never diverge the paths. Input must carry `query_id`/`queryv`
+    * (from [[prepped]]); all input columns pass through.
+    *
+    * Flat routing (crossJoin against all k centroids) below
+    * [[twoLevelCellThreshold]]; above it the route goes TWO-LEVEL:
+    * the k fine centroids are grouped into √k coarse cells by a
+    * driver-local Lloyd's ([[localKMeans]]) — centroids are tiny data
+    * — each query probes its `coarseProbes` nearest coarse cells and
+    * refines only among the fine centroids inside them. Per-vector
+    * work drops from O(k·d) to O((√k + coarseProbes·k/√k)·d) =
+    * O(√k·d); the price is recall-only (a fine centroid hiding behind
+    * an unprobed coarse cell is missed — coarseProbes is the dial,
+    * and boundary pairs still meet via the multi-probe discipline of
+    * the callers). Full-probe consumers (nProbe ≥ k/4, e.g. the
+    * knn_ivf_full exactness pin at nProbe = nList) bypass two-level:
+    * exact-by-construction semantics must not hinge on coarse
+    * routing. */
+  private def probedCellsFromCenters(
+      spark: org.apache.spark.sql.SparkSession,
+      centers: Array[Array[Double]], preppedQueries: DataFrame,
+      nProbe: Int, coarseProbes: Int = 3): DataFrame = {
+    val k = centers.length
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)
+    def dist2To(centroid: Column): Column =
+      graft.functions.ArrayDot(col("queryv"), col("queryv")) +
+        graft.functions.ArrayDot(centroid, centroid) -
+        lit(2.0) * graft.functions.ArrayDot(col("queryv"), centroid)
+    if (k <= twoLevelCellThreshold || nProbe * 4 >= k) {
+      val centDf = broadcast(spark.createDataFrame(
+        centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+        .toDF("cell", "centroid"))
+      preppedQueries.crossJoin(centDf)
+        .withColumn("dist2", dist2To(col("centroid")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= nProbe)
+        .drop("centroid", "dist2", "cell_rank")
+    } else {
+      val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+      val (coarse, fineToCoarse) = localKMeans(centers, coarseK)
+      // probe enough coarse cells that the fine rank can always fill
+      // nProbe even on uneven coarse occupancy
+      val cProbe = math.min(coarseK, math.max(coarseProbes,
+        math.ceil(2.0 * nProbe * coarseK / k).toInt))
+      val coarseDf = broadcast(spark.createDataFrame(
+        coarse.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+        .toDF("ccell", "ccentroid"))
+      val fineDf = broadcast(spark.createDataFrame(
+        centers.zipWithIndex.map { case (c, i) =>
+          (fineToCoarse(i), i, c.toSeq)
+        }.toSeq)
+        .toDF("ccell", "cell", "centroid"))
+      val wCoarse = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cdist2").asc, col("ccell").asc)
+      preppedQueries.crossJoin(coarseDf)
+        .withColumn("cdist2", dist2To(col("ccentroid")))
+        .withColumn("ccell_rank", row_number().over(wCoarse))
+        .filter(col("ccell_rank") <= cProbe)
+        .drop("ccentroid", "cdist2", "ccell_rank")
+        .join(fineDf, "ccell")
+        .withColumn("dist2", dist2To(col("centroid")))
+        .withColumn("cell_rank", row_number().over(w))
+        .filter(col("cell_rank") <= nProbe)
+        .drop("ccell", "centroid", "dist2", "cell_rank")
+    }
   }
 
   /** Search an IVF index: each query exhaustively scores only its
@@ -455,6 +620,71 @@ object Similarity {
              nProbe: Int = 4, seed: Long = 42L): DataFrame =
     ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed), idCol, vecCol,
       queries, k, nProbe)
+
+  /** Corpus-derived IVF sizing — the same derivation discipline as
+    * [[lshDerivedParams]] (one rule shared by gate, probes, and
+    * production callers; static knobs invite mis-sizing):
+    *
+    *  - `nList ≈ √n` (floor 8) — the standard inverted-file balance
+    *    point: cells of √n vectors make probe cost nProbe·√n and
+    *    build-routing cost n·√k both sub-linear fractions of brute;
+    *  - `nProbe = ceil(probeFrac·nList)` (floor 3) — a FIXED probed
+    *    fraction of the cell count. Finer cells at the same fraction
+    *    probe the same share of centroids but a more TARGETED share
+    *    of vectors, so measured recall rises under this rule (static
+    *    8/3 probed 37.5% of the corpus and still only hit 0.68
+    *    recall at the sf1 soak; derived √n cells at probeFrac = 0.35
+    *    measure 0.84/0.84/0.84/0.82 at sf0.001/0.01/0.1/sf1 —
+    *    RecallProbe pins the per-SF numbers, the gate's 0.75 floor
+    *    binds them).
+    *
+    * All arithmetic is plain IEEE-double ceil/sqrt so the DuckDB
+    * oracle replays it from COUNT(*) exactly. */
+  final case class IvfParams(nList: Int, nProbe: Int)
+
+  def ivfDerivedParams(n: Long, probeFrac: Double = 0.35): IvfParams = {
+    val nList = math.max(8L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(Int.MaxValue.toLong).toInt
+    val nProbe = math.max(3, math.ceil(probeFrac * nList).toInt)
+    IvfParams(nList, math.min(nProbe, nList))
+  }
+
+  /** Provenance stamp for the derived-IVF entry points — mirror of
+    * [[stampLshParams]]: consumers prove a result came from the
+    * corpus-derived sizing, not a static knob. */
+  private def stampIvfParams(df: DataFrame, p: IvfParams): DataFrame = {
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("ivf_nlist", p.nList.toLong)
+      .putLong("ivf_nprobe", p.nProbe.toLong).build()
+    df.withColumn("cos", col("cos").as("cos", m))
+  }
+
+  def ivfParamsOf(df: DataFrame): Option[IvfParams] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("ivf_nlist") && m.contains("ivf_nprobe"))
+      Some(IvfParams(m.getLong("ivf_nlist").toInt,
+        m.getLong("ivf_nprobe").toInt))
+    else None
+  }
+
+  /** [[knnIvf]] with corpus-derived sizing — the production entry
+    * point (one count() pass buys a size-correct cell grid). */
+  def knnIvfDerived(emb: DataFrame, idCol: String, vecCol: String,
+                    queries: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
+    val p = ivfDerivedParams(emb.count())
+    stampIvfParams(
+      knnIvf(emb, idCol, vecCol, queries, k, p.nList, p.nProbe, seed), p)
+  }
+
+  /** [[knnIvfSq8]] with corpus-derived sizing. */
+  def knnIvfSq8Derived(emb: DataFrame, idCol: String, vecCol: String,
+                       queries: DataFrame, k: Int, refine: Int = 4,
+                       seed: Long = 42L): DataFrame = {
+    val p = ivfDerivedParams(emb.count())
+    stampIvfParams(
+      knnIvfSq8(emb, idCol, vecCol, queries, k, p.nList, p.nProbe, refine,
+        seed), p)
+  }
 
   /** ANN top-k via int8 scalar quantization + exact re-rank — the
     * memory/IO-bound regime's tool, complementary to LSH/IVF (which
@@ -521,16 +751,37 @@ object Similarity {
                 queries: DataFrame, k: Int, nList: Int = 16,
                 nProbe: Int = 4, refine: Int = 4,
                 seed: Long = 42L): DataFrame = {
-    import graft.functions.Sq8
     val index = ivfBuild(emb, idCol, vecCol, nList, seed)
-    // codes computed once per corpus row; the scoring join reads only
-    // (cell, id, codes, selfdot)
+    knnIvfSq8Indexed(index, sq8Codes(index), idCol, vecCol, queries, k,
+      nProbe, refine)
+  }
+
+  /** The SQ8 codes table of an IVF index — (cell, id, int8 codes,
+    * code self-norm), the 64 B/vector artifact the candidate scan
+    * reads instead of 256 B floats. Computed once per index build and
+    * PERSISTABLE beside it (a pure function of the cell table, so a
+    * saved codes parquet is exactly what a rebuild would produce):
+    * at 100 TB of floats this is the ~25 TB table every search
+    * scans, and recomputing it per query batch would be a full float
+    * scan — the cost SQ8 exists to avoid. */
+  def sq8Codes(index: IvfIndex): DataFrame = {
+    import graft.functions.Sq8
     // same zero-norm guard as knnSq8: NaN quantized cosine would
     // outrank every real candidate (NaN sorts above all doubles)
-    val codes = index.indexed.select(col("cell"), col("neighbor_id"),
+    index.indexed.select(col("cell"), col("neighbor_id"),
       Sq8.encodeMaxAbs(col("neighborv")).as("nq"))
       .withColumn("nqn", sqrt(Sq8.intDot(col("nq"), col("nq")).cast("double")))
       .filter(col("nqn") > 0)
+  }
+
+  /** IVF×SQ8 search over a PREBUILT index + codes table — the
+    * production (search-only) shape: centroids route, codes score,
+    * floats re-rank; nothing is refit or re-encoded per batch. */
+  def knnIvfSq8Indexed(index: IvfIndex, codes: DataFrame,
+                       idCol: String, vecCol: String,
+                       queries: DataFrame, k: Int,
+                       nProbe: Int = 4, refine: Int = 4): DataFrame = {
+    import graft.functions.Sq8
     val q = prepped(queries, idCol, vecCol, "query")
       .withColumn("qq", Sq8.encodeMaxAbs(col("queryv")))
       .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
@@ -571,13 +822,25 @@ object Similarity {
     * (cross-cluster duplicates are unseen — the paper's own trade);
     * every returned pair carries its EXACT cosine. */
   /** The gate-certified cluster-count rule: cells of ~1250 vectors
-    * (clamped to [8, 64]) — the measured recall floor at threshold
-    * 0.4 (see ScaleQueries.dedupSemantic). ONE definition shared by
-    * the gate query and both probes, so recalibrating the rule can
-    * never silently diverge the certified config from the measured
-    * one. */
+    * (floor 8, UNBOUNDED above) — the measured recall floor at
+    * threshold 0.4 (see ScaleQueries.dedupSemantic). ONE definition
+    * shared by the gate query and both probes, so recalibrating the
+    * rule can never silently diverge the certified config from the
+    * measured one.
+    *
+    * k must keep growing with n: a capped k lets per-cell population
+    * grow as n/k_max and the O(n²/k·probes²) pair law go quadratic
+    * again — the r7 soak measured exactly that (the old [8,64] clamp
+    * bound at n > 80k). What bounds the COST of a large k instead:
+    * the KMeans fit runs on a ≤[[ivfFitSampleCap]] deterministic
+    * sample, and per-vector cell routing goes two-level above
+    * [[twoLevelCellThreshold]] (O(√k·d), see
+    * [[probedCellsFromCenters]]) — so build is O(n·√k·d) and the
+    * pair stage is O(n·1250·probes²), both sub-quadratic at any
+    * corpus size. Int.MaxValue ceiling is a type bound, not a policy
+    * (binds at n ≈ 2.7×10¹². */
   def semDedupDerivedK(n: Long): Int =
-    math.max(8L, math.min(64L, n / 1250L)).toInt
+    math.max(8L, math.min(Int.MaxValue.toLong, n / 1250L)).toInt
 
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 16,

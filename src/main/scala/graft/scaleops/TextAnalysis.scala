@@ -27,6 +27,13 @@ object TextAnalysis {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+  /** SQL single-quoted string literal, embedded quotes doubled.
+    * Every oracle builder that splices a data-derived or
+    * caller-supplied term/word into generated SQL must go through
+    * this — a term containing `'` would otherwise break (or inject
+    * into) the oracle statement. */
+  def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   /** Quality components per document:
     * - alpha_ratio: fraction of [a-z ] characters
     * - stopword_ratio: stopword tokens / tokens

@@ -49,12 +49,53 @@ object TrainingData {
     }
 
   /** Count of PII hits per class (before redaction) — the audit
-    * columns a curation report needs. */
+    * columns a curation report needs. One full-text traversal PER
+    * CLASS; [[piiCountsCombined]] is the one-traversal variant for
+    * full-corpus audits. */
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (pat, tag) =>
       val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
       s"n_$name" -> size(regexp_extract_all(text, lit(pat), lit(0)))
     }
+
+  /** All four classes as ONE ordered alternation — one regex
+    * traversal finds every PII span (class priority = pattern order,
+    * same as the sequential passes: cards before phones). */
+  val piiCombinedPattern: String =
+    piiPatterns.map { case (p, _) => s"(?:$p)" }.mkString("|")
+
+  /** Per-class hit counts from ONE combined traversal: extract every
+    * PII span with the alternation, then classify each (short)
+    * matched span by anchored per-class re-match — the classification
+    * regexes run over ~10–30-char spans, not the document. Equals
+    * [[piiCounts]] whenever class spans don't overlap (a phone
+    * embedded in a matched email span would be counted by the
+    * per-class scan but consumed by the alternation; no such text
+    * survives curation-grade patterns on realistic corpora, and the
+    * gate corpus has none — the oracle's independent per-class counts
+    * pin the equality). 4 traversals → 1 is the dominant cost of the
+    * full-corpus audit ([[graft.queries.TrainingDataQueries]]). */
+  def piiCountsCombined(text: Column): Seq[(String, Column)] = {
+    val spans = regexp_extract_all(text, lit(piiCombinedPattern), lit(0))
+    piiPatterns.map { case (pat, tag) =>
+      val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
+      // first-matching-class discipline mirrors the alternation's
+      // priority: a span counts for the FIRST class that fully
+      // matches it, so no span is ever double-counted
+      val priorPats = piiPatterns.takeWhile(_._2 != tag).map(_._1)
+      val isThis = (m: Column) =>
+        priorPats.foldLeft(m.rlike(s"^(?:$pat)$$")) { case (acc, prior) =>
+          acc && !m.rlike(s"^(?:$prior)$$")
+        }
+      s"n_$name" -> size(filter(spans, isThis))
+    }
+  }
+
+  /** Total PII spans in one traversal — the residual-audit column
+    * (re-detection over already-redacted text needs no per-class
+    * split: any hit at all is a defect). */
+  def piiTotalCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(piiCombinedPattern), lit(0)))
 
   // ---- repetition / quality gates ---------------------------------------
 

@@ -65,10 +65,29 @@ object EvalMetrics {
     * (model outputs, calibrated bins). For a continuous
     * high-cardinality score, quantize first (e.g. `round(s, 4)` or a
     * KLL-bucketed bin) — the unpartitioned window below is a
-    * single-task sort over the distinct-score frame by design.
-    */
-  def rocAuc(df: DataFrame, score: Column, labelBin: Column): DataFrame = {
+    * single-task sort over the distinct-score frame by design, and
+    * the contract is ENFORCED: an `approx_count_distinct` probe
+    * fail-fasts above `maxDistinctScores` (the DynamicPivot
+    * cap-guard discipline — silent degradation to a near-row-count
+    * single-task sort must be loud). One extra map-side-combined
+    * pass; the probe's ±few-% error is irrelevant at a 10⁵ cap.
+    *
+    * Single-class input (n_pos·n_neg = 0): AUC is mathematically
+    * undefined — the row comes back with the class counts and an
+    * explicitly-guarded NULL `auc` (stated semantics, not a silent
+    * divide-by-zero artifact). Callers wanting a hard failure should
+    * check the counts. */
+  def rocAuc(df: DataFrame, score: Column, labelBin: Column,
+             maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val approxDistinct =
+      df.agg(approx_count_distinct(score)).head().getLong(0)
+    require(approxDistinct <= maxDistinctScores,
+      s"rocAuc: ~$approxDistinct distinct score values exceed the " +
+        s"$maxDistinctScores cap — the per-distinct-score cumulative " +
+        "pass would degrade to a near-row-count single-task sort. " +
+        "Quantize the score first (round(score, k) or a KLL-bucketed " +
+        "bin), or raise maxDistinctScores deliberately")
     val g = df.groupBy(score.as("s")).agg(
       sum(when(labelBin === 1, 1L).otherwise(0L)).as("pos_eq"),
       sum(when(labelBin === 0, 1L).otherwise(0L)).as("neg_eq"))
@@ -81,8 +100,10 @@ object EvalMetrics {
         sum(col("pos_eq") * (lit(2L) * col("neg_lt") + col("neg_eq")))
           .as("numer2"))
       .select(col("n_pos"), col("n_neg"),
-        round(col("numer2").cast("double") /
-          (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"))
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("numer2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .otherwise(lit(null).cast("double")).as("auc"))
   }
 
   private def reportFrom(df: DataFrame, y: Column, pred: Column,

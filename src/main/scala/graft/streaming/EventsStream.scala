@@ -160,17 +160,29 @@ object EventsStream {
     * an ordered replay the trajectory is bit-identical to the batch
     * [[graft.ts.RollingFeatures.cusum]] — the gate certifies exactly
     * that. Same RocksDB-provider requirement as [[SessionProcessor]].
-    */
+    *
+    * ORDERED-REPLAY CONTRACT (enforced, not assumed): a CUSUM fold is
+    * order-dependent, and the sort above only orders WITHIN a
+    * micro-batch — a multi-file source delivering late files first
+    * (or `maxFilesPerTrigger` splitting one day across triggers out
+    * of order) would silently produce a different trajectory. The
+    * state therefore carries the max event time already folded per
+    * key, and a cross-batch regression THROWS with the contract in
+    * the message (fail-fast house style — a monitoring statistic that
+    * quietly diverges from its batch twin is worse than a stopped
+    * query). Feed the stream in event-time order (single files per
+    * key-day, or an upstream watermark+sort stage). */
   class CusumProcessor(slack: Double, threshold: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double, Double),
         (Long, Long, Double, Double, Double, Boolean)] {
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
-    @transient private var st: ValueState[(Double, Double)] = _
+    @transient private var st: ValueState[(Double, Double, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Double, Double)]("cusum",
-        org.apache.spark.sql.Encoders.product[(Double, Double)], TTLConfig.NONE)
+      st = getHandle.getValueState[(Double, Double, Long)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Double, Double, Long)],
+        TTLConfig.NONE)
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, Long, Long, Double, Double)],
@@ -178,22 +190,33 @@ object EventsStream {
         : Iterator[(Long, Long, Double, Double, Double, Boolean)] = {
       // (user, us, id, x, mu) sorted by event time within the batch
       val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-      var (p, n) = if (st.exists()) st.get() else (0.0, 0.0)
+      var (p, n, maxUs) =
+        if (st.exists()) st.get() else (0.0, 0.0, Long.MinValue)
+      if (sorted.nonEmpty && maxUs != Long.MinValue && sorted.head._2 < maxUs)
+        throw new IllegalStateException(
+          s"cusumStream: key $user received event time ${sorted.head._2}µs " +
+            s"after already folding up to ${maxUs}µs — cross-batch " +
+            "event-time order is the CUSUM replay contract (see " +
+            "CusumProcessor scaladoc); deliver files in event-time order " +
+            "or pre-sort upstream")
       def r6(v: Double): Double = BigDecimal(v)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      val out = sorted.map { case (_, _, id, x, mu) =>
+      val out = sorted.map { case (_, us, id, x, mu) =>
         val dev = x - mu
         p = math.max(0.0, p + dev - slack)
         n = math.max(0.0, n - dev - slack)
+        maxUs = math.max(maxUs, us)
         (user, id, x, r6(p), r6(n), p > threshold || n > threshold)
       }
-      st.update((p, n))
+      st.update((p, n, maxUs))
       out.iterator
     }
   }
 
   /** events must carry (user_id, ts, event_id, value); baseline is a
-    * STATIC (user_id, mu) frame — the join is stream-static. */
+    * STATIC (user_id, mu) frame — the join is stream-static.
+    * Cross-batch event-time order is REQUIRED and enforced per key —
+    * see the [[CusumProcessor]] ordered-replay contract. */
   def cusumStream(events: DataFrame, baseline: DataFrame,
                   slack: Double, threshold: Double)
       : org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Double, Boolean)] = {

@@ -35,6 +35,15 @@ object RecallProbe {
       val (ic, ie, ia) = recallOf(
         Similarity.knnIvf(emb, "vec_id", "embedding", q, 5, nList = 8, nProbe = 3))
       println(f"$d knn_ivf  common=$ic exact=$ie approx=$ia recall=${ic.toDouble / ie}%.3f")
+      val ivfP = Similarity.ivfDerivedParams(nEmb)
+      val (dc, de, da) = recallOf(
+        Similarity.knnIvfDerived(emb, "vec_id", "embedding", q, 5))
+      println(f"$d ivf_drv  nlist=${ivfP.nList} nprobe=${ivfP.nProbe} " +
+        f"common=$dc exact=$de approx=$da recall=${dc.toDouble / de}%.3f")
+      val (xc, xe, xa) = recallOf(
+        Similarity.knnIvfSq8Derived(emb, "vec_id", "embedding", q, 5))
+      println(f"$d ivfsq8d  nlist=${ivfP.nList} nprobe=${ivfP.nProbe} " +
+        f"common=$xc exact=$xe approx=$xa recall=${xc.toDouble / xe}%.3f")
       val (qc, qe, qa) = recallOf(
         Similarity.knnSq8(emb, "vec_id", "embedding", q, 5, refine = 4))
       println(f"$d knn_sq8  common=$qc exact=$qe approx=$qa recall=${qc.toDouble / qe}%.3f")

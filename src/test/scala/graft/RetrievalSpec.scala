@@ -86,6 +86,25 @@ class RetrievalSpec extends SparkSpec {
     assert(auc(Seq((0.9, 1), (0.6, 0), (0.4, 1), (0.2, 0))) == 0.75)
   }
 
+  test("rocAuc guards: high-cardinality scores fail fast with the " +
+    "quantize-first diagnosis; single-class input returns NULL auc") {
+    // continuous-score misuse: 5k distinct values over a 100-cap
+    val wide = (0 until 5000).map(i => (i / 5000.0, i % 2)).toDF("s", "y")
+    val e = intercept[IllegalArgumentException] {
+      EvalMetrics.rocAuc(wide, col("s"), col("y"),
+        maxDistinctScores = 100L).head()
+    }
+    assert(e.getMessage.contains("Quantize"))
+    // positive control: the same frame passes under a raised cap
+    assert(EvalMetrics.rocAuc(wide, col("s"), col("y"),
+      maxDistinctScores = 10000L).head().getDouble(2) > 0.0)
+    // single-class: counts present, auc explicitly NULL
+    val oneClass = Seq((0.9, 1), (0.4, 1)).toDF("s", "y")
+    val row = EvalMetrics.rocAuc(oneClass, col("s"), col("y")).head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 0L)
+    assert(row.isNullAt(2))
+  }
+
   test("cusum: constant series never alarms; a level shift drives " +
     "the positive side across the threshold, reset stays at zero") {
     val d = (0 until 10).map(i =>

@@ -307,6 +307,106 @@ class SimilaritySpec extends SparkSpec {
       s"recall collapsed: ${common.size}/${brute.size}")
   }
 
+  test("ivfDerivedParams: sqrt-growth, floors, monotone, probe caps at nList") {
+    import Similarity.ivfDerivedParams
+    // floors bind on tiny corpora
+    assert(ivfDerivedParams(10L) == Similarity.IvfParams(8, 3))
+    // sqrt rule + probe fraction at the harness sizes
+    assert(ivfDerivedParams(2000L).nList == 45)
+    assert(ivfDerivedParams(20000L).nList == 142)
+    // monotone non-decreasing in n — a future recalibration must
+    // never let a bigger corpus get a coarser grid
+    val ns = Seq(10L, 100L, 1000L, 10000L, 100000L, 10000000L)
+    val ps = ns.map(ivfDerivedParams(_))
+    ps.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.nList <= b.nList && a.nProbe <= b.nProbe)
+    }
+    // nProbe never exceeds nList (full probe is the ceiling)
+    ps.foreach(p => assert(p.nProbe <= p.nList))
+    // derived entry points stamp provenance; static paths don't
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val q = real.filter(col("vec_id") < 2)
+    val derived = Similarity.knnIvfDerived(real, "vec_id", "embedding", q, 3)
+    assert(Similarity.ivfParamsOf(derived)
+      .contains(ivfDerivedParams(real.count())))
+    val static = Similarity.knnIvf(real, "vec_id", "embedding", q, 3,
+      nList = 4, nProbe = 2)
+    assert(Similarity.ivfParamsOf(static).isEmpty)
+  }
+
+  test("semDedupDerivedK: unclamped above — k tracks n/1250 at any scale") {
+    import Similarity.semDedupDerivedK
+    assert(semDedupDerivedK(500L) == 8)     // floor
+    assert(semDedupDerivedK(20000L) == 16)  // the sf1 soak config
+    // the old 64-cell clamp is GONE: beyond 80k vectors k keeps
+    // growing, so the O(n²/k) pair law keeps its divisor (the r7
+    // soak's 35×-for-10×-data defect)
+    assert(semDedupDerivedK(100000L) == 80)
+    assert(semDedupDerivedK(100000000L) == 80000)
+  }
+
+  test("localKMeans: deterministic, total assignment, empty-cell-safe") {
+    val rnd = new scala.util.Random(11L)
+    val pts = Array.fill(200)(Array.fill(4)(rnd.nextGaussian()))
+    val (c1, a1) = Similarity.localKMeans(pts, 14)
+    val (c2, a2) = Similarity.localKMeans(pts, 14)
+    // bit-deterministic across runs (routing must be reproducible)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    assert(a1.toSeq == a2.toSeq)
+    // every point assigned to a live center
+    assert(a1.forall(a => a >= 0 && a < 14))
+    // k > n degenerates gracefully to one center per point
+    val (cBig, aBig) = Similarity.localKMeans(pts.take(3), 10)
+    assert(cBig.length == 3 && aBig.forall(_ < 3))
+  }
+
+  test("two-level centroid routing: full-probe exactness preserved, " +
+    "partial probe keeps high recall at k > threshold") {
+    // a corpus small enough to brute-check but with nList above the
+    // two-level threshold, so the coarse/refine path actually runs
+    val rnd = new scala.util.Random(3L)
+    val emb = (0L until 600L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", queries, 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nList=80 > 64: build assignment routes two-level (nProbe=1);
+    // nProbe=72 with 72*4 >= 80 forces FLAT search routing — the
+    // full-probe-ish regime must stay exact-by-construction
+    val nearFull = Similarity.knnIvf(emb, "vec_id", "embedding", queries, 5,
+      nList = 80, nProbe = 80)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearFull == brute)
+    // partial two-level probe (16*4 < 80 → coarse/refine path in the
+    // SEARCH too): recall must stay substantial — the price of the
+    // O(√k) route is bounded, not a collapse
+    val partial = Similarity.knnIvf(emb, "vec_id", "embedding", queries, 5,
+      nList = 80, nProbe = 16)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = partial.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"two-level recall collapsed: $recall")
+  }
+
+  test("knnIvfSq8Indexed over persisted codes equals the one-shot composed path") {
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = real.filter(col("vec_id") < 3)
+    val oneShot = Similarity.knnIvfSq8(real, "vec_id", "embedding", queries,
+      k = 5, nList = 4, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    val index = Similarity.ivfBuild(real, "vec_id", "embedding", nList = 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.sq8Codes(index).write.mode("overwrite").parquet(dir)
+    val viaDisk = Similarity.knnIvfSq8Indexed(index,
+      spark.read.parquet(dir), "vec_id", "embedding", queries,
+      k = 5, nProbe = 2, refine = 4)
+      .collect().map(_.toSeq).toSet
+    assert(viaDisk == oneShot && viaDisk.nonEmpty)
+  }
+
   test("ivfAddBatch: frozen-centroid ingest equals full-corpus transform") {
     val real = graft.sources.Tables.load(spark, sf, "embeddings")
     val base = real.filter(col("vec_id") >= 50)
