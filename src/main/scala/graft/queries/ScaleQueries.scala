@@ -394,6 +394,95 @@ object ScaleQueries {
        |  n_pairs, sum_cos
        |FROM route, route_s, agg""".stripMargin
 
+  /** High-threshold LSH certification on PLANTED near-duplicates —
+    * the regime hyperplane LSH is FOR (τ=0.9: the size rule, not the
+    * recall cap, picks the planes; the router's measured 0.207×-brute
+    * win). The natural corpus has ZERO pairs above cos 0.8 at every
+    * SF, so τ=0.4 rows can't witness this regime non-vacuously;
+    * instead every 20th vector gets a deterministic perturbed twin
+    * (id+10⁷, v′ᵢ = vᵢ + 0.3·v₍ᵢ mod d₎₊₁ — double arithmetic both
+    * engines replay bit-for-bit, cos(v,v′) ≈ 0.96) and the operator
+    * runs on the full planted corpus at corpus-derived params.
+    * Witnesses: `subset_ok` — every found planted pair carries the
+    * identical exact rounded cosine (the verify stage is exact);
+    * `recall_ok` — found planted pairs ≥ 0.9 of the LINEARLY-computed
+    * planted-pair truth (no O(n²) anywhere engine-side);
+    * `no_spurious` — nothing found outside the planted set (backed by
+    * the measured corpus fact above; the oracle recomputes the
+    * planted truth and the derived params from COUNT(*)). Engine
+    * cost: LSH candidates (sub-quadratic at τ=0.9 by construction)
+    * plus an O(n_planted) exact side. */
+  def dedupEmbeddingPlanted(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayDot
+    val emb = t(s, d, "embeddings")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pl = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("v"), i) +
+            lit(0.3) * element_at(col("v"), pmod(i, lit(64)) + lit(1)))
+          .as("v"))
+    val corpus = e.unionByName(pl)
+    val approx = Similarity.nearDupPairsLshDerived(corpus, "vec_id", "v",
+      threshold = 0.9, dim = 64)
+    val p = Similarity.lshParamsOf(approx).getOrElse(
+      throw new IllegalStateException(
+        "dedup_embedding_planted must use the corpus-derived LSH path"))
+    // the planted-pair truth is LINEAR: original joined to its twin
+    // by id arithmetic, exact cosine recomputed directly
+    def n2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sqrt(ArrayDot(c, c))
+    val plantedPairs = e.select(col("vec_id").as("a"), col("v").as("av"))
+      .join(pl.select((col("vec_id") - lit(10000000L)).as("a"),
+        col("vec_id").as("b"), col("v").as("bv")), "a")
+      .withColumn("cos", round(
+        ArrayDot(col("av"), col("bv")) / (n2(col("av")) * n2(col("bv"))), 6))
+      .filter(col("cos") >= 0.9)
+      .select("a", "b", "cos")
+      .localCheckpoint(eager = false) // feeds 3 certification consumers
+    val foundPlanted = approx.join(plantedPairs, Seq("a", "b", "cos"))
+    val foundPlantedAnyCos = approx.select("a", "b")
+      .join(plantedPairs.select("a", "b"), Seq("a", "b"))
+    val foundOther = approx
+      .join(plantedPairs.select("a", "b"), Seq("a", "b"), "left_anti")
+    pl.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(plantedPairs.agg(count(lit(1)).as("n_planted_above")))
+      .crossJoin(foundPlanted.agg(count(lit(1)).as("n_found_exactcos")))
+      .crossJoin(foundPlantedAnyCos.agg(count(lit(1)).as("n_found")))
+      .crossJoin(foundOther.agg(count(lit(1)).as("n_other")))
+      .select(col("n_corpus"), col("n_planted"), col("n_planted_above"),
+        lit(p.numPlanes).as("lsh_planes"), lit(p.numTables).as("lsh_tables"),
+        (col("n_found_exactcos") === col("n_found")).as("subset_ok"),
+        (col("n_found").cast("double") / col("n_planted_above") >= 0.9)
+          .as("recall_ok"),
+        (col("n_other") === 0).as("no_spurious"))
+  }
+
+  val dedupEmbeddingPlantedOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pl AS (
+       |  SELECT vec_id + 10000000 AS vec_id,
+       |    list_transform(generate_series(1, 64),
+       |      i -> v[i] + CAST(0.3 AS DOUBLE) * v[(i % 64) + 1]) AS v
+       |  FROM e WHERE vec_id % 20 = 0),
+       |sz AS (SELECT (SELECT COUNT(*) FROM e) + (SELECT COUNT(*) FROM pl) AS n),
+       |${lshParamsSql(0.9)},
+       |planted AS (
+       |  SELECT o.vec_id AS a, p.vec_id AS b,
+       |    ROUND(list_dot_product(o.v, p.v) /
+       |      (SQRT(list_dot_product(o.v, o.v)) * SQRT(list_dot_product(p.v, p.v))), 6) AS cos
+       |  FROM e o JOIN pl p ON p.vec_id = o.vec_id + 10000000)
+       |SELECT (SELECT n FROM sz) AS n_corpus,
+       |  (SELECT COUNT(*) FROM pl) AS n_planted,
+       |  (SELECT COUNT(*) FROM planted WHERE cos >= 0.9) AS n_planted_above,
+       |  planes AS lsh_planes, tabs AS lsh_tables,
+       |  TRUE AS subset_ok, TRUE AS recall_ok, TRUE AS no_spurious
+       |FROM tab""".stripMargin
+
   /** SemDeDup certification (Abbas et al. 2023 cluster-then-prune,
     * [[Similarity.semDedupPairs]]): KMeans cells with 3-probe soft
     * assignment bound the pair search, connected components pick the
@@ -1742,6 +1831,8 @@ object ScaleQueries {
     Q("dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle), bench = true),
     Q("dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshOracle)),
     Q("dedup_embedding_auto", dedupEmbeddingAuto, Some(dedupEmbeddingAutoOracle)),
+    Q("dedup_embedding_planted", dedupEmbeddingPlanted,
+      Some(dedupEmbeddingPlantedOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
