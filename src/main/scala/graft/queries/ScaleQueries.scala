@@ -504,16 +504,27 @@ object ScaleQueries {
     val emb = t(s, d, "embeddings")
     // cells sized to the corpus (k ∝ n, the SemDeDup paper's own
     // discipline — fixed k lets per-cell population, and the n²/k
-    // candidate count, grow quadratically). The ~1250-vectors/cell
-    // target is the τ = 0.4 recall floor: SemDedupProbe at the sf1
-    // soak measured recall 0.820/0.668/0.530 at k = 16/32/64 —
-    // 66°-apart "duplicates" simply straddle fine clusters, so a low
-    // threshold caps how small cells may get (recall ≥ 0.8 ⇒ cells
-    // ≥ ~1250). That is SemDeDup's honest regime boundary: at low τ
-    // the hyperplane-LSH pair path (dedup_embedding_lsh, 0.913 recall
-    // at sf1) is the better tool; cluster-then-prune wins at high τ
-    // where duplicate groups are tight (SimilaritySpec pins that
-    // regime at τ = 0.95). Derived: gate SFs → 8, sf1 soak → 16.
+    // candidate count, grow quadratically; since r8 the rule is
+    // UNCLAMPED above, with the KMeans fit sample-bounded and cell
+    // routing two-level — see semDedupDerivedK). The
+    // ~1250-vectors/cell target is the τ = 0.4 recall floor:
+    // SemDedupProbe at the sf1 soak measured recall 0.820/0.668/0.530
+    // at k = 16/32/64 — 66°-apart "duplicates" simply straddle fine
+    // clusters, so a low threshold caps how small cells may get
+    // (recall ≥ 0.8 ⇒ cells ≥ ~1250). That recall cliff is why this
+    // row's sf1 cost (~2 min) is IRREDUCIBLE at τ = 0.4: k = 16 is
+    // recall-mandated, candidates ≈ n²·probes²/(2k) ≈ 0.28·n², and
+    // r8 A/B-measured both a triangle-salted join (+70%) and the
+    // min-shared-cell dedup (parity locally, one fewer shuffle at
+    // scale) without moving that floor. It is the certification
+    // price of the adversarially-hard regime, not a defect of the
+    // operator: at high τ — SemDeDup's design regime — fine cells
+    // KEEP recall (SimilaritySpec pins ≥ 0.9 planted-pair recall at
+    // τ = 0.9 with k = 80 two-level cells), so the unclamped rule
+    // scales sub-quadratically exactly where production runs it; at
+    // low τ the honest tools are the router's brute path or the
+    // sampled certification the other embedding rows use.
+    // Derived: gate SFs → 8, sf1 soak → 16.
     val n = emb.count()
     val nClusters = Similarity.semDedupDerivedK(n)
     // The KMeans cell index is a pure function of (corpus, k, seed) —

@@ -876,13 +876,33 @@ object Similarity {
       nProbe = assignProbes)
       .select(col("cell"), col("query_id").as("id"))
       .localCheckpoint(eager = false)
-    // candidate pairs on BARE IDS (a pair can meet in up to
-    // assignProbes² shared cells — dedup before the vectors attach,
-    // so the wide rows never shuffle twice)
-    val cands = assigned
-      .join(assigned.select(col("cell"), col("id").as("b_id")), "cell")
-      .filter(col("id") < col("b_id"))
-      .select(col("id").as("a_id"), col("b_id")).distinct()
+    // candidate pairs on BARE IDS, deduped by the MIN-SHARED-CELL
+    // rule instead of a distinct(): a pair meeting in up to
+    // assignProbes shared cells is emitted only from the smallest
+    // shared cell id — each side carries its (tiny, sorted) probe-
+    // cell array through the self-join, and the row survives iff the
+    // join cell equals min(cells_a ∩ cells_b). Unique by
+    // construction, so the n²·probes²/k-row candidate table — the
+    // LARGEST intermediate of the whole operator — is never
+    // shuffled for dedup at all (measured at the 20k-vector soak:
+    // the distinct's hash-exchange of ~10⁸ id-pairs dominated the
+    // gate row; a per-row 3-element array intersect replaces it.
+    // A triangle-salted variant of the join was also measured and
+    // REJECTED: +70% — the cost is candidate volume, not join-key
+    // parallelism). At 100 TB the same argument holds a fortiori:
+    // one extra n-row shuffle (the cell-set aggregation) buys away
+    // a candidate-table-sized one.
+    val cellSets = assigned.groupBy("id")
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+    val withSets = assigned.join(cellSets, "id")
+      .localCheckpoint(eager = false) // feeds both sides of the join
+    val cands = withSets
+      .join(withSets.select(col("cell"), col("id").as("b_id"),
+        col("cells").as("b_cells")), "cell")
+      .filter(col("id") < col("b_id") &&
+        col("cell") === array_min(array_intersect(col("cells"),
+          col("b_cells"))))
+      .select(col("id").as("a_id"), col("b_id"))
     cands
       .join(base.select(col("neighbor_id").as("a_id"),
         col("neighborv").as("av"), col("neighbornorm").as("anorm")), "a_id")

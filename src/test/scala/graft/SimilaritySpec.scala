@@ -428,6 +428,47 @@ class SimilaritySpec extends SparkSpec {
     assert(hits.map(_.getLong(0)).toSet == Set(0L, 1L, 2L))
   }
 
+  test("semDedup high-τ regime: unclamped fine cells + two-level routing " +
+    "keep planted-duplicate recall") {
+    // SemDeDup's intended regime (the paper prunes TIGHT duplicates):
+    // plant a perturbed twin (cos ≈ 0.96) for every 5th real vector,
+    // then run with k ABOVE the two-level threshold — cells of ~7
+    // vectors, the shape the unclamped semDedupDerivedK produces at
+    // corpus scale. Twins quantize to the same (or a probed-adjacent)
+    // cell, so recall must stay high even though the same k at τ=0.4
+    // would collapse it — pinning that the r8 structural changes
+    // (no k cap, sampled fit, two-level assignment) are sound exactly
+    // where the operator is designed to live.
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val e = real.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pl = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("v"), i) +
+            lit(0.3) * element_at(col("v"), pmod(i, lit(64)) + lit(1)))
+          .as("v"))
+    val corpus = e.unionByName(pl)
+    val planted = e.select(col("vec_id").as("a"), col("v").as("av"))
+      .join(pl.select((col("vec_id") - lit(10000000L)).as("a"),
+        col("vec_id").as("b"), col("v").as("bv")), "a")
+      .withColumn("cos", round(
+        graft.functions.ArrayDot(col("av"), col("bv")) /
+          (sqrt(graft.functions.ArrayDot(col("av"), col("av"))) *
+            sqrt(graft.functions.ArrayDot(col("bv"), col("bv")))), 6))
+      .filter(col("cos") >= 0.9)
+      .select("a", "b")
+    val k = 80 // > twoLevelCellThreshold → coarse/refine assignment runs
+    val pairs = Similarity.semDedupPairs(corpus, "vec_id", "v",
+      threshold = 0.9, nClusters = k, assignProbes = 3)
+      .select("a", "b")
+    val nPlanted = planted.count()
+    val found = pairs.join(planted, Seq("a", "b")).count()
+    assert(nPlanted > 50, s"plant too small: $nPlanted")
+    assert(found.toDouble / nPlanted >= 0.9,
+      s"high-τ fine-cell recall collapsed: $found/$nPlanted")
+  }
+
   test("semDedup keeps exactly one representative per duplicate group") {
     import spark.implicits._
     // two tight duplicate groups along axes 0 and 1, plus two isolated
