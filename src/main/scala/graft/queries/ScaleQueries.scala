@@ -258,7 +258,12 @@ object ScaleQueries {
         lit(pFull.numPlanes).as("lsh_planes_full"),
         lit(pFull.numTables).as("lsh_tables_full"),
         (col("n_bad") === 0).as("subset_ok"),
-        (col("n_common").cast("double") / col("n_exact") >= 0.8).as("recall_ok"))
+        // zero-pair guard (same as dedup_semantic's): n_exact is the
+        // SAMPLED exact count now — a sample with no qualifying pair
+        // would make n_common/0 NULL vs the oracle's literal TRUE
+        (col("n_exact") === 0 ||
+          col("n_common").cast("double") / col("n_exact") >= 0.8)
+          .as("recall_ok"))
   }
 
   /** DuckDB replay of [[Similarity.lshDerivedParams]] at threshold
@@ -534,8 +539,15 @@ object ScaleQueries {
     // the fit. The fingerprint stamp invalidates on data change, and
     // k is derived from n, so a changed corpus can never be served a
     // stale or mis-sized index.
-    val index = ivfLoadOrBuild(s, "target/ivf_index_semantic", d)(
-      Similarity.ivfBuild(emb, "vec_id", "embedding", nClusters))
+    // tag = derived k (the knn_ivf_prebuilt discipline): a
+    // semDedupDerivedK recalibration must invalidate the memo — this
+    // row emits no k column, so a stale-k index would otherwise keep
+    // passing the gate while certifying a config the code no longer
+    // derives
+    val index = ivfLoadOrBuild(s, "target/ivf_index_semantic", d,
+      tag = s"k=$nClusters")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", nClusters,
+        knownN = Some(n)))
     val semPairs = Similarity.semDedupPairsIndexed(index,
       threshold = 0.4, assignProbes = 3)
       .localCheckpoint(eager = false) // feeds 4 certification consumers
@@ -549,10 +561,7 @@ object ScaleQueries {
     // kept/dropped partition stay FULL-corpus. Integer permille =
     // min(1000, 1_000_000/n) so Spark and DuckDB compare identical
     // integers (cap·1000/n with cap = 1000).
-    val permille = math.min(1000L, 1000000L / math.max(1L, n))
-    val keep = graft.scaleops.TrainingData.mixtureKeep(
-      col("vec_id"), lit(permille.toDouble / 1000.0))
-    val sampled = emb.filter(keep)
+    val (sampled, permille) = embSample(emb, n)
     val exactS = Similarity.nearDupPairs(sampled, "vec_id", "embedding",
       threshold = 0.4)
       .localCheckpoint(eager = false) // sampled twin, 3 consumers below
@@ -593,14 +602,7 @@ object ScaleQueries {
   }
 
   val dedupSemanticOracle: String =
-    """WITH perm AS (
-      |  SELECT LEAST(1000, 1000000 // GREATEST(1, COUNT(*))) AS permille
-      |  FROM embeddings),
-      |s AS (
-      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |  FROM embeddings, perm
-      |  WHERE ((((vec_id % 1000003) + 1000003) % 1000003) * 2654435761)
-      |    % 1000 < permille),
+    s"""WITH $embSampleCte,
       |p AS (
       |  SELECT a.vec_id AS a, b.vec_id AS b,
       |    ROUND(list_dot_product(a.v, b.v) /
@@ -964,10 +966,12 @@ object ScaleQueries {
   def knnIvfSq8Prebuilt(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
-    val p = Similarity.ivfDerivedParams(emb.count())
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
     val index = ivfLoadOrBuild(s, "target/ivf_index_sq8", d,
       tag = s"nList=${p.nList}")(
-      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList))
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
     val codesPath = ivfMemoDir("target/ivf_index_sq8", d) + "/sq8_codes"
     if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
       Similarity.sq8Codes(index).write.mode("overwrite").parquet(codesPath)
@@ -1076,10 +1080,12 @@ object ScaleQueries {
     // same corpus-derived sizing as knn_ivf (the tag invalidates the
     // saved index if the derivation rule ever changes); the loaded
     // seed-42 build is identical to knn_ivf's, so recall matches
-    val p = Similarity.ivfDerivedParams(emb.count())
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
     val index = ivfLoadOrBuild(s, "target/ivf_index", d,
       tag = s"nList=${p.nList}")(
-      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList))
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
     knnCertify(
       Similarity.ivfSearch(index, "vec_id", "embedding", q, k = 5,
         nProbe = p.nProbe),

@@ -381,19 +381,25 @@ object Similarity {
   private[graft] val ivfFitSampleCap = 65536L
 
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
-               nList: Int = 16, seed: Long = 42L): IvfIndex = {
+               nList: Int = 16, seed: Long = 42L,
+               knownN: Option[Long] = None): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val prep = prepped(emb, idCol, vecCol, "neighbor")
       .withColumn("fv", array_to_vector(col("neighborv")))
-    val n = prep.count()
+    // derived-sizing callers already counted the corpus for params —
+    // accept that count instead of paying a second full-scan job
+    val n = knownN.getOrElse(prep.count())
     val fitSet =
       if (n <= ivfFitSampleCap) prep
       else {
-        // permille chosen so the expected sample lands near the cap;
-        // pmod(hash(id)) is stable across partitionings and sessions
-        val permille = math.max(1L, ivfFitSampleCap * 1000L / n)
-        prep.filter(pmod(hash(col("neighbor_id")), lit(1000)) < permille)
+        // parts-per-MILLION keep rate so the expected sample lands
+        // near the cap at ANY corpus size (permille granularity
+        // pegged at 1/1000 above n = 65.5M, letting the fit set grow
+        // as n/1000 — unbounded, the exact blow-up the cap exists to
+        // prevent); pmod(hash(id)) is stable across partitionings
+        val ppm = math.max(1L, ivfFitSampleCap * 1000000L / n)
+        prep.filter(pmod(hash(col("neighbor_id")), lit(1000000)) < ppm)
       }
     // Few iterations suffice: correctness never depends on centroid
     // quality (full-probe search is exact for ANY cell assignment;
@@ -520,6 +526,25 @@ object Similarity {
       }
       it += 1
     }
+    // final assignment pass against the FINAL centers: the loop
+    // updates centers after its last assignment, so without this the
+    // returned grouping is stale by one Lloyd's step and a fine
+    // centroid can sit in a group its nearest (returned) coarse
+    // center doesn't own — probing that coarse cell would miss it,
+    // an undocumented recall leak on top of coarse routing.
+    var i = 0
+    while (i < n) {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < kk) {
+        var d2 = 0.0; var j = 0
+        val p = points(i); val ce = centers(c)
+        while (j < p.length) { val dj = p(j) - ce(j); d2 += dj * dj; j += 1 }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      assign(i) = best
+      i += 1
+    }
     (centers, assign)
   }
 
@@ -617,9 +642,10 @@ object Similarity {
   /** One-shot convenience: build + search. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, nList: Int = 16,
-             nProbe: Int = 4, seed: Long = 42L): DataFrame =
-    ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed), idCol, vecCol,
-      queries, k, nProbe)
+             nProbe: Int = 4, seed: Long = 42L,
+             knownN: Option[Long] = None): DataFrame =
+    ivfSearch(ivfBuild(emb, idCol, vecCol, nList, seed, knownN), idCol,
+      vecCol, queries, k, nProbe)
 
   /** Corpus-derived IVF sizing — the same derivation discipline as
     * [[lshDerivedParams]] (one rule shared by gate, probes, and
@@ -671,19 +697,22 @@ object Similarity {
     * point (one count() pass buys a size-correct cell grid). */
   def knnIvfDerived(emb: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, k: Int, seed: Long = 42L): DataFrame = {
-    val p = ivfDerivedParams(emb.count())
+    val n = emb.count()
+    val p = ivfDerivedParams(n)
     stampIvfParams(
-      knnIvf(emb, idCol, vecCol, queries, k, p.nList, p.nProbe, seed), p)
+      knnIvf(emb, idCol, vecCol, queries, k, p.nList, p.nProbe, seed,
+        knownN = Some(n)), p)
   }
 
   /** [[knnIvfSq8]] with corpus-derived sizing. */
   def knnIvfSq8Derived(emb: DataFrame, idCol: String, vecCol: String,
                        queries: DataFrame, k: Int, refine: Int = 4,
                        seed: Long = 42L): DataFrame = {
-    val p = ivfDerivedParams(emb.count())
+    val n = emb.count()
+    val p = ivfDerivedParams(n)
     stampIvfParams(
       knnIvfSq8(emb, idCol, vecCol, queries, k, p.nList, p.nProbe, refine,
-        seed), p)
+        seed, knownN = Some(n)), p)
   }
 
   /** ANN top-k via int8 scalar quantization + exact re-rank — the
@@ -750,8 +779,8 @@ object Similarity {
   def knnIvfSq8(emb: DataFrame, idCol: String, vecCol: String,
                 queries: DataFrame, k: Int, nList: Int = 16,
                 nProbe: Int = 4, refine: Int = 4,
-                seed: Long = 42L): DataFrame = {
-    val index = ivfBuild(emb, idCol, vecCol, nList, seed)
+                seed: Long = 42L, knownN: Option[Long] = None): DataFrame = {
+    val index = ivfBuild(emb, idCol, vecCol, nList, seed, knownN)
     knnIvfSq8Indexed(index, sq8Codes(index), idCol, vecCol, queries, k,
       nProbe, refine)
   }
@@ -844,8 +873,10 @@ object Similarity {
 
   def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
                     threshold: Double, nClusters: Int = 16,
-                    assignProbes: Int = 2, seed: Long = 42L): DataFrame =
-    semDedupPairsIndexed(ivfBuild(emb, idCol, vecCol, nClusters, seed),
+                    assignProbes: Int = 2, seed: Long = 42L,
+                    knownN: Option[Long] = None): DataFrame =
+    semDedupPairsIndexed(
+      ivfBuild(emb, idCol, vecCol, nClusters, seed, knownN),
       threshold, assignProbes)
 
   /** [[semDedupPairs]] over an ALREADY-BUILT cluster index — the

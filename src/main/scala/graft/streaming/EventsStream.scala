@@ -167,21 +167,30 @@ object EventsStream {
     * (or `maxFilesPerTrigger` splitting one day across triggers out
     * of order) would silently produce a different trajectory. The
     * state therefore carries the max event time already folded per
-    * key, and a cross-batch regression THROWS with the contract in
-    * the message (fail-fast house style — a monitoring statistic that
-    * quietly diverges from its batch twin is worse than a stopped
-    * query). Feed the stream in event-time order (single files per
-    * key-day, or an upstream watermark+sort stage). */
+    * key — (event time, event id), the batch twin's full sort key,
+    * because equal-timestamp events split across micro-batches would
+    * otherwise replay in a different order than the batch (ts, id)
+    * sort with no violation detectable from time alone — and a
+    * cross-batch regression THROWS with the contract in the message
+    * (fail-fast house style — a monitoring statistic that quietly
+    * diverges from its batch twin is worse than a stopped query).
+    * Feed the stream in event-time order (single files per key-day,
+    * or an upstream watermark+sort stage).
+    *
+    * State-schema note: the tracked watermark widened the per-key
+    * state from (s⁺, s⁻) to (s⁺, s⁻, maxUs, lastId) — a checkpoint
+    * written by a pre-r8 build cannot be resumed (state rows fail to
+    * decode); restart such a query from a FRESH checkpoint dir. */
   class CusumProcessor(slack: Double, threshold: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double, Double),
         (Long, Long, Double, Double, Double, Boolean)] {
     import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
-    @transient private var st: ValueState[(Double, Double, Long)] = _
+    @transient private var st: ValueState[(Double, Double, Long, Long)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      st = getHandle.getValueState[(Double, Double, Long)]("cusum",
-        org.apache.spark.sql.Encoders.product[(Double, Double, Long)],
+      st = getHandle.getValueState[(Double, Double, Long, Long)]("cusum",
+        org.apache.spark.sql.Encoders.product[(Double, Double, Long, Long)],
         TTLConfig.NONE)
 
     override def handleInputRows(user: Long,
@@ -190,25 +199,32 @@ object EventsStream {
         : Iterator[(Long, Long, Double, Double, Double, Boolean)] = {
       // (user, us, id, x, mu) sorted by event time within the batch
       val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-      var (p, n, maxUs) =
-        if (st.exists()) st.get() else (0.0, 0.0, Long.MinValue)
-      if (sorted.nonEmpty && maxUs != Long.MinValue && sorted.head._2 < maxUs)
+      var (p, n, maxUs, lastId) =
+        if (st.exists()) st.get() else (0.0, 0.0, Long.MinValue, Long.MinValue)
+      // the guard compares the batch twin's FULL sort key (us, id):
+      // time alone cannot see an equal-timestamp pair split across
+      // batches arriving id-descending, which reorders the clamped
+      // fold and silently diverges the trajectory
+      if (sorted.nonEmpty && maxUs != Long.MinValue &&
+          (sorted.head._2 < maxUs ||
+            (sorted.head._2 == maxUs && sorted.head._3 <= lastId)))
         throw new IllegalStateException(
-          s"cusumStream: key $user received event time ${sorted.head._2}µs " +
-            s"after already folding up to ${maxUs}µs — cross-batch " +
-            "event-time order is the CUSUM replay contract (see " +
-            "CusumProcessor scaladoc); deliver files in event-time order " +
-            "or pre-sort upstream")
+          s"cusumStream: key $user received event (us=${sorted.head._2}, " +
+            s"id=${sorted.head._3}) after already folding up to " +
+            s"(us=$maxUs, id=$lastId) — cross-batch (event-time, id) " +
+            "order is the CUSUM replay contract (see CusumProcessor " +
+            "scaladoc); deliver files in event-time order or pre-sort " +
+            "upstream")
       def r6(v: Double): Double = BigDecimal(v)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val out = sorted.map { case (_, us, id, x, mu) =>
         val dev = x - mu
         p = math.max(0.0, p + dev - slack)
         n = math.max(0.0, n - dev - slack)
-        maxUs = math.max(maxUs, us)
+        maxUs = us; lastId = id // sorted within batch ⇒ running max
         (user, id, x, r6(p), r6(n), p > threshold || n > threshold)
       }
-      st.update((p, n, maxUs))
+      st.update((p, n, maxUs, lastId))
       out.iterator
     }
   }
