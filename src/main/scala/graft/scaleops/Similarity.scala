@@ -380,6 +380,19 @@ object Similarity {
     * (full-probe search is exact for ANY cell assignment). */
   private[graft] val ivfFitSampleCap = 65536L
 
+  /** Parts-per-BILLION keep rate for the fit sample at corpus size
+    * `n` — named so the boundedness claim is spec-testable: expected
+    * sample = ppb·n/10⁹ stays in [cap/2, cap] for every n up to
+    * cap·10⁹ ≈ 6.5×10¹³ vectors (≈ 17 PB of 64-dim floats — beyond
+    * any corpus this engine will see; a permille-granularity rate
+    * pegs at its floor already at n = 65.5M and grows the fit set as
+    * n/1000). The matching filter hashes with 64-bit xxhash64 — a
+    * 32-bit hash modulo 10⁹ is visibly non-uniform (4-vs-5 preimages
+    * per residue). */
+  private[graft] val fitSampleModulus = 1000000000L
+  private[graft] def fitSampleKeepPpb(n: Long): Long =
+    math.max(1L, ivfFitSampleCap * fitSampleModulus / n)
+
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
                nList: Int = 16, seed: Long = 42L,
                knownN: Option[Long] = None): IvfIndex = {
@@ -393,13 +406,12 @@ object Similarity {
     val fitSet =
       if (n <= ivfFitSampleCap) prep
       else {
-        // parts-per-MILLION keep rate so the expected sample lands
-        // near the cap at ANY corpus size (permille granularity
-        // pegged at 1/1000 above n = 65.5M, letting the fit set grow
-        // as n/1000 — unbounded, the exact blow-up the cap exists to
-        // prevent); pmod(hash(id)) is stable across partitionings
-        val ppm = math.max(1L, ivfFitSampleCap * 1000000L / n)
-        prep.filter(pmod(hash(col("neighbor_id")), lit(1000000)) < ppm)
+        // parts-per-BILLION keep rate so the expected sample lands
+        // near the cap at ANY corpus size ([[fitSampleKeepPpb]] —
+        // spec-pinned boundedness); pmod(xxhash64(id)) is stable
+        // across partitionings and sessions
+        prep.filter(pmod(xxhash64(col("neighbor_id")),
+          lit(fitSampleModulus)) < fitSampleKeepPpb(n))
       }
     // Few iterations suffice: correctness never depends on centroid
     // quality (full-probe search is exact for ANY cell assignment;

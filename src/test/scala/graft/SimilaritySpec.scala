@@ -334,6 +334,26 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfParamsOf(static).isEmpty)
   }
 
+  test("fitSampleKeepPpb: expected fit sample stays near the cap at any n") {
+    import Similarity.{fitSampleKeepPpb, fitSampleModulus, ivfFitSampleCap}
+    // the boundedness claim the scaladoc makes: expected sample
+    // = ppb·n/1e9 within [cap/2, cap] for every corpus size above the
+    // cap up to cap·1e9 — including the regimes where a permille rate
+    // pegged at its floor (n > 65.5M grew the fit set as n/1000; at
+    // n = 6.5e9 that was 100× the cap) and a ppm rate pegged at its
+    // floor (n > 6.55e10 grew it as n/1e6 — 4e11 vectors is a
+    // plausible 100 TB corpus)
+    for (n <- Seq(100000L, 1000000L, 65537000L, 6500000000L,
+        400000000000L, 65000000000000L)) {
+      val expected =
+        fitSampleKeepPpb(n).toDouble * n / fitSampleModulus.toDouble
+      assert(expected <= ivfFitSampleCap.toDouble,
+        s"n=$n expected=$expected above cap")
+      assert(expected >= ivfFitSampleCap / 2.0,
+        s"n=$n expected=$expected below cap/2 — sample too thin")
+    }
+  }
+
   test("semDedupDerivedK: unclamped above — k tracks n/1250 at any scale") {
     import Similarity.semDedupDerivedK
     assert(semDedupDerivedK(500L) == 8)     // floor
