@@ -34,16 +34,28 @@ object TrainingDataQueries {
     * on the REDACTED text must find zero residual hits (a broken
     * pattern or replacement order flips it). */
   def piiRedact(s: SparkSession, d: String): DataFrame = {
-    val base = withPii(docs(s, d))
-    // one-traversal audit shapes (r8): combined-alternation counts +
-    // total residual — 12 full-text regex passes down to 6 (counts
-    // 4→1, residual 4→1; redaction keeps its 4 sequential per-class
-    // passes, the semantics reference). Same oracle: DuckDB still
-    // counts per class independently, pinning the no-overlap equality
-    val counts = TrainingData.piiCountsCombined(col("text2"))
-    val redacted = TrainingData.piiRedact(col("text2"))
-    val residual = TrainingData.piiTotalCount(redacted)
-    base
+    // WIDTH BEFORE WEIGHT: the documents table is bytes-small (one
+    // parquet file → ONE scan partition at any maxPartitionBytes —
+    // a row group is unsplittable), but this query is regex-heavy
+    // per row, so without an explicit repartition every pass runs on
+    // a single core. A ~20 MB shuffle buys 32-way parallelism for
+    // the dominant cost (measured at the sf1 soak: the single-task
+    // plan was the floor under every regex-count optimization).
+    val base = withPii(docs(s, d).repartition(col("doc_id")))
+    // guarded per-class passes throughout (r8): a combined-alternation
+    // fold was tried first and MEASURED SLOWER (23.9 s vs 12.0 s at
+    // sf1 — see TrainingData.piiGuard); the cheap exact guards skip
+    // regex work on every digit-free/'@'-free document instead. Same
+    // oracle: DuckDB counts per class independently, unguarded.
+    val counts = TrainingData.piiCounts(col("text2"))
+    // per-class staged redaction (piiRedactStaged): the single-Column
+    // chain re-evaluates inner classes up to 3^k times (guard + both
+    // branches reference the previous class, and subexpression
+    // elimination skips conditional branches) — staged attributes
+    // evaluate each class once per row
+    val staged = TrainingData.piiRedactStaged(base, "text2", "red")
+    val residual = TrainingData.piiResidualCount(col("red"))
+    staged
       .select(Seq(col("source"), residual.as("resid")) ++
         counts.map { case (n, c) => c.as(n) }: _*)
       .groupBy("source")

@@ -41,61 +41,79 @@ object TrainingData {
     "\\+?\\b[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}\\b" -> "<PHONE>",
     s"\\b$octet(\\.$octet){3}\\b" -> "<IP>")
 
-  /** Replace every PII occurrence with its tag. One pass per pattern
-    * class, all inside WholeStageCodegen. */
+  /** Exact cheap pre-guard per class — NOT a regex: the email
+    * pattern cannot match without a literal '@' (substring probe),
+    * and card/phone/IP cannot match a digit-free string (`translate`
+    * strip-and-compare, a single char-map pass). A guarded document
+    * skips the regex traversal entirely, with IDENTICAL results —
+    * the guard is an implication of the pattern, not a heuristic.
+    *
+    * This, not pass-fusion, is the measured win (r8, sf1 solo): the
+    * four classes folded into ONE alternation regex ran 23.9 s vs
+    * the sequential passes' 12.0 s — Java regex alternation pays
+    * every branch's per-position attempt with no literal fast path,
+    * so fusing traversals FUSES THEIR COSTS TOO. The guards instead
+    * remove regex work outright: prose without digits or '@' (most
+    * of any natural corpus) pays two memchr-grade probes and zero
+    * regex. Guard cost is ~1% of a regex pass even when it never
+    * skips. Null text yields 0 under a guard (vs NULL unguarded) —
+    * PII audits treat absent text as zero hits. */
+  private def piiGuard(tag: String, text: Column): Column =
+    if (tag == "<EMAIL>") instr(text, "@") > 0
+    else length(translate(text, "0123456789", "")) < length(text)
+
+  /** Replace every PII occurrence with its tag. One guarded pass per
+    * pattern class, all inside WholeStageCodegen ([[piiGuard]] —
+    * unguarded documents pass through byte-identical without regex
+    * work).
+    *
+    * EXPRESSION-NESTING HAZARD: as a single Column, each class's
+    * output feeds the next class's guard, then-branch AND
+    * else-branch — three references — and Spark's subexpression
+    * elimination skips conditional branches, so the nested chain
+    * re-evaluates inner classes up to 3^k times. Fine on test-sized
+    * data; corpus-sized callers must use [[piiRedactStaged]], which
+    * stages each class as its own projection column (attribute
+    * references, linear evaluation). */
   def piiRedact(text: Column): Column =
     piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
-      regexp_replace(c, pat, tag)
+      when(piiGuard(tag, c), regexp_replace(c, pat, tag)).otherwise(c)
+    }
+
+  /** [[piiRedact]] with each class staged as its own projection step
+    * writing `outCol` — the corpus-scale shape: every guard/branch
+    * references the PREVIOUS stage's materialized attribute (cheap),
+    * so the chain evaluates each class exactly once per row
+    * (CollapseProject keeps the stages split: the stage expression is
+    * non-cheap and multiply-referenced). */
+  def piiRedactStaged(df: DataFrame, inCol: String,
+                      outCol: String): DataFrame =
+    piiPatterns.zipWithIndex.foldLeft(
+      df.withColumn(outCol, col(inCol))) {
+      case (acc, ((pat, tag), _)) =>
+        acc.withColumn(outCol,
+          when(piiGuard(tag, col(outCol)),
+            regexp_replace(col(outCol), pat, tag))
+            .otherwise(col(outCol)))
     }
 
   /** Count of PII hits per class (before redaction) — the audit
-    * columns a curation report needs. One full-text traversal PER
-    * CLASS; [[piiCountsCombined]] is the one-traversal variant for
-    * full-corpus audits. */
+    * columns a curation report needs. One guarded traversal per
+    * class ([[piiGuard]]). */
   def piiCounts(text: Column): Seq[(String, Column)] =
     piiPatterns.map { case (pat, tag) =>
       val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
-      s"n_$name" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+      s"n_$name" -> when(piiGuard(tag, text),
+        size(regexp_extract_all(text, lit(pat), lit(0)))).otherwise(lit(0))
     }
 
-  /** All four classes as ONE ordered alternation — one regex
-    * traversal finds every PII span (class priority = pattern order,
-    * same as the sequential passes: cards before phones). */
-  val piiCombinedPattern: String =
-    piiPatterns.map { case (p, _) => s"(?:$p)" }.mkString("|")
-
-  /** Per-class hit counts from ONE combined traversal: extract every
-    * PII span with the alternation, then classify each (short)
-    * matched span by anchored per-class re-match — the classification
-    * regexes run over ~10–30-char spans, not the document. Equals
-    * [[piiCounts]] whenever class spans don't overlap (a phone
-    * embedded in a matched email span would be counted by the
-    * per-class scan but consumed by the alternation; no such text
-    * survives curation-grade patterns on realistic corpora, and the
-    * gate corpus has none — the oracle's independent per-class counts
-    * pin the equality). 4 traversals → 1 is the dominant cost of the
-    * full-corpus audit ([[graft.queries.TrainingDataQueries]]). */
-  def piiCountsCombined(text: Column): Seq[(String, Column)] = {
-    val spans = regexp_extract_all(text, lit(piiCombinedPattern), lit(0))
-    piiPatterns.map { case (pat, tag) =>
-      val name = tag.stripPrefix("<").stripSuffix(">").toLowerCase
-      // first-matching-class discipline mirrors the alternation's
-      // priority: a span counts for the FIRST class that fully
-      // matches it, so no span is ever double-counted
-      val priorPats = piiPatterns.takeWhile(_._2 != tag).map(_._1)
-      val isThis = (m: Column) =>
-        priorPats.foldLeft(m.rlike(s"^(?:$pat)$$")) { case (acc, prior) =>
-          acc && !m.rlike(s"^(?:$prior)$$")
-        }
-      s"n_$name" -> size(filter(spans, isThis))
-    }
-  }
-
-  /** Total PII spans in one traversal — the residual-audit column
-    * (re-detection over already-redacted text needs no per-class
-    * split: any hit at all is a defect). */
-  def piiTotalCount(text: Column): Column =
-    size(regexp_extract_all(text, lit(piiCombinedPattern), lit(0)))
+  /** Total residual PII spans — the re-detection audit over
+    * already-redacted text (any hit at all is a defect, no per-class
+    * split needed). Sum of the guarded per-class counts; on redacted
+    * text the replacement tags carry no digits or '@', so a fully
+    * redacted corpus short-circuits to pure guard cost. */
+  def piiResidualCount(text: Column): Column =
+    piiCounts(text).map(_._2).reduce(_ + _)
 
   // ---- repetition / quality gates ---------------------------------------
 
