@@ -15,6 +15,19 @@ object ScaleQueries {
   private def t(s: SparkSession, d: String, n: String): DataFrame =
     Tables.load(s, d, n)
 
+  /** Width-before-weight load for per-row-HEAVY ops (shingling,
+    * n-gram scoring, tokenize-everything maps) over a bytes-small
+    * table: one parquet file is ONE scan partition at any
+    * maxPartitionBytes (a row group is unsplittable), so without an
+    * explicit repartition the heavy map runs on a single core of 32.
+    * The shuffle costs megabytes; the map is the dominant term
+    * (measured on text_pii_redact at the sf1 soak: 8.7 → 2.3 s).
+    * Only for heavy maps — plain column scans and filters stay on
+    * [[t]] (an unconditional shuffle would tax every cheap query). */
+  private def tw(s: SparkSession, d: String, n: String,
+                 key: String): DataFrame =
+    t(s, d, n).repartition(col(key))
+
   // ---- text analysis ---------------------------------------------------
   def textTokens(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents").select(
@@ -32,7 +45,7 @@ object ScaleQueries {
       |FROM documents""".stripMargin
 
   def textQuality(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tw(s, d, "documents", "doc_id")
     val withCols = TextAnalysis.qualityColumns(col("text"))
       .foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
@@ -72,7 +85,7 @@ object ScaleQueries {
   }
 
   def textLangId(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    tw(s, d, "documents", "doc_id")
       .select(col("lang"), TextAnalysis.langId(col("text")).as("pred_lang"))
       .groupBy("lang", "pred_lang")
       .agg(count(lit(1)).as("n"))
@@ -112,7 +125,7 @@ object ScaleQueries {
       |FROM g""".stripMargin
 
   def dedupMinHash(s: SparkSession, d: String): DataFrame =
-    Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
+    Dedup.minHashNearDups(tw(s, d, "documents", "doc_id"), "doc_id", "text",
       shingleK = 3, minJaccard = 0.6)
 
   /** Brute-force exact-Jaccard oracle — valid because the Spark side
@@ -1149,8 +1162,8 @@ object ScaleQueries {
     * candidate set degenerates to nearly all n²/2 pairs for ANY exact
     * algorithm — that's what MinHash banding (dedup_minhash) is for. */
   def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-      shingleK = 2, minJaccard = 0.8)
+    Dedup.exactJaccardPairs(tw(s, d, "documents", "doc_id"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
 
   /** Shared CTE text: bigram shingles + brute-force Jaccard pairs —
     * used by both the pair query's oracle and the connected-components
@@ -1181,8 +1194,8 @@ object ScaleQueries {
     * 0.9 — catches a short doc quoted inside a long one, where
     * Jaccard collapses with the size gap. */
   def textContainment(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
-      shingleK = 2, minContainment = 0.9)
+    Dedup.containmentPairs(tw(s, d, "documents", "doc_id"), "doc_id",
+      "text", shingleK = 2, minContainment = 0.9)
 
   val textContainmentOracle: String =
     s"""WITH $jaccardPairCtes,
@@ -1462,6 +1475,11 @@ object ScaleQueries {
     * checkpoint-pinned because it feeds ≥2 consumers (the stage
     * filter and the stage count). */
   def docsCurationE2e(s: SparkSession, d: String): DataFrame = {
+    // deliberately NOT width-repartitioned ([[tw]]): measured at the
+    // sf1 soak, the extra exchange under the checkpoint-pinned stage
+    // chain costs more than the map work it parallelizes here
+    // (9.4 s vs 7.0 s min-of-3) — this row's time is stage
+    // composition, not a single heavy scan map
     val docs = t(s, d, "documents")
     val gated = graft.scaleops.TrainingData
       .gopherGate(docs, "doc_id", "text", minTokens = 10)
@@ -1597,7 +1615,7 @@ object ScaleQueries {
     // feeds both the keep-aggregation and the semi join — without the
     // checkpoint all the regex/tokenize scoring runs twice, and
     // without the projection the checkpoint would materialize text
-    val docs = t(s, d, "documents")
+    val docs = tw(s, d, "documents", "doc_id")
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
       .filter(col("quality") >= 0.5 && col("pred_lang") === col("lang"))

@@ -181,7 +181,10 @@ object TrainingDataQueries {
   /** Per-doc duplicated-span coverage (k=8 windows, ≥2 occurrences
     * corpus-wide) — the Lee-et-al dedup report shape. */
   def dupSpans(s: SparkSession, d: String): DataFrame =
-    TrainingData.duplicatedSpans(docs(s, d), "doc_id", "text", k = 8)
+    // width-before-weight (see ScaleQueries.tw): k-gram span explode
+    // over a one-file scan partition runs single-core without this
+    TrainingData.duplicatedSpans(docs(s, d).repartition(col("doc_id")),
+      "doc_id", "text", k = 8)
 
   val dupSpansOracle: String =
     """WITH t AS (
@@ -468,7 +471,8 @@ object TrainingDataQueries {
     * corpus' trigram overlap tops out at 3 shared — threshold 2
     * flags the ~90-doc tail, exercising both branches). */
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val all = docs(s, d)
+    // width-before-weight (see ScaleQueries.tw) for the shingle build
+    val all = docs(s, d).repartition(col("doc_id"))
     TrainingData.contamination(
       all.filter(col("source") =!= "src19"),
       all.filter(col("source") === "src19"),
