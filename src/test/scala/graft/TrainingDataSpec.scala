@@ -31,6 +31,25 @@ class TrainingDataSpec extends SparkSpec {
     assert(resid == 0L)
   }
 
+  test("piiRedactStaged equals the single-Column redact on every class mix") {
+    // the staged form exists purely for evaluation-count (the nested
+    // Column chain re-runs inner classes up to 3^k times); its OUTPUT
+    // must be byte-identical — including multi-class docs where class
+    // order matters (card before phone) and guard-skipped docs
+    val df = Seq(
+      (1L, "a.b@x.org and 10.0.0.1 and 4111 1111 1111 1111 and 555-123-4567"),
+      (2L, "digits 1234 but no pii beyond 999.1.2.3 wait that redacts: 250.1.2.3"),
+      (3L, "no sensitive content at all"),
+      (4L, "")).toDF("doc_id", "text")
+    val both = TrainingData.piiRedactStaged(df, "text", "red_staged")
+      .withColumn("red_col", TrainingData.piiRedact(col("text")))
+    assert(both.filter(col("red_staged") =!= col("red_col")).isEmpty)
+    // and the staged output still carries zero residual
+    val resid = both.select(TrainingData.piiResidualCount(col("red_staged"))
+      .as("r")).agg(sum("r")).head().getLong(0)
+    assert(resid == 0L)
+  }
+
   test("repetition metrics: clean vs degenerate documents separate") {
     val df = Seq(
       // 24 distinct tokens: top bigram covers 2/24 < 0.2 (the gate is
