@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+import QUtil._
+
+/** Product-analytics and statistical-testing queries: funnel
+  * conversion, retention cohorts, two-sample Kolmogorov–Smirnov,
+  * chi-square independence, per-series AR(1) one-step forecast, and
+  * additive seasonal decomposition. Every row is oracle-checked —
+  * counts are exact integers, and every derived double follows one
+  * spelled-out expression order the DuckDB SQL restates verbatim
+  * (QUtil policy: DECIMAL sums for associativity, 6-dp rounding on
+  * bounded ratios).
+  *
+  * Reference scope note: the reference app's analysis surface stops
+  * at descriptive stats + eval metrics (reference data_analysis.py);
+  * these are the next operators a training-data/product pipeline
+  * needs at scale, built on the same events/lineitem/orders tables.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame =
+    Tables.load(s, d, n)
+
+  private val usExpr = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  // ---- funnel conversion (view -> click -> purchase) -------------------
+  /** Ordered three-stage funnel: a user converts a stage only with an
+    * event STRICTLY LATER than their previous-stage entry time. Each
+    * stage is one keyed aggregation joined back to the (tiny) prior
+    * stage frame — three shuffles on user_id, stage frames broadcast
+    * under AQE, no window over the raw stream. Scales as three
+    * filtered passes at any corpus size. */
+  def funnelSteps(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+      .localCheckpoint(false) // feeds stage 2 and its own count
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min("us").as("t2"))
+      .localCheckpoint(false) // feeds stage 3 and its own count
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min("us").as("t3"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        r6(col("n_click").cast("double") / col("n_view")).as("view_to_click"),
+        r6(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"),
+        r6(col("n_purchase").cast("double") / col("n_view")).as("overall"))
+  }
+
+  val funnelOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, $usExpr AS us, event_type FROM events),
+       |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN v USING (user_id)
+       |      WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+       |p AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN c USING (user_id)
+       |      WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+       |SELECT nv AS n_view, nc AS n_click, np AS n_purchase,
+       |  ROUND(CAST(nc AS DOUBLE) / nv, 6) AS view_to_click,
+       |  ROUND(CAST(np AS DOUBLE) / nc, 6) AS click_to_purchase,
+       |  ROUND(CAST(np AS DOUBLE) / nv, 6) AS overall
+       |FROM (SELECT COUNT(*) AS nv FROM v),
+       |     (SELECT COUNT(*) AS nc FROM c),
+       |     (SELECT COUNT(*) AS np FROM p)""".stripMargin
+
+  // ---- retention cohorts ------------------------------------------------
+  /** Weekly retention triangle: cohort = the user's first-seen epoch
+    * week, offset = whole weeks since their first-seen DAY. All
+    * bucketing is integer arithmetic on epoch days (`us div 86400e6`)
+    * so no engine week-start convention is involved. One first-seen
+    * aggregation + one join + one distinct count — two shuffles on
+    * user_id (co-partitioned) and one on the output key. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+    val first = days.groupBy("user_id").agg(min("day").as("day0"))
+    days.join(first, "user_id")
+      .select(col("user_id"), expr("day0 div 7").as("cohort_week"),
+        expr("(day - day0) div 7").as("week_offset"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val retentionOracle: String =
+    s"""WITH d AS (
+       |  SELECT user_id,
+       |    CAST(FLOOR($usExpr / 86400000000) AS BIGINT) AS day
+       |  FROM events),
+       |f AS (SELECT user_id, MIN(day) AS day0 FROM d GROUP BY 1)
+       |SELECT CAST(FLOOR(day0 / 7) AS BIGINT) AS cohort_week,
+       |  CAST(FLOOR((day - day0) / 7) AS BIGINT) AS week_offset,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+       |FROM d JOIN f USING (user_id)
+       |GROUP BY 1, 2""".stripMargin
+
+  // ---- two-sample Kolmogorov–Smirnov ------------------------------------
+  /** Exact two-sample KS over l_quantity, RETURN ('R') vs ACCEPT
+    * ('A') flags: D = max |ECDF_R − ECDF_A| evaluated at every
+    * distinct value (tie-correct by construction — the ECDFs step
+    * together at shared values). The cumulative pass is a window over
+    * DISTINCT VALUES, so like `ml_roc_auc` the contract is value
+    * cardinality ≪ rows (quantities here are 50 integers; quantize
+    * first for continuous data). The 5% critical value is the
+    * large-sample 1.358·sqrt((n1+n2)/(n1·n2)) line; the decision bit
+    * is computed on unrounded doubles identically in both engines. */
+  def ksTest(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").filter(col("l_returnflag").isin("R", "A"))
+    val g = li.groupBy(col("l_quantity").as("v")).agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
+      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy("v")
+    val tot = li.agg(
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n1"),
+      sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("n2"))
+    val dStat = g.select(sum("c1").over(w).as("f1"), sum("c2").over(w).as("f2"))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("f1").cast("double") / col("n1") -
+        col("f2").cast("double") / col("n2")).as("dd"),
+        col("n1"), col("n2"))
+      .groupBy("n1", "n2").agg(max("dd").as("d"))
+    val crit = lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+      (col("n1").cast("double") * col("n2")))
+    dStat.select(col("n1"), col("n2"), r6(col("d")).as("d_stat"),
+      r6(crit).as("crit_05"), (col("d") > crit).as("significant_05"))
+  }
+
+  val ksOracle: String =
+    """WITH li AS (
+      |  SELECT l_quantity AS v, l_returnflag FROM lineitem
+      |  WHERE l_returnflag IN ('R', 'A')),
+      |g AS (
+      |  SELECT v,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM li GROUP BY v),
+      |tot AS (
+      |  SELECT CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM li),
+      |cum AS (
+      |  SELECT SUM(c1) OVER (ORDER BY v) AS f1,
+      |    SUM(c2) OVER (ORDER BY v) AS f2
+      |  FROM g),
+      |d AS (
+      |  SELECT n1, n2,
+      |    MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)) AS d
+      |  FROM cum, tot GROUP BY n1, n2)
+      |SELECT n1, n2, ROUND(d, 6) AS d_stat,
+      |  ROUND(1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)), 6) AS crit_05,
+      |  d > 1.358 * SQRT(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)) AS significant_05
+      |FROM d""".stripMargin
+
+  // ---- chi-square test of independence ----------------------------------
+  /** Pearson chi-square of o_orderstatus × o_orderpriority. The full
+    * r×c grid (including zero-observed cells — they still contribute
+    * `expected`) comes from crossing the two marginal frames and
+    * left-joining observed counts. Per-cell terms are doubles in one
+    * spelled order ((obs−exp)·(obs−exp)/exp, exp = rt·ct/N as
+    * double), rounded to 9 dp and summed as DECIMAL so the grid
+    * reduction is order-free. Marginals are tiny aggregate frames —
+    * everything after the first groupBy is broadcast-sized. */
+  def chi2Independence(s: SparkSession, d: String): DataFrame = {
+    val cell = t(s, d, "orders")
+      .groupBy("o_orderstatus", "o_orderpriority").agg(count(lit(1)).as("obs"))
+      .localCheckpoint(false) // feeds marginals and the grid join
+    val rowt = cell.groupBy("o_orderstatus").agg(sum("obs").as("rt"))
+    val colt = cell.groupBy("o_orderpriority").agg(sum("obs").as("ct"))
+    val n = cell.agg(sum("obs").as("n"))
+    val grid = rowt.crossJoin(colt)
+      .join(cell, Seq("o_orderstatus", "o_orderpriority"), "left")
+      .na.fill(0L, Seq("obs")).crossJoin(broadcast(n))
+    val expd = col("rt").cast("double") * col("ct") / col("n")
+    val diff = col("obs").cast("double") - expd
+    val term = diff * diff / expd
+    val rc = grid.agg(
+      sum(round(term, 9).cast(DecimalType(38, 9))).as("chi2_d"),
+      countDistinct("o_orderstatus").as("r"),
+      countDistinct("o_orderpriority").as("c"),
+      min("n").as("n"))
+    rc.select(col("n"),
+      ((col("r") - 1) * (col("c") - 1)).as("df"),
+      r6(col("chi2_d").cast("double")).as("chi2"),
+      r6(sqrt(col("chi2_d").cast("double") /
+        (col("n") * least(col("r") - 1, col("c") - 1)))).as("cramers_v"))
+  }
+
+  val chi2Oracle: String =
+    """WITH cell AS (
+      |  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS obs
+      |  FROM orders GROUP BY 1, 2),
+      |rowt AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS rt FROM cell GROUP BY 1),
+      |colt AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS ct FROM cell GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cell),
+      |grid AS (
+      |  SELECT o_orderstatus, o_orderpriority, rt, ct, COALESCE(obs, 0) AS obs, n
+      |  FROM rowt CROSS JOIN colt CROSS JOIN tot
+      |  LEFT JOIN cell USING (o_orderstatus, o_orderpriority)),
+      |terms AS (
+      |  SELECT o_orderstatus, o_orderpriority, n,
+      |    CAST(ROUND((CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+      |      * (CAST(obs AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+      |      / (CAST(rt AS DOUBLE) * ct / n), 9) AS DECIMAL(38,9)) AS term
+      |  FROM grid),
+      |agg AS (
+      |  SELECT MIN(n) AS n,
+      |    COUNT(DISTINCT o_orderstatus) AS rr,
+      |    COUNT(DISTINCT o_orderpriority) AS cc,
+      |    SUM(term) AS chi2_d
+      |  FROM terms)
+      |SELECT n, CAST((rr - 1) * (cc - 1) AS BIGINT) AS df,
+      |  ROUND(CAST(CAST(chi2_d AS VARCHAR) AS DOUBLE), 6) AS chi2,
+      |  ROUND(SQRT(CAST(CAST(chi2_d AS VARCHAR) AS DOUBLE)
+      |    / (n * LEAST(rr - 1, cc - 1))), 6) AS cramers_v
+      |FROM agg""".stripMargin
+
+  // ---- per-series AR(1) one-step forecast --------------------------------
+  /** Per-user AR(1) fit by exact OLS over (lagged, current) value
+    * pairs: y_t = c + φ·y_{t−1}. The moment sums follow the abTtest
+    * DECIMAL discipline (each product computed in IEEE double, cast
+    * to DECIMAL, summed associatively), so φ/intercept/forecast are
+    * single-expression-order doubles both engines reproduce bit for
+    * bit. One window shuffle on user_id builds the lag pairs; the
+    * moment aggregation reuses the same partitioning. Degenerate
+    * series (fewer than 3 pairs or zero variance in the lag) are
+    * filtered on the unrounded denominator — same bits, same rows. */
+  def ar1Forecast(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").filter(col("value").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = ev.withColumn("x", lag("value", 1).over(w))
+      .filter(col("x").isNotNull)
+    val agg = pairs.groupBy("user_id").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(DecimalType(18, 6))).cast("double").as("sx"),
+      sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 12))).cast("double").as("sxx"),
+      sum((col("x") * col("value")).cast(DecimalType(38, 12))).cast("double").as("sxy"),
+      max_by(col("value"), struct(col("us"), col("event_id"))).as("y_last"))
+    val nD = col("n_pairs").cast("double")
+    val denom = nD * col("sxx") - col("sx") * col("sx")
+    val phi = (nD * col("sxy") - col("sx") * col("sy")) / denom
+    val c0 = (col("sy") - phi * col("sx")) / nD
+    agg.filter(col("n_pairs") >= 3 && denom =!= 0.0)
+      .select(col("user_id"), col("n_pairs"),
+        r6(phi).as("phi"), r6(c0).as("intercept"),
+        r6(c0 + phi * col("y_last")).as("forecast"))
+  }
+
+  val ar1Oracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, $usExpr AS us, event_id, value
+       |  FROM events WHERE value IS NOT NULL),
+       |p AS (
+       |  SELECT user_id, value AS y,
+       |    LAG(value) OVER (PARTITION BY user_id ORDER BY us, event_id) AS x,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+       |  FROM ev),
+       |a AS (
+       |  SELECT user_id, CAST(COUNT(x) AS BIGINT) AS n_pairs,
+       |    CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx,
+       |    CAST(CAST(SUM(CASE WHEN x IS NOT NULL
+       |      THEN CAST(y AS DECIMAL(18,6)) END) AS VARCHAR) AS DOUBLE) AS sy,
+       |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxx,
+       |    CAST(CAST(SUM(CAST(x * y AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sxy,
+       |    MAX(CASE WHEN rn = 1 THEN y END) AS y_last
+       |  FROM p GROUP BY user_id),
+       |f AS (
+       |  SELECT user_id, n_pairs, sx, sy, sxx, sxy, y_last,
+       |    CAST(n_pairs AS DOUBLE) * sxx - sx * sx AS denom,
+       |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+       |      / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx) AS phi
+       |  FROM a)
+       |SELECT user_id, n_pairs, ROUND(phi, 6) AS phi,
+       |  ROUND((sy - phi * sx) / CAST(n_pairs AS DOUBLE), 6) AS intercept,
+       |  ROUND((sy - phi * sx) / CAST(n_pairs AS DOUBLE) + phi * y_last, 6) AS forecast
+       |FROM f WHERE n_pairs >= 3 AND denom <> 0.0""".stripMargin
+
+  // ---- additive seasonal decomposition (day-of-week) ---------------------
+  /** Classic additive decomposition of the daily value total:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal index = mean detrended value per day-of-week slot
+    * (epoch_day mod 7 — convention-free arithmetic). Daily totals are
+    * DECIMAL sums (exact); detrended residuals are rounded to 9 dp
+    * and re-summed as DECIMAL so the per-slot mean is order-free.
+    * Contract: the daily spine must be DENSE (a rows-window is
+    * neighbors-by-row); gaps need a calendar spine join first. The
+    * global window runs over day cardinality — bounded by the time
+    * range, not the row count. */
+  def seasonalDow(s: SparkSession, d: String): DataFrame = {
+    val daily = t(s, d, "events").filter(col("value").isNotNull)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).as("sd"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("win_n", count(lit(1)).over(w))
+      .withColumn("win_sum", sum("sd").over(w))
+      .filter(col("win_n") === 7)
+      .select(pmod(col("day"), lit(7)).as("dow"),
+        (col("sd").cast("double") - col("win_sum").cast("double") / 7.0).as("detr"))
+    trended.groupBy("dow").agg(
+      count(lit(1)).as("n_days"),
+      r6(sum(round(col("detr"), 9).cast(DecimalType(38, 9))).cast("double") /
+        count(lit(1))).as("seasonal"))
+  }
+
+  val seasonalOracle: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(FLOOR($usExpr / 86400000000) AS BIGINT) AS day,
+       |    SUM(CAST(value AS DECIMAL(18,6))) AS sd
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+       |tr AS (
+       |  SELECT day, sd,
+       |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n,
+       |    SUM(sd) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_sum
+       |  FROM daily),
+       |detr AS (
+       |  SELECT day % 7 AS dow,
+       |    CAST(CAST(sd AS VARCHAR) AS DOUBLE)
+       |      - CAST(CAST(win_sum AS VARCHAR) AS DOUBLE) / 7.0 AS detr
+       |  FROM tr WHERE win_n = 7)
+       |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |  ROUND(CAST(CAST(SUM(CAST(ROUND(detr, 9) AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE)
+       |    / COUNT(*), 6) AS seasonal
+       |FROM detr GROUP BY dow""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("events_funnel_steps", funnelSteps, Some(funnelOracle)),
+    Q("events_retention_cohorts", retentionCohorts, Some(retentionOracle)),
+    Q("ml_ks_test", ksTest, Some(ksOracle)),
+    Q("ml_chi2_independence", chi2Independence, Some(chi2Oracle)),
+    Q("ts_ar1_forecast", ar1Forecast, Some(ar1Oracle)),
+    Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)))
+}

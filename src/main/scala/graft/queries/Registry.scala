@@ -6,7 +6,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.all ++ RelationalExt.all ++ Events.all ++ StatsQueries.all ++ ScaleQueries.all ++
       MlQueries.all ++ MultimodalQueries.all ++ OperatorQueries.all ++
-      TrainingDataQueries.all ++ StreamingQueries.all ++ SignalQueries.all
+      TrainingDataQueries.all ++ StreamingQueries.all ++ SignalQueries.all ++
+      AnalyticsQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
