@@ -999,6 +999,48 @@ object ScaleQueries {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** IVF×PQ composed ANN (faiss `IVF<n>,PQ8` — cells bound the
+    * candidates, 8-BYTE product-quantization codes bound the bytes
+    * (32× under floats, 8× under SQ8), ADC table lookups score, exact
+    * refine restores scores — see [[Similarity.knnIvfPq]] /
+    * [[graft.functions.Pq]]) certified against brute top-k at the
+    * same corpus-derived routing as knn_ivf. PQ ranks coarser than
+    * SQ8, so the refine pool is wider (16k candidates re-ranked
+    * exactly vs 4k — still |Q|·k·refine rows, nothing corpus-sized)
+    * and the codebook is the faiss-default 8 bits/subspace (ks=256;
+    * ks=16 measured 0.48 at sf0.1 — 4-bit cells are too coarse for
+    * ADC ordering). Measured recall (RecallProbe):
+    * 0.840/0.820/0.880 at sf0.001/0.01/0.1 vs plain IVF's
+    * 0.840/0.840/0.880 — quantization + wide refine loses ≤0.02,
+    * routing is the loss. Bound 0.75, same as knn_ivf. */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = Similarity.knnIvfPq(emb, "vec_id", "embedding", q, k = 5)
+    val p = Similarity.ivfParamsOf(approx).getOrElse(
+      throw new IllegalStateException(
+        "knn_ivf_pq must use the corpus-derived IVF path"))
+    knnCertify(approx,
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfPqOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |$ivfParamsSql
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  8 AS pq_m, 256 AS pq_ks,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, ivfq
+       |GROUP BY nlist, nprobe""".stripMargin
+
   /** IVF at nProbe = nList degenerates to exact search, so the
     * brute-force oracle applies — this pins the whole IVF path
     * (build, cell routing, scoring) to a hash-match, while `knn_ivf`
@@ -1874,6 +1916,7 @@ object ScaleQueries {
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("knn_ivf_sq8_prebuilt", knnIvfSq8Prebuilt, Some(knnIvfSq8Oracle)),
+    Q("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),

@@ -853,6 +853,134 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** PQ codebook-training sample bound — smaller than
+    * [[ivfFitSampleCap]] because each subspace fits only `ks`
+    * centroids over `d/m` dims: 16k points is ~1000× oversampled for
+    * a 16-centroid fit, and the driver-local per-subspace Lloyd's is
+    * O(cap·ks·iters·dsub). Same deterministic ppb-hash keep rule. */
+  private[graft] val pqFitSampleCap = 16384L
+
+  /** Train product-quantization codebooks (Jégou et al., TPAMI 2011;
+    * see [[graft.functions.Pq]]): the corpus splits into `m`
+    * subspaces, each fitted with `ks` centroids by the deterministic
+    * driver-local Lloyd's ([[localKMeans]] — evenly-spaced init over
+    * id order, fixed iterations) on a ≤[[pqFitSampleCap]] id-hash
+    * sample. The collected sample is megabytes where the corpus is
+    * terabytes; the returned flat codebook (`[(s·ks+j)·dsub+t]`,
+    * m·ks·dsub doubles ≈ 8 KB at 64-dim/m8/ks16) broadcasts into the
+    * encode/LUT expressions as a plan constant. */
+  def pqTrain(emb: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, ks: Int = 256,
+              knownN: Option[Long] = None): Array[Double] = {
+    val prep = prepped(emb, idCol, vecCol, "neighbor")
+    val n = knownN.getOrElse(prep.count())
+    val fit =
+      if (n <= pqFitSampleCap) prep
+      else prep.filter(pmod(xxhash64(col("neighbor_id")), lit(fitSampleModulus))
+        < math.max(1L, pqFitSampleCap * fitSampleModulus / n))
+    // ordered collect: localKMeans seeds from input order, so the fit
+    // must present rows in a deterministic (id) order
+    val pts = fit.select(col("neighbor_id"), col("neighborv"))
+      .orderBy("neighbor_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(pts.nonEmpty, "pqTrain: empty corpus")
+    val d = pts(0).length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m=$m")
+    require(pts.length >= ks,
+      s"pqTrain: fit sample ${pts.length} smaller than ks=$ks")
+    val dsub = d / m
+    val cb = new Array[Double](m * ks * dsub)
+    var s = 0
+    while (s < m) {
+      val sub = pts.map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+      val (centers, _) = localKMeans(sub, ks)
+      var j = 0
+      while (j < ks) {
+        System.arraycopy(centers(j), 0, cb, (s * ks + j) * dsub, dsub)
+        j += 1
+      }
+      s += 1
+    }
+    cb
+  }
+
+  /** The PQ codes table of an IVF index — (cell, id, m-byte code,
+    * EXACT float norm): the 8 B/vector artifact the candidate scan
+    * reads instead of 256 B floats (vs SQ8's 64 B — PQ is the deeper
+    * compression tier of the same build-once-scan-many design, and
+    * like [[sq8Codes]] it is a pure function of (cell table,
+    * codebook), so a persisted codes parquet is exactly what a
+    * rebuild would produce). The exact norm rides along so ADC
+    * approximation lives only in the dot numerator. */
+  def pqCodes(index: IvfIndex, cb: Array[Double],
+              m: Int = 8, ks: Int = 256): DataFrame =
+    index.indexed.select(col("cell"), col("neighbor_id"),
+      graft.functions.Pq.encode(col("neighborv"), m, ks,
+        cb.toIndexedSeq).as("pcode"),
+      col("neighbornorm"))
+      .filter(col("neighbornorm") > 0) // zero vector: no direction, NaN cos
+
+  /** IVF×PQ search over a PREBUILT index + codes table — faiss's
+    * `IVF<n>,PQ<m>` production shape: centroids route (nProbe of
+    * nList cells), the query builds one m·ks ADC table of exact
+    * subvector dots ([[graft.functions.PqLutExpr]]), each candidate
+    * code scores with m table lookups ([[graft.functions.PqAdcExpr]]
+    * — approximate cos = ADC dot / (exact qnorm · exact nnorm)), and
+    * the k·refine survivors re-rank on exact float cosine. At 100 TB
+    * of float vectors the codes table is ~3 TB (32× compression) and
+    * is the only per-query corpus-sized scan. */
+  def knnIvfPqIndexed(index: IvfIndex, codes: DataFrame, cb: Array[Double],
+                      idCol: String, vecCol: String, queries: DataFrame,
+                      k: Int, m: Int = 8, ks: Int = 256,
+                      nProbe: Int = 4, refine: Int = 16): DataFrame = {
+    import graft.functions.Pq
+    val q = prepped(queries, idCol, vecCol, "query")
+      .withColumn("lut", Pq.lut(col("queryv"), m, ks, cb.toIndexedSeq))
+      .filter(col("querynorm") > 0)
+    val qCells = probedCells(index, q, nProbe)
+      .select("query_id", "lut", "querynorm", "cell")
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = codes.join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        Pq.adc(col("pcode"), col("lut"), ks) /
+          (col("querynorm") * col("neighbornorm")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(broadcast(q.select("query_id", "queryv", "querynorm")), "query_id")
+      .join(index.indexed.select("neighbor_id", "neighborv", "neighbornorm"),
+        "neighbor_id")
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** One-shot IVF×PQ with corpus-derived cell sizing — build, train,
+    * encode, search. PQ's ranking is coarser than SQ8's, so the
+    * survivor pool is wider (refine default 16 vs 4) and the codebook
+    * is the faiss-default 8 bits/subspace (ks = 256 — ks = 16
+    * measured recall 0.48 vs 0.88 at sf0.1): re-rank cost is
+    * |Q|·k·refine rows either way, nothing corpus-sized. */
+  def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
+               queries: DataFrame, k: Int, m: Int = 8, ks: Int = 256,
+               refine: Int = 16, seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val p = ivfDerivedParams(n)
+    val index = ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
+    val cb = pqTrain(emb, idCol, vecCol, m, ks, knownN = Some(n))
+    stampIvfParams(
+      knnIvfPqIndexed(index, pqCodes(index, cb, m, ks), cb, idCol, vecCol,
+        queries, k, m, ks, p.nProbe, refine), p)
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): KMeans-partition the corpus into `nClusters`
     * cells (reusing the IVF build — clusters ARE an inverted file),

@@ -44,6 +44,10 @@ object RecallProbe {
         Similarity.knnIvfSq8Derived(emb, "vec_id", "embedding", q, 5))
       println(f"$d ivfsq8d  nlist=${ivfP.nList} nprobe=${ivfP.nProbe} " +
         f"common=$xc exact=$xe approx=$xa recall=${xc.toDouble / xe}%.3f")
+      val (pqc, pqe, pqa) = recallOf(
+        Similarity.knnIvfPq(emb, "vec_id", "embedding", q, 5))
+      println(f"$d ivf_pq   nlist=${ivfP.nList} nprobe=${ivfP.nProbe} " +
+        f"common=$pqc exact=$pqe approx=$pqa recall=${pqc.toDouble / pqe}%.3f")
       val (qc, qe, qa) = recallOf(
         Similarity.knnSq8(emb, "vec_id", "embedding", q, 5, refine = 4))
       println(f"$d knn_sq8  common=$qc exact=$qe approx=$qa recall=${qc.toDouble / qe}%.3f")

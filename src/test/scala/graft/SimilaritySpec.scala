@@ -512,4 +512,38 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.95)
     assert(pairs.join(exact, Seq("a", "b", "cos"), "left_anti").count() == 0)
   }
+
+  test("pq kernels: encode picks nearest per-subspace centroid, " +
+    "ADC reproduces the reconstruction dot") {
+    import graft.functions.Pq
+    // d=4, m=2, ks=2; codebook: s0 = {[0,0],[1,1]}, s1 = {[1,0],[0,1]}
+    val cb = Seq(0.0, 0.0, 1.0, 1.0, 1.0, 0.0, 0.0, 1.0)
+    val df = Seq((1L, Seq(0.9, 0.9, 0.1, 0.8), Seq(1.0, 2.0, 3.0, 4.0)))
+      .toDF("id", "vec", "qv")
+      .select(col("id"), Pq.encode(col("vec"), 2, 2, cb).as("code"),
+        Pq.lut(col("qv"), 2, 2, cb).as("lut"))
+      .withColumn("adc", Pq.adc(col("code"), col("lut"), 2))
+    val r = df.head()
+    assert(r.getAs[Array[Byte]]("code").toSeq == Seq[Byte](1, 1))
+    assert(r.getSeq[Double](2) == Seq(0.0, 3.0, 3.0, 4.0))
+    // reconstruction is [1,1,0,1]; dot with q = 1 + 2 + 0 + 4
+    assert(r.getDouble(3) == 7.0)
+  }
+
+  test("ivf-pq composition: full-probe + generous refine recovers brute force") {
+    // every approximation layer inert (all cells probed, refine covers
+    // the corpus, exact re-rank) — pins routing, codebook training,
+    // encode, LUT, ADC, and refine end to end
+    val real = graft.sources.Tables.load(spark, sf, "embeddings")
+    val queries = real.filter(col("vec_id") < 3)
+    val brute = Similarity.knnBrute(real, "vec_id", "embedding", queries, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val index = Similarity.ivfBuild(real, "vec_id", "embedding", nList = 4)
+    val cb = Similarity.pqTrain(real, "vec_id", "embedding")
+    val composed = Similarity.knnIvfPqIndexed(index,
+      Similarity.pqCodes(index, cb), cb, "vec_id", "embedding", queries,
+      k = 5, nProbe = 4, refine = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(composed == brute)
+  }
 }
