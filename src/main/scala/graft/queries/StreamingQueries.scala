@@ -299,7 +299,60 @@ object StreamingQueries {
     "events", "user_id", "value", 5.0, 50.0,
     "user_id < 3 AND value IS NOT NULL")
 
+  /** Native `session_window` gap sessionization (30-min inactivity
+    * gap) per user, in a bounded streaming replay — the built-in
+    * operator twin of `stream_tws_sessions` (which pins the same
+    * semantics hand-built on transformWithState; a user of either
+    * surface gets the same sessions). Complete mode emits every
+    * merged session at termination ≡ batch. Session bounds are exact
+    * micros: start = first event, end = last event + gap, and the
+    * merge rule is touch-inclusive (a gap of EXACTLY 30 min still
+    * MERGES — measured, StreamingSpec boundary test; only a strictly
+    * larger gap starts a new session), so the oracle's islands SQL
+    * uses a strict > on the lag difference. */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = EventsStream.readEvents(s, s"$d/events.parquet")
+    // state keys ≈ distinct (user, half-hour) buckets — the session
+    // count upper bound the store must hold in complete mode
+    val keys = approxKeys(graft.sources.Tables.load(s, d, "events"),
+      concat_ws("/", col("user_id"),
+        floor(unix_micros(col("ts")) / lit(1800000000L))))
+    val agg = ev
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        moneySum(dec6(col("value"))).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"), col("sum_value"))
+    awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
+      agg.writeStream.format("memory").queryName("st_session_win")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start())
+    s.table("st_session_win")
+  }
+
+  val streamSessionWindowOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, us, value,
+      |    CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |      OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, us, value,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, MIN(us) AS sess_start,
+      |  MAX(us) + 1800000000 AS sess_end, COUNT(*) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
+      |FROM g GROUP BY user_id, sid""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("stream_session_window", streamSessionWindow, Some(streamSessionWindowOracle)),
     Q("stream_cusum", streamCusum, Some(streamCusumOracle)),
     Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
     Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),

@@ -207,4 +207,24 @@ class StreamingSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_sessions")).head().getLong(0)
     assert(streamedSessions == batchSessions)
   }
+
+  test("session_window boundary: an exact-gap pair still MERGES (touch-inclusive)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gap = 1800000000L // 30 min in micros
+    // user 1: exact-gap pair → ONE session (Spark merges on touch —
+    // the oracle's islands SQL must use a strict >, not >=);
+    // user 2: gap + 1 µs → TWO sessions
+    val dir = java.nio.file.Files.createTempDirectory("graft_sw").toString
+    Seq((1L, 0L, 1L, "view", 1.0), (2L, gap, 1L, "view", 1.0),
+      (3L, 0L, 2L, "view", 1.0), (4L, gap + 1L, 2L, "view", 1.0))
+      .toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.queries.StreamingQueries.streamSessionWindow(spark, dir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
 }
