@@ -335,11 +335,92 @@ object AnalyticsQueries {
        |    / COUNT(*), 6) AS seasonal
        |FROM detr GROUP BY dow""".stripMargin
 
+  // ---- Markov transition matrix over event sequences ---------------------
+  /** First-order event-type transition matrix: per-user consecutive
+    * (from → to) pairs via one lag window, then exact counts and
+    * row-normalized probabilities (integer ratio, 6-dp rounded). The
+    * sequence-modeling summary a behavioral pipeline starts from; one
+    * window shuffle + one small aggregation at any scale. */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val pairs = ev.withColumn("from_type", lag("event_type", 1).over(w))
+      .filter(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("n_from"))
+    counts.join(totals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        r6(col("n").cast("double") / col("n_from")).as("p"))
+  }
+
+  val markovOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, $usExpr AS us, event_id, event_type FROM events),
+       |p AS (
+       |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY us, event_id) AS from_type,
+       |    event_type AS to_type
+       |  FROM ev),
+       |c AS (
+       |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+       |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+       |        FROM c GROUP BY 1)
+       |SELECT from_type, to_type, n,
+       |  ROUND(CAST(n AS DOUBLE) / n_from, 6) AS p
+       |FROM c JOIN tot USING (from_type)""".stripMargin
+
+  // ---- calibration bins (reliability diagram) ----------------------------
+  /** Reliability diagram of a row-level heuristic scorer (scaled
+    * quantity, p̂ = l_quantity/50 — quantity correlates with line
+    * value, so the bins have real spread and real mis-calibration to
+    * show) against the label `l_extendedprice` above its global
+    * DECIMAL-exact mean: ten fixed-width probability bins, each
+    * reporting count, mean predicted probability, and observed
+    * positive rate — the calibration view that complements ROC's
+    * ranking view. Bin means are single divisions of DECIMAL sums
+    * (the scaled score is re-rounded to 6 dp before summing so the
+    * per-bin reduction is order-free). */
+  def calibrationBins(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val thresh = li.agg(
+      (sum(dec4(col("l_extendedprice"))).cast("double") / count(lit(1)))
+        .as("mu"))
+    val scored = li.crossJoin(broadcast(thresh))
+      .select(round(col("l_quantity") / 50.0, 6).as("phat6"),
+        when(col("l_extendedprice") > col("mu"), 1L).otherwise(0L).as("y"))
+    scored.groupBy(least(lit(9), floor(col("phat6") * 10)).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        r6(sum(col("phat6").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1))).as("mean_pred"),
+        r6(sum(col("y")).cast("double") / count(lit(1))).as("frac_pos"))
+  }
+
+  val calibrationOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) AS mu
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT ROUND(l_quantity / 50.0, 6) AS phat6,
+      |    CASE WHEN l_extendedprice > mu THEN 1 ELSE 0 END AS y
+      |  FROM lineitem, t)
+      |SELECT LEAST(9, CAST(FLOOR(phat6 * 10) AS BIGINT)) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(CAST(CAST(SUM(CAST(phat6 AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_pred,
+      |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+      |FROM s GROUP BY 1""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_funnel_steps", funnelSteps, Some(funnelOracle)),
     Q("events_retention_cohorts", retentionCohorts, Some(retentionOracle)),
     Q("ml_ks_test", ksTest, Some(ksOracle)),
     Q("ml_chi2_independence", chi2Independence, Some(chi2Oracle)),
     Q("ts_ar1_forecast", ar1Forecast, Some(ar1Oracle)),
-    Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)))
+    Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)),
+    Q("events_markov_transitions", markovTransitions, Some(markovOracle)),
+    Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)))
 }

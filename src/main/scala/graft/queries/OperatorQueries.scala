@@ -412,10 +412,40 @@ object OperatorQueries {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents WHERE doc_id < 50""".stripMargin
 
+  /** ORC round-trip ingest — the other columnar interchange format a
+    * lakehouse reader must speak (Spark's reader/writer are built in;
+    * vectorized scan, predicate pushdown and column pruning apply
+    * like parquet). A lineitem slice round-trips through multi-file
+    * ORC with longs, doubles, strings and a TIMESTAMP; the oracle
+    * replays the same rows from parquet, so type fidelity (exact
+    * double bits, microsecond timestamps) is hash-pinned. Explicit
+    * schema on read — same no-inference-scan discipline as
+    * jsonl_ingest. */
+  def orcIngest(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        // source parquet is TIMESTAMP_NTZ; certify the instant-typed
+        // ORC timestamp (UTC session) — same wall-clock micros
+        col("l_shipdate").cast("timestamp").as("l_shipdate"))
+    val dir = s"target/orc_fixture/${new java.io.File(d).getName}"
+    src.repartition(4).write.mode("overwrite").orc(dir)
+    s.read.schema(src.schema).orc(dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        unix_micros(col("l_shipdate")).as("ship_us"))
+  }
+
+  val orcIngestOracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      |  l_returnflag, epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+      |FROM lineitem WHERE l_orderkey < 100""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("xlsx_ingest", xlsxIngest, Some(xlsxIngestOracle)),
     Q("jsonl_ingest", jsonlIngest, Some(jsonlIngestOracle)),
+    Q("orc_ingest", orcIngest, Some(orcIngestOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
     Q("fuzzy_join_capped", fuzzyPartsCapped, Some(fuzzyPartsCappedOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
