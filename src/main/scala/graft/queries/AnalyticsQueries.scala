@@ -414,6 +414,86 @@ object AnalyticsQueries {
       |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
       |FROM s GROUP BY 1""".stripMargin
 
+  // ---- PCA top component via power iteration -----------------------------
+  private val pcaCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val pcaIters = 5
+
+  /** Top principal component of the 4 numeric lineitem measures by
+    * FIVE unrolled power-iteration rounds over the covariance matrix.
+    * The corpus-sized work is ONE aggregation pass (DECIMAL moment
+    * sums — 4 first moments, 10 second moments); the iteration is
+    * 4×4 scalar arithmetic on a one-row frame, spelled as explicit
+    * left-associated expressions ((c·v + c·v) + c·v) + c·v the oracle
+    * restates verbatim, so the whole trajectory (not just the fixed
+    * point) is hash-pinned. Raw covariance, not correlation — the
+    * price axis dominates by construction and the certified
+    * eigenvector says so. Start vector [0.5,0.5,0.5,0.5] (unit norm,
+    * exact binary); eigenvalue = the final iteration's ‖Cv‖. */
+  def pcaPower(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val k = pcaCols.length
+    val aggs =
+      pcaCols.zipWithIndex.map { case (c, i) =>
+        sum(dec4(col(c))).cast("double").as(s"s$i") } ++
+      (for { i <- 0 until k; j <- i until k } yield
+        sum((col(pcaCols(i)) * col(pcaCols(j))).cast(DecimalType(38, 12)))
+          .cast("double").as(s"s${i}_$j"))
+    var df = li.agg(count(lit(1)).as("n"), aggs: _*)
+    for { i <- 0 until k; j <- i until k }
+      df = df.withColumn(s"c${i}_$j",
+        col(s"s${i}_$j") / col("n") -
+          (col(s"s$i") / col("n")) * (col(s"s$j") / col("n")))
+    def cv(i: Int, j: Int) =
+      col(s"c${math.min(i, j)}_${math.max(i, j)}")
+    for (i <- 0 until k) df = df.withColumn(s"v$i", lit(0.5))
+    for (_ <- 1 to pcaIters) {
+      for (i <- 0 until k)
+        df = df.withColumn(s"w$i",
+          (0 until k).map(j => cv(i, j) * col(s"v$j")).reduce(_ + _))
+      df = df.withColumn("nrm",
+        sqrt((0 until k).map(i => col(s"w$i") * col(s"w$i")).reduce(_ + _)))
+      for (i <- 0 until k)
+        df = df.withColumn(s"v$i", col(s"w$i") / col("nrm"))
+    }
+    df.select(col("n") +:
+      pcaCols.zipWithIndex.map { case (c, i) =>
+        r6(col(s"v$i")).as(s"pc1_$c") } :+
+      r6(col("nrm")).as("eigenvalue"): _*)
+  }
+
+  val pcaOracle: String = {
+    val k = pcaCols.length
+    val mom =
+      pcaCols.zipWithIndex.map { case (c, i) =>
+        s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s$i"
+      } ++
+      (for { i <- 0 until k; j <- i until k } yield
+        s"CAST(CAST(SUM(CAST(${pcaCols(i)} * ${pcaCols(j)} AS DECIMAL(38,12)))" +
+          s" AS VARCHAR) AS DOUBLE) AS s${i}_$j")
+    val cov = (for { i <- 0 until k; j <- i until k } yield
+      s"s${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j").mkString(", ")
+    def cn(i: Int, j: Int) = s"c${math.min(i, j)}_${math.max(i, j)}"
+    val iterCtes = (1 to pcaIters).map { it =>
+      val prev = if (it == 1) "c0" else s"it${it - 1}"
+      val ws = (0 until k).map(i =>
+        (0 until k).map(j => s"${cn(i, j)} * v$j").mkString(" + ") +
+          s" AS w$i").mkString(", ")
+      s"""w$it AS (SELECT *, $ws FROM $prev),
+         |n$it AS (SELECT *, SQRT(${(0 until k).map(i => s"w$i * w$i").mkString(" + ")}) AS nrm$it FROM w$it),
+         |it$it AS (SELECT * EXCLUDE (${(0 until k).map(i => s"v$i").mkString(", ")}, ${(0 until k).map(i => s"w$i").mkString(", ")}),
+         |  ${(0 until k).map(i => s"w$i / nrm$it AS v$i").mkString(", ")} FROM n$it)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT COUNT(*) AS n, ${mom.mkString(", ")} FROM lineitem),
+       |c AS (SELECT n, $cov FROM m),
+       |c0 AS (SELECT *, ${(0 until k).map(i => s"CAST(0.5 AS DOUBLE) AS v$i").mkString(", ")} FROM c),
+       |$iterCtes
+       |SELECT CAST(n AS BIGINT) AS n,
+       |  ${pcaCols.zipWithIndex.map { case (c, i) => s"ROUND(v$i, 6) AS pc1_$c" }.mkString(", ")},
+       |  ROUND(nrm$pcaIters, 6) AS eigenvalue
+       |FROM it$pcaIters""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
     Q("events_funnel_steps", funnelSteps, Some(funnelOracle)),
     Q("events_retention_cohorts", retentionCohorts, Some(retentionOracle)),
@@ -422,5 +502,6 @@ object AnalyticsQueries {
     Q("ts_ar1_forecast", ar1Forecast, Some(ar1Oracle)),
     Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)),
     Q("events_markov_transitions", markovTransitions, Some(markovOracle)),
-    Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)))
+    Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)),
+    Q("ml_pca_power", pcaPower, Some(pcaOracle)))
 }
