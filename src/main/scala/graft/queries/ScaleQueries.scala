@@ -905,6 +905,48 @@ object ScaleQueries {
        |SELECT id AS doc_id, score AS pagerank FROM pr5""".stripMargin
   }
 
+  /** Label-propagation communities over the near-dup graph — the
+    * community stage beside [[graphPagerank]]: 3 synchronous rounds,
+    * labels start as doc ids, each vertex takes the MODE of its
+    * neighbors' labels (min label on ties). Pure integer arithmetic,
+    * so the oracle unrolls all three rounds as chained CTEs and the
+    * per-vertex label table is hash-pinned exactly — trajectory, not
+    * shape. See [[graft.operators.LabelPropagation]] (size-adaptive:
+    * driver loop under the 2M-edge broadcast-discipline bound,
+    * distributed join+argmax rounds above). */
+  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.exactJaccardPairs(t(s, d, "documents"), "doc_id",
+      "text", shingleK = 2, minJaccard = 0.8)
+    graft.operators.LabelPropagation.propagate(pairs, "a", "b", iters = 3)
+      .select(col("id").as("doc_id"), col("label"))
+  }
+
+  val graphCommunitiesOracle: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""r$i AS (
+         |  SELECT e.src, l.label, COUNT(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON e.dst = l.id
+         |  GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT src AS id, label FROM (
+         |    SELECT src, label,
+         |      ROW_NUMBER() OVER (PARTITION BY src
+         |        ORDER BY c DESC, label ASC) AS rn
+         |    FROM r$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED: edges is referenced by l0 and all three rounds —
+    // DuckDB inlines CTEs by default, which would re-evaluate the
+    // shingle-pair join once per reference (the BPE-oracle lesson)
+    s"""WITH $jaccardPairCtes,
+       |edges AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM pairs WHERE jaccard >= 0.8
+       |  UNION ALL SELECT b, a FROM pairs WHERE jaccard >= 0.8),
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+       |$rounds
+       |SELECT id AS doc_id, label FROM l3""".stripMargin
+  }
+
   /** SQ8-quantized ANN (int8 codes + exact re-rank, refine=4)
     * certified against brute top-k — see [[Similarity.knnSq8]]: the
     * candidate scan reads 64 B codes instead of 256 B floats (the
@@ -1040,6 +1082,61 @@ object ScaleQueries {
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk, ivfq
        |GROUP BY nlist, nprobe""".stripMargin
+
+  /** Greedy MMR diverse top-5 for query vector 0 over the top-20
+    * relevance pool ([[Similarity.mmrSelect]], λ=0.7) — the
+    * diversity-aware re-rank stage after ANN retrieval. Every pick of
+    * the greedy chain is hash-pinned: the oracle unrolls all five
+    * argmax rounds (MATERIALIZED pool/similarity CTEs — referenced
+    * once per round, DuckDB would otherwise re-inline the corpus
+    * scan), with 6-dp-rounded cosines and the 0.7/0.3 literal weights
+    * shared by both engines. */
+  def knnMmr(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrSelect(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0L)
+
+  val knnMmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""s$r AS (
+         |  SELECT vec_id, rel, score FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (
+         |        SELECT MAX(sim) FROM sim
+         |        WHERE ia = c.vec_id
+         |          AND ib IN (SELECT vec_id FROM sel${r - 1})) AS score
+         |    FROM cand c
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1}))
+         |  ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |sel$r AS (SELECT vec_id FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, ROUND(score, 6) AS score FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |relv AS (
+       |  SELECT e.vec_id,
+       |    ROUND(list_dot_product(qv, v) /
+       |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS rel,
+       |    e.v
+       |  FROM e, q WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT * FROM relv ORDER BY rel DESC, vec_id ASC LIMIT 20),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ROUND(list_dot_product(a.v, b.v) /
+       |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score
+       |  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   /** IVF at nProbe = nList degenerates to exact search, so the
     * brute-force oracle applies — this pins the whole IVF path
@@ -1917,8 +2014,10 @@ object ScaleQueries {
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("knn_ivf_sq8_prebuilt", knnIvfSq8Prebuilt, Some(knnIvfSq8Oracle)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle)),
+    Q("knn_mmr_diverse", knnMmr, Some(knnMmrOracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankOracle)),
+    Q("graph_communities", graphCommunities, Some(graphCommunitiesOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),

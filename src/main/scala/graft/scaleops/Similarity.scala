@@ -981,6 +981,70 @@ object Similarity {
         queries, k, m, ks, p.nProbe, refine), p)
   }
 
+  /** Spark `round(x, 6)` semantics on the driver (shortest-decimal
+    * string route, HALF_UP) — the driver-side MMR arithmetic must
+    * round exactly like the engine columns it mirrors. */
+  private def round6d(x: Double): Double =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+
+  /** Greedy Maximal Marginal Relevance selection (Carbonell &
+    * Goldstein 1998) — the diversity-aware re-ranker a retrieval
+    * pipeline puts after ANN: from the `poolSize` most-relevant
+    * candidates, greedily pick `k` maximizing
+    * `λ·rel − (1−λ)·max_sim_to_selected`.
+    *
+    * Distributed shape: the corpus-sized work is the relevance scan +
+    * TakeOrdered pool cut (same shape as [[knnBrute]] — at 100 TB the
+    * pool would come from the ANN index instead, same contract); the
+    * greedy loop runs driver-side over the ≤poolSize pool — an
+    * inherently sequential argmax chain over a broadcast-sized set,
+    * the [[localKMeans]] discipline. All cosines are 6-dp rounded
+    * (engine `round` ≡ driver [[round6d]]) and the λ/μ weights are
+    * the literals 0.7/0.3 (never `1 − λ`: that is a DIFFERENT double
+    * than 0.3), so an SQL oracle replays every pick exactly. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int = 5, poolSize: Int = 20,
+                lambda: Double = 0.7, mu: Double = 0.3): DataFrame = {
+    val spark = emb.sparkSession
+    val p = prepped(emb, idCol, vecCol, "neighbor")
+    val q = p.filter(col("neighbor_id") === queryId)
+      .select(col("neighborv").as("qv"), col("neighbornorm").as("qn"))
+    val pool = p.filter(col("neighbor_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col("neighbor_id").as("id"),
+        round(graft.functions.ArrayDot(col("qv"), col("neighborv")) /
+          (col("qn") * col("neighbornorm")), 6).as("rel"),
+        col("neighborv").as("v"))
+      .orderBy(col("rel").desc, col("id").asc).limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos6(a: Array[Double], b: Array[Double]): Double = {
+      var ab = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        ab += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      round6d(ab / (math.sqrt(aa) * math.sqrt(bb)))
+    }
+    var selected = Vector.empty[(Int, Long, Double, Double)] // rank, id, rel, score
+    var selVecs = Vector.empty[Array[Double]]
+    var remaining = pool.toVector
+    for (r <- 1 to math.min(k, pool.length)) {
+      val scored = remaining.map { case (id, rel, v) =>
+        val score =
+          if (selVecs.isEmpty) lambda * rel
+          else lambda * rel - mu * selVecs.map(s => cos6(v, s)).max
+        (id, rel, v, score)
+      }
+      val pick = scored.minBy { case (id, _, _, score) => (-score, id) }
+      selected :+= ((r, pick._1, pick._2, round6d(pick._4)))
+      selVecs :+= pick._3
+      remaining = remaining.filterNot(_._1 == pick._1)
+    }
+    import spark.implicits._
+    selected.toDF("rank", "vec_id", "rel", "score")
+  }
+
   /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     * arXiv:2303.09540): KMeans-partition the corpus into `nClusters`
     * cells (reusing the IVF build — clusters ARE an inverted file),

@@ -108,6 +108,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getDouble(4) == 3.571429)
   }
 
+  test("label propagation: two triangles joined by a bridge split into " +
+    "two communities; driver and distributed paths agree") {
+    import graft.operators.LabelPropagation
+    // triangles {1,2,3} and {10,11,12} bridged by 3-10
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (3L, 10L)).toDF("a", "b")
+    def labelsOf(limit: Long) =
+      LabelPropagation.propagate(pairs, "a", "b", iters = 3,
+        smallGraphEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelsOf(Long.MaxValue) // driver path
+    val dist = labelsOf(0L)             // distributed path
+    assert(local == dist)
+    // each triangle converges to one label, and the two differ
+    assert(local(1L) == local(2L) && local(2L) == local(3L))
+    assert(local(10L) == local(11L) && local(11L) == local(12L))
+    assert(local(1L) != local(10L))
+  }
+
   test("seasonal: a constant daily series decomposes to zero seasonality") {
     val d = fixtureDir("events" -> eventsDf(
       (0L until 14L).map(day => (day, day * 86400000000L + 7L, 1L, "view", 3.0))))
