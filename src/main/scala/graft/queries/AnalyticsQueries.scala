@@ -29,7 +29,9 @@ object AnalyticsQueries {
   private val usExpr = "epoch_us(CAST(ts AS TIMESTAMP))"
 
   // ---- funnel conversion (view -> click -> purchase) -------------------
-  /** Ordered three-stage funnel: a user converts a stage only with an
+  /** Ordered three-stage funnel — the strict-sequence generalization
+    * of `events_funnel` (which measures one signup→purchase
+    * conversion + delay): a user converts a stage only with an
     * event STRICTLY LATER than their previous-stage entry time. Each
     * stage is one keyed aggregation joined back to the (tiny) prior
     * stage frame — three shuffles on user_id, stage frames broadcast
@@ -75,8 +77,11 @@ object AnalyticsQueries {
        |     (SELECT COUNT(*) AS np FROM p)""".stripMargin
 
   // ---- retention cohorts ------------------------------------------------
-  /** Weekly retention triangle: cohort = the user's first-seen epoch
-    * week, offset = whole weeks since their first-seen DAY. All
+  /** Weekly retention triangle — the reporting rollup of
+    * `events_retention`'s day-offset matrix (weeks are what a 100 TB
+    * dashboard reads; day offsets at that scale are 10× the rows):
+    * cohort = the user's first-seen epoch week, offset = whole weeks
+    * since their first-seen DAY. All
     * bucketing is integer arithmetic on epoch days (`us div 86400e6`)
     * so no engine week-start convention is involved. One first-seen
     * aggregation + one join + one distinct count — two shuffles on
