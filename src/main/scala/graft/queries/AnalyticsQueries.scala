@@ -499,6 +499,133 @@ object AnalyticsQueries {
        |FROM it$pcaIters""".stripMargin
   }
 
+  // ---- last-touch attribution --------------------------------------------
+  /** Marketing attribution: each purchase credits the LATEST
+    * view/click at-or-before it (per user), revenue rolls up per
+    * channel with an explicit `unattributed` bucket. Composes the
+    * spec-pinned [[graft.operators.AsOfJoin]] (purchase side left,
+    * touch side right — the reverse direction of `asof_last_purchase`)
+    * with a DECIMAL revenue rollup; equal-timestamp touches collapse
+    * to one row by MAX(event_type) first, so the as-of pick is
+    * deterministic in both engines. */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .agg(max(col("event_type")).as("touch_type"))
+    graft.operators.AsOfJoin.backward(purchases, touches,
+      keys = Seq("user_id"), tsCol = "ts_us",
+      rightValueCols = Seq("touch_type"))
+      .groupBy(coalesce(col("touch_type"), lit("unattributed")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        moneySum(dec6(col("value"))).as("revenue"))
+  }
+
+  val attributionOracle: String =
+    s"""WITH p AS (
+       |  SELECT user_id, event_id, $usExpr AS ts_us, value
+       |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+       |tch AS (
+       |  SELECT user_id, $usExpr AS ts_us, MAX(event_type) AS touch_type
+       |  FROM events WHERE event_type IN ('view', 'click')
+       |  GROUP BY 1, 2),
+       |j AS (
+       |  SELECT p.value, tch.touch_type
+       |  FROM p ASOF LEFT JOIN tch
+       |    ON p.user_id = tch.user_id AND tch.ts_us <= p.ts_us)
+       |SELECT COALESCE(touch_type, 'unattributed') AS channel,
+       |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
+       |FROM j GROUP BY 1""".stripMargin
+
+  // ---- expanding-window time-series CV folds -----------------------------
+  /** Leakage-safe temporal cross-validation plan: five expanding-
+    * window folds over the event day range — fold i trains on
+    * everything before its test block, test blocks tile the last 5/6
+    * of the span. All boundaries are integer epoch-day arithmetic
+    * (`div`), so the plan is reproducible on any engine; per-fold
+    * train/test row counts are conditional aggregates of ONE
+    * day-annotated pass (the fold table is 5 broadcast rows). The
+    * temporal complement of `ml_group_folds` (entity-disjoint) and
+    * W1's single ordered split. */
+  def tsCvFolds(s: SparkSession, d: String): DataFrame = {
+    val days = t(s, d, "events")
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+    val bounds = days.agg(min("day").as("dmin"), max("day").as("dmax"))
+    val folds = s.range(1, 6).toDF("fold").crossJoin(broadcast(bounds))
+      .withColumn("span", col("dmax") - col("dmin") + 1)
+      .select(col("fold"),
+        (col("dmin") + expr("fold * span div 6")).as("test_start"),
+        (col("dmin") + expr("(fold + 1) * span div 6")).as("test_end"))
+    days.crossJoin(broadcast(folds))
+      .groupBy("fold", "test_start", "test_end")
+      .agg(
+        sum(when(col("day") < col("test_start"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("day") >= col("test_start") &&
+          col("day") < col("test_end"), 1L).otherwise(0L)).as("n_test"))
+  }
+
+  val tsCvFoldsOracle: String =
+    s"""WITH days AS (
+       |  SELECT CAST(FLOOR($usExpr / 86400000000) AS BIGINT) AS day FROM events),
+       |b AS (SELECT MIN(day) AS dmin, MAX(day) AS dmax FROM days),
+       |f AS (
+       |  SELECT fold, dmin + CAST(FLOOR(fold * span / 6.0) AS BIGINT) AS test_start,
+       |    dmin + CAST(FLOOR((fold + 1) * span / 6.0) AS BIGINT) AS test_end
+       |  FROM (SELECT r.fold, dmin, dmax - dmin + 1 AS span
+       |        FROM range(1, 6) r(fold), b))
+       |SELECT fold, test_start, test_end,
+       |  CAST(SUM(CASE WHEN day < test_start THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN day >= test_start AND day < test_end
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       |FROM days, f
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  // ---- partition-key skew report -----------------------------------------
+  /** The diagnostic run before choosing a shuffle key at scale: key
+    * cardinality, max key share, and the Gini coefficient of the key
+    * count distribution (0 = uniform, →1 = one mega-key) for
+    * l_suppkey. The rank-weighted Gini sum Σ rank·cnt is INTEGER
+    * (exact); the global rank window runs over DISTINCT KEYS — the
+    * rocAuc cardinality contract, which is precisely the population a
+    * skew report exists to summarize. */
+  def skewReport(s: SparkSession, d: String): DataFrame = {
+    val counts = t(s, d, "lineitem")
+      .groupBy(col("l_suppkey").as("key")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").asc, col("key").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+        max("cnt").as("max_cnt"), sum(col("rnk") * col("cnt")).as("wsum"))
+      .select(col("n_keys"), col("n_rows"),
+        r6(col("max_cnt").cast("double") / col("n_rows")).as("max_share"),
+        r6((lit(2.0) * col("wsum") / (col("n_keys").cast("double") * col("n_rows"))) -
+          ((col("n_keys") + 1).cast("double") / col("n_keys"))).as("gini"))
+  }
+
+  val skewReportOracle: String =
+    """WITH c AS (
+      |  SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT cnt,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY cnt ASC, key ASC) AS BIGINT) AS rnk
+      |  FROM c),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_rows,
+      |    CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+      |    CAST(SUM(rnk * cnt) AS BIGINT) AS wsum
+      |  FROM r)
+      |SELECT n_keys, n_rows,
+      |  ROUND(CAST(max_cnt AS DOUBLE) / n_rows, 6) AS max_share,
+      |  ROUND(2.0 * wsum / (CAST(n_keys AS DOUBLE) * n_rows)
+      |    - CAST(n_keys + 1 AS DOUBLE) / n_keys, 6) AS gini
+      |FROM a""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("events_funnel_steps", funnelSteps, Some(funnelOracle)),
     Q("events_retention_cohorts", retentionCohorts, Some(retentionOracle)),
@@ -508,5 +635,8 @@ object AnalyticsQueries {
     Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)),
     Q("events_markov_transitions", markovTransitions, Some(markovOracle)),
     Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)),
-    Q("ml_pca_power", pcaPower, Some(pcaOracle)))
+    Q("ml_pca_power", pcaPower, Some(pcaOracle)),
+    Q("events_attribution_last_touch", lastTouchAttribution, Some(attributionOracle)),
+    Q("ml_ts_cv_folds", tsCvFolds, Some(tsCvFoldsOracle)),
+    Q("q_skew_report", skewReport, Some(skewReportOracle)))
 }
