@@ -424,16 +424,24 @@ object AnalyticsQueries {
   private val pcaIters = 5
 
   /** Top principal component of the 4 numeric lineitem measures by
-    * FIVE unrolled power-iteration rounds over the covariance matrix.
-    * The corpus-sized work is ONE aggregation pass (DECIMAL moment
-    * sums — 4 first moments, 10 second moments); the iteration is
-    * 4×4 scalar arithmetic on a one-row frame, spelled as explicit
-    * left-associated expressions ((c·v + c·v) + c·v) + c·v the oracle
-    * restates verbatim, so the whole trajectory (not just the fixed
-    * point) is hash-pinned. Raw covariance, not correlation — the
-    * price axis dominates by construction and the certified
-    * eigenvector says so. Start vector [0.5,0.5,0.5,0.5] (unit norm,
-    * exact binary); eigenvalue = the final iteration's ‖Cv‖. */
+    * FIVE power-iteration rounds over the covariance matrix. The
+    * corpus-sized work is ONE aggregation pass (DECIMAL moment sums —
+    * 4 first moments, 10 second moments); the iteration is 4×4
+    * scalar arithmetic over the 15 collected moments, run DRIVER-SIDE
+    * in the same left-associated IEEE order the oracle restates
+    * verbatim (the localKMeans discipline — a first cut chained the
+    * rounds as nested `withColumn` expressions and paid ~2 s extra
+    * of Catalyst/codegen on a ONE-ROW frame: each round multiplies
+    * the expression tree). The remaining warm cost (~4 s at sf0.1)
+    * is the ten >18-digit DECIMAL second-moment sums themselves —
+    * wide decimals take Spark's BigDecimal path, the documented
+    * price of order-free cross-engine exactness (same trade as
+    * events_ab_ttest, ×5 the columns). The trajectory (not just the
+    * fixed point) is hash-pinned.
+    * Raw covariance, not correlation — the price axis dominates by
+    * construction and the certified eigenvector says so. Start
+    * vector [0.5,0.5,0.5,0.5] (unit norm, exact binary);
+    * eigenvalue = the final iteration's ‖Cv‖. */
   def pcaPower(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
     val k = pcaCols.length
@@ -443,27 +451,36 @@ object AnalyticsQueries {
       (for { i <- 0 until k; j <- i until k } yield
         sum((col(pcaCols(i)) * col(pcaCols(j))).cast(DecimalType(38, 12)))
           .cast("double").as(s"s${i}_$j"))
-    var df = li.agg(count(lit(1)).as("n"), aggs: _*)
-    for { i <- 0 until k; j <- i until k }
-      df = df.withColumn(s"c${i}_$j",
-        col(s"s${i}_$j") / col("n") -
-          (col(s"s$i") / col("n")) * (col(s"s$j") / col("n")))
-    def cv(i: Int, j: Int) =
-      col(s"c${math.min(i, j)}_${math.max(i, j)}")
-    for (i <- 0 until k) df = df.withColumn(s"v$i", lit(0.5))
-    for (_ <- 1 to pcaIters) {
-      for (i <- 0 until k)
-        df = df.withColumn(s"w$i",
-          (0 until k).map(j => cv(i, j) * col(s"v$j")).reduce(_ + _))
-      df = df.withColumn("nrm",
-        sqrt((0 until k).map(i => col(s"w$i") * col(s"w$i")).reduce(_ + _)))
-      for (i <- 0 until k)
-        df = df.withColumn(s"v$i", col(s"w$i") / col("nrm"))
+    val m = li.agg(count(lit(1)).as("n"), aggs: _*).head()
+    val n = m.getLong(0)
+    def d0(name: String): Double = m.getDouble(m.fieldIndex(name))
+    val cov = Array.tabulate(k, k) { (i, j) =>
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      // same expression order as the oracle: s_ij/n − (s_i/n)·(s_j/n)
+      d0(s"s${a}_$b") / n - (d0(s"s$a") / n) * (d0(s"s$b") / n)
     }
-    df.select(col("n") +:
-      pcaCols.zipWithIndex.map { case (c, i) =>
-        r6(col(s"v$i")).as(s"pc1_$c") } :+
-      r6(col("nrm")).as("eigenvalue"): _*)
+    val v = Array.fill(k)(0.5)
+    var nrm = 0.0
+    for (_ <- 1 to pcaIters) {
+      val w = Array.tabulate(k) { i =>
+        var acc = 0.0 // left-assoc fold, same order as the SQL `+` chain
+        var j = 0
+        while (j < k) { acc += cov(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var acc = 0.0
+      var i = 0
+      while (i < k) { acc += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(acc)
+      var i2 = 0
+      while (i2 < k) { v(i2) = w(i2) / nrm; i2 += 1 }
+    }
+    def r6d(x: Double): Double = // Spark round(_, 6) driver twin
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    import s.implicits._
+    Seq((n, r6d(v(0)), r6d(v(1)), r6d(v(2)), r6d(v(3)), r6d(nrm)))
+      .toDF("n" +: pcaCols.map(c => s"pc1_$c") :+ "eigenvalue": _*)
   }
 
   val pcaOracle: String = {
