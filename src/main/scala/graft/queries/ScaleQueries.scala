@@ -1047,14 +1047,18 @@ object ScaleQueries {
     * refine restores scores — see [[Similarity.knnIvfPq]] /
     * [[graft.functions.Pq]]) certified against brute top-k at the
     * same corpus-derived routing as knn_ivf. PQ ranks coarser than
-    * SQ8, so the refine pool is wider (16k candidates re-ranked
-    * exactly vs 4k — still |Q|·k·refine rows, nothing corpus-sized)
-    * and the codebook is the faiss-default 8 bits/subspace (ks=256;
-    * ks=16 measured 0.48 at sf0.1 — 4-bit cells are too coarse for
-    * ADC ordering). Measured recall (RecallProbe):
-    * 0.840/0.820/0.880 at sf0.001/0.01/0.1 vs plain IVF's
-    * 0.840/0.840/0.880 — quantization + wide refine loses ≤0.02,
-    * routing is the loss. Bound 0.75, same as knn_ivf. */
+    * SQ8, so the refine pool is DERIVED from the probed-set size
+    * ([[Similarity.pqDerivedRefine]] — max(16, ceil(√probed)):
+    * refine=16 measured 0.68 at the sf1 soak because the probed set
+    * grows ~linearly with n; the derived pool recovers 0.820 = plain
+    * IVF there, and the sweep saturates at ≥32, so residual loss is
+    * all routing) and the codebook is the faiss-default 8
+    * bits/subspace (ks=256; ks=16 measured 0.48 at sf0.1 — 4-bit
+    * cells are too coarse for ADC ordering). Measured recall
+    * (RecallProbe): 0.840/0.820/0.880/0.820 at sf0.001/0.01/0.1/sf1
+    * vs plain IVF's 0.840/0.840/0.880/0.820. Bound 0.75, same as
+    * knn_ivf; the oracle replays nList/nProbe AND the refine rule
+    * from COUNT(*). */
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
@@ -1062,12 +1066,14 @@ object ScaleQueries {
     val p = Similarity.ivfParamsOf(approx).getOrElse(
       throw new IllegalStateException(
         "knn_ivf_pq must use the corpus-derived IVF path"))
+    val nCorpus = emb.count()
     knnCertify(approx,
       Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
       minRecall = 0.75)
       .select(col("n_queries"), col("k"), col("n_exact"),
         lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
         lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        lit(Similarity.pqDerivedRefine(nCorpus, p)).as("pq_refine"),
         col("recall_ok"), col("ranks_dense"))
   }
 
@@ -1079,6 +1085,8 @@ object ScaleQueries {
        |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
        |  nlist AS n_list, nprobe AS n_probe,
        |  8 AS pq_m, 256 AS pq_ks,
+       |  GREATEST(16, CAST(CEIL(SQRT(nprobe * CAST((SELECT n FROM sz) AS DOUBLE)
+       |    / nlist)) AS INT)) AS pq_refine,
        |  TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk, ivfq
        |GROUP BY nlist, nprobe""".stripMargin

@@ -963,17 +963,35 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** One-shot IVF×PQ with corpus-derived cell sizing — build, train,
-    * encode, search. PQ's ranking is coarser than SQ8's, so the
-    * survivor pool is wider (refine default 16 vs 4) and the codebook
-    * is the faiss-default 8 bits/subspace (ks = 256 — ks = 16
-    * measured recall 0.48 vs 0.88 at sf0.1): re-rank cost is
-    * |Q|·k·refine rows either way, nothing corpus-sized. */
+  /** Corpus-derived PQ refine pool: the probed set grows ~linearly
+    * with n under the derived IVF params (≈ nProbe·n/nList ≈ 0.35·n),
+    * so a FIXED refine must eventually lose ADC-misranked true
+    * neighbors — measured: refine=16 holds 0.82/0.88 recall at
+    * sf0.01/0.1 but drops to 0.68 at sf1 (probed ≈ 7k), while
+    * refine=32 recovers 0.820 = plain IVF exactly and SATURATES
+    * (64/128 identical — residual loss is all routing). The rule
+    * `refine = max(16, ceil(√probed))` covers every measured point
+    * with margin and keeps the exact re-rank at |Q|·k·√(0.35n) rows —
+    * sub-linear against the linear code scan. Floor 16; same
+    * IEEE-double arithmetic the oracle replays from COUNT(*). */
+  def pqDerivedRefine(n: Long, p: IvfParams): Int =
+    math.max(16,
+      math.ceil(math.sqrt(p.nProbe.toDouble * n / p.nList)).toInt)
+
+  /** One-shot IVF×PQ with corpus-derived cell sizing AND refine pool
+    * — build, train, encode, search. PQ's ranking is coarser than
+    * SQ8's, so the survivor pool is wider ([[pqDerivedRefine]] vs
+    * SQ8's fixed 4) and the codebook is the faiss-default 8
+    * bits/subspace (ks = 256 — ks = 16 measured recall 0.48 vs 0.88
+    * at sf0.1): re-rank cost is |Q|·k·refine rows either way,
+    * nothing corpus-sized. */
   def knnIvfPq(emb: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, k: Int, m: Int = 8, ks: Int = 256,
-               refine: Int = 16, seed: Long = 42L): DataFrame = {
+               refineOverride: Option[Int] = None,
+               seed: Long = 42L): DataFrame = {
     val n = emb.count()
     val p = ivfDerivedParams(n)
+    val refine = refineOverride.getOrElse(pqDerivedRefine(n, p))
     val index = ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
     val cb = pqTrain(emb, idCol, vecCol, m, ks, knownN = Some(n))
     stampIvfParams(

@@ -48,6 +48,13 @@ object RecallProbe {
         Similarity.knnIvfPq(emb, "vec_id", "embedding", q, 5))
       println(f"$d ivf_pq   nlist=${ivfP.nList} nprobe=${ivfP.nProbe} " +
         f"common=$pqc exact=$pqe approx=$pqa recall=${pqc.toDouble / pqe}%.3f")
+      if (sys.env.contains("PQ_REFINE_SWEEP"))
+        for (rf <- Seq(32, 64, 128)) {
+          val (c2, e2, _) = recallOf(
+            Similarity.knnIvfPq(emb, "vec_id", "embedding", q, 5,
+              refineOverride = Some(rf)))
+          println(f"$d ivf_pq_r$rf recall=${c2.toDouble / e2}%.3f")
+        }
       val (qc, qe, qa) = recallOf(
         Similarity.knnSq8(emb, "vec_id", "embedding", q, 5, refine = 4))
       println(f"$d knn_sq8  common=$qc exact=$qe approx=$qa recall=${qc.toDouble / qe}%.3f")

@@ -530,6 +530,19 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(3) == 7.0)
   }
 
+  test("pqDerivedRefine: floor 16, grows as sqrt(probed), monotone in n") {
+    import graft.scaleops.Similarity.{ivfDerivedParams, pqDerivedRefine}
+    // small corpora sit on the floor
+    assert(pqDerivedRefine(500L, ivfDerivedParams(500L)) == 16)
+    // sf1-scale: probed ≈ 50·20000/142 ≈ 7042 → ceil(sqrt) = 84
+    val p1 = ivfDerivedParams(20000L)
+    assert(pqDerivedRefine(20000L, p1) == 84)
+    // monotone over three decades
+    val rs = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(n => pqDerivedRefine(n, ivfDerivedParams(n)))
+    assert(rs == rs.sorted)
+  }
+
   test("ivf-pq composition: full-probe + generous refine recovers brute force") {
     // every approximation layer inert (all cells probed, refine covers
     // the corpus, exact re-rank) — pins routing, codebook training,
