@@ -432,12 +432,26 @@ object AnalyticsQueries {
     * verbatim (the localKMeans discipline — a first cut chained the
     * rounds as nested `withColumn` expressions and paid ~2 s extra
     * of Catalyst/codegen on a ONE-ROW frame: each round multiplies
-    * the expression tree). The remaining warm cost (~4 s at sf0.1)
-    * is the ten >18-digit DECIMAL second-moment sums themselves —
-    * wide decimals take Spark's BigDecimal path, the documented
-    * price of order-free cross-engine exactness (same trade as
-    * events_ab_ttest, ×5 the columns). The trajectory (not just the
-    * fixed point) is hash-pinned.
+    * the expression tree). The trajectory (not just the fixed point)
+    * is hash-pinned.
+    *
+    * Cross-engine exactness discipline (round-9 fix of the one red
+    * gate row): every double→decimal boundary is quantized in PURE
+    * IEEE double arithmetic — `floor(x·10^s + 0.5)` — which both
+    * engines evaluate bit-identically, instead of a per-engine
+    * double→DECIMAL cast (DuckDB scales-then-nearbyints, Spark goes
+    * through the shortest-string BigDecimal; at DECIMAL(38,12) the
+    * scaled double ~1e22 quantizes to ~4e6 units, so the two casts
+    * disagree per term and the accumulated ~1e-3 drift flips the
+    * moment's final double with ~1% probability per moment). All
+    * measures have ≤2 decimal digits, so products are exact at 4 dp;
+    * x·y·1e4 ≤ 1.1e14 ≪ 2^53 keeps the floor argument in the exact
+    * integer range. The same trick replaces ROUND(double,6) on the
+    * emitted values (DuckDB's multiply-based ROUND is
+    * version-dependent at the ulp). Bonus: the per-term value is now
+    * a compact DECIMAL(18,0), not DECIMAL(38,12) — the sum input
+    * stays on the long-backed path (the old ten wide-decimal sums
+    * were ~4 s of BigDecimal at sf0.1).
     * Raw covariance, not correlation — the price axis dominates by
     * construction and the certified eigenvector says so. Start
     * vector [0.5,0.5,0.5,0.5] (unit norm, exact binary);
@@ -449,8 +463,9 @@ object AnalyticsQueries {
       pcaCols.zipWithIndex.map { case (c, i) =>
         sum(dec4(col(c))).cast("double").as(s"s$i") } ++
       (for { i <- 0 until k; j <- i until k } yield
-        sum((col(pcaCols(i)) * col(pcaCols(j))).cast(DecimalType(38, 12)))
-          .cast("double").as(s"s${i}_$j"))
+        (sum(floor(col(pcaCols(i)) * col(pcaCols(j)) * lit(10000.0) + lit(0.5))
+          .cast(DecimalType(18, 0))).cast("double") / lit(10000.0))
+          .as(s"s${i}_$j"))
     val m = li.agg(count(lit(1)).as("n"), aggs: _*).head()
     val n = m.getLong(0)
     def d0(name: String): Double = m.getDouble(m.fieldIndex(name))
@@ -475,11 +490,11 @@ object AnalyticsQueries {
       var i2 = 0
       while (i2 < k) { v(i2) = w(i2) / nrm; i2 += 1 }
     }
-    def r6d(x: Double): Double = // Spark round(_, 6) driver twin
-      new java.math.BigDecimal(java.lang.Double.toString(x))
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    // pure-IEEE 6-dp quantizer: bit-identical to the oracle's
+    // FLOOR(x * 1000000.0 + 0.5) / 1000000.0 (no per-engine ROUND)
+    def q6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
     import s.implicits._
-    Seq((n, r6d(v(0)), r6d(v(1)), r6d(v(2)), r6d(v(3)), r6d(nrm)))
+    Seq((n, q6(v(0)), q6(v(1)), q6(v(2)), q6(v(3)), q6(nrm)))
       .toDF("n" +: pcaCols.map(c => s"pc1_$c") :+ "eigenvalue": _*)
   }
 
@@ -490,8 +505,8 @@ object AnalyticsQueries {
         s"CAST(CAST(SUM(CAST($c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS s$i"
       } ++
       (for { i <- 0 until k; j <- i until k } yield
-        s"CAST(CAST(SUM(CAST(${pcaCols(i)} * ${pcaCols(j)} AS DECIMAL(38,12)))" +
-          s" AS VARCHAR) AS DOUBLE) AS s${i}_$j")
+        s"CAST(CAST(SUM(CAST(FLOOR(${pcaCols(i)} * ${pcaCols(j)} * 10000.0 + 0.5)" +
+          s" AS DECIMAL(18,0))) AS VARCHAR) AS DOUBLE) / 10000.0 AS s${i}_$j")
     val cov = (for { i <- 0 until k; j <- i until k } yield
       s"s${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j").mkString(", ")
     def cn(i: Int, j: Int) = s"c${math.min(i, j)}_${math.max(i, j)}"
@@ -511,8 +526,9 @@ object AnalyticsQueries {
        |c0 AS (SELECT *, ${(0 until k).map(i => s"CAST(0.5 AS DOUBLE) AS v$i").mkString(", ")} FROM c),
        |$iterCtes
        |SELECT CAST(n AS BIGINT) AS n,
-       |  ${pcaCols.zipWithIndex.map { case (c, i) => s"ROUND(v$i, 6) AS pc1_$c" }.mkString(", ")},
-       |  ROUND(nrm$pcaIters, 6) AS eigenvalue
+       |  ${pcaCols.zipWithIndex.map { case (c, i) =>
+             s"FLOOR(v$i * 1000000.0 + 0.5) / 1000000.0 AS pc1_$c" }.mkString(", ")},
+       |  FLOOR(nrm$pcaIters * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
        |FROM it$pcaIters""".stripMargin
   }
 
