@@ -390,8 +390,21 @@ object Similarity {
     * 32-bit hash modulo 10⁹ is visibly non-uniform (4-vs-5 preimages
     * per residue). */
   private[graft] val fitSampleModulus = 1000000000L
-  private[graft] def fitSampleKeepPpb(n: Long): Long =
-    math.max(1L, ivfFitSampleCap * fitSampleModulus / n)
+  private[graft] def fitSampleKeepPpb(n: Long,
+                                      cap: Long = ivfFitSampleCap): Long =
+    math.max(1L, cap * fitSampleModulus / n)
+
+  /** Fit-sample size for a k-cell build: the flat cap, GROWN to 4·k
+    * once the (unclamped) derived k approaches it — KMeans fitted
+    * with k greater than its sample row count is degenerate
+    * (duplicate/garbage centroids or an outright fit failure). With
+    * [[semDedupDerivedK]] = n/1250, k crosses ivfFitSampleCap/4 at
+    * n ≈ 2·10⁷, so the sample grows as n/312 from there — still a
+    * vanishing fraction of the corpus, and the 'fit set is bounded'
+    * claim becomes 'fit set is Θ(k), 4 samples per centroid' (the
+    * statistically meaningful floor), not a fixed constant. */
+  private[graft] def fitSampleCapFor(k: Int): Long =
+    math.max(ivfFitSampleCap, 4L * k)
 
   def ivfBuild(emb: DataFrame, idCol: String, vecCol: String,
                nList: Int = 16, seed: Long = 42L,
@@ -403,15 +416,16 @@ object Similarity {
     // derived-sizing callers already counted the corpus for params —
     // accept that count instead of paying a second full-scan job
     val n = knownN.getOrElse(prep.count())
+    val fitCap = fitSampleCapFor(nList) // ≥ 4·k rows, never k > sample
     val fitSet =
-      if (n <= ivfFitSampleCap) prep
+      if (n <= fitCap) prep
       else {
         // parts-per-BILLION keep rate so the expected sample lands
         // near the cap at ANY corpus size ([[fitSampleKeepPpb]] —
         // spec-pinned boundedness); pmod(xxhash64(id)) is stable
         // across partitionings and sessions
         prep.filter(pmod(xxhash64(col("neighbor_id")),
-          lit(fitSampleModulus)) < fitSampleKeepPpb(n))
+          lit(fitSampleModulus)) < fitSampleKeepPpb(n, fitCap))
       }
     // Few iterations suffice: correctness never depends on centroid
     // quality (full-probe search is exact for ANY cell assignment;
@@ -560,6 +574,30 @@ object Similarity {
     (centers, assign)
   }
 
+  /** Coarse grouping of the fine-centroid array for two-level
+    * routing: [[localKMeans]] then EMPTY-GROUP COMPACTION — only
+    * coarse centers owning at least one fine centroid survive,
+    * re-indexed densely. This makes two-level routing structurally
+    * TOTAL: every probed coarse cell joins to ≥ 1 fine centroid, so
+    * any query probing ≥ 1 coarse cell always ranks ≥ 1 fine cell.
+    * Without the compaction (the round-8 cut) a vector whose cProbe
+    * nearest coarse centers all owned zero fine centroids got NO
+    * cell row, and [[assignCells]]'s inner join silently dropped it
+    * from the index — data loss invisible to the flat-path exactness
+    * pin. Compaction also stops wasting probe budget on cells that
+    * cannot contain candidates. */
+  private[graft] def coarseGroups(centers: Array[Array[Double]],
+                                  coarseK: Int)
+      : (Array[Array[Double]], Array[Int]) = {
+    val (coarse, fineToCoarse) = localKMeans(centers, coarseK)
+    val occupied = fineToCoarse.distinct.sorted
+    if (occupied.length == coarse.length) (coarse, fineToCoarse)
+    else {
+      val remap = occupied.zipWithIndex.toMap
+      (occupied.map(coarse(_)), fineToCoarse.map(remap))
+    }
+  }
+
   /** Centroid routing shared by every IVF consumer ([[ivfSearch]],
     * [[knnIvfSq8]], [[semDedupPairsIndexed]], [[assignCells]]):
     * `nProbe` nearest centroids per prepped query, deterministic
@@ -602,8 +640,11 @@ object Similarity {
         .filter(col("cell_rank") <= nProbe)
         .drop("centroid", "dist2", "cell_rank")
     } else {
-      val coarseK = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-      val (coarse, fineToCoarse) = localKMeans(centers, coarseK)
+      // coarseGroups compacts empty coarse cells away (totality:
+      // every probed ccell owns fine centroids — see its scaladoc)
+      val (coarse, fineToCoarse) = coarseGroups(centers,
+        math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt))
+      val coarseK = coarse.length
       // probe enough coarse cells that the fine rank can always fill
       // nProbe even on uneven coarse occupancy
       val cProbe = math.min(coarseK, math.max(coarseProbes,

@@ -66,16 +66,19 @@ object EvalMetrics {
     * high-cardinality score, quantize first (e.g. `round(s, 4)` or a
     * KLL-bucketed bin) — the unpartitioned window below is a
     * single-task sort over the distinct-score frame by design, and
-    * the contract is ENFORCED: an `approx_count_distinct` probe
-    * fail-fasts above `maxDistinctScores` (the DynamicPivot
-    * cap-guard discipline — silent degradation to a near-row-count
-    * single-task sort must be loud). One extra map-side-combined
-    * pass. The probe is a SKETCH (HyperLogLog, ~2% rsd), so the
-    * enforced boundary carries a 1.1× error allowance: a legitimate
-    * input just under the cap must never be rejected on sketch noise
-    * (the guard is a magnitude check against 10×-over misuse, not an
-    * exact admission boundary — inputs in the allowance band pass,
-    * and cost merely what the cap already deems acceptable).
+    * the contract is ENFORCED: the final aggregate counts the
+    * distinct-score rows EXACTLY (they are the groupBy output — the
+    * count is free) and `raise_error`s above `maxDistinctScores`
+    * (the DynamicPivot cap-guard discipline — silent degradation to
+    * a near-row-count single-task sort must be loud). Zero extra
+    * scans and an exact admission boundary — this replaced a round-8
+    * eager `approx_count_distinct` pre-pass that doubled the query
+    * (0.76→1.62 s warm) and, being a ~2-5% rsd sketch, could reject
+    * a legitimate input near the cap nondeterministically. The guard
+    * is now post-hoc: one over-cap run pays its own degraded cost
+    * before failing loudly, the price of folding the check into the
+    * only corpus pass (acceptable — the guard exists against silent
+    * 10×-over misuse, not to meter the first offense).
     *
     * Single-class input (n_pos·n_neg = 0): AUC is mathematically
     * undefined — the row comes back with the class counts and an
@@ -85,14 +88,6 @@ object EvalMetrics {
   def rocAuc(df: DataFrame, score: Column, labelBin: Column,
              maxDistinctScores: Long = 100000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val approxDistinct =
-      df.agg(approx_count_distinct(score)).head().getLong(0)
-    require(approxDistinct <= maxDistinctScores * 11L / 10L,
-      s"rocAuc: ~$approxDistinct distinct score values exceed the " +
-        s"$maxDistinctScores cap — the per-distinct-score cumulative " +
-        "pass would degrade to a near-row-count single-task sort. " +
-        "Quantize the score first (round(score, k) or a KLL-bucketed " +
-        "bin), or raise maxDistinctScores deliberately")
     val g = df.groupBy(score.as("s")).agg(
       sum(when(labelBin === 1, 1L).otherwise(0L)).as("pos_eq"),
       sum(when(labelBin === 0, 1L).otherwise(0L)).as("neg_eq"))
@@ -100,15 +95,24 @@ object EvalMetrics {
       .rowsBetween(Window.unboundedPreceding, -1)
     g.withColumn("neg_lt", coalesce(sum(col("neg_eq")).over(w), lit(0L)))
       .agg(
+        count(lit(1)).as("n_s"), // exact distinct-score count, free
         sum(col("pos_eq")).as("n_pos"),
         sum(col("neg_eq")).as("n_neg"),
         sum(col("pos_eq") * (lit(2L) * col("neg_lt") + col("neg_eq")))
           .as("numer2"))
       .select(col("n_pos"), col("n_neg"),
-        when(col("n_pos") > 0 && col("n_neg") > 0,
+        when(col("n_s") > maxDistinctScores,
+          raise_error(format_string(
+            "rocAuc: %d distinct score values exceed the %d cap — the " +
+              "per-distinct-score cumulative pass degrades to a " +
+              "near-row-count single-task sort. Quantize the score " +
+              "first (round(score, k) or a KLL-bucketed bin), or " +
+              "raise maxDistinctScores deliberately",
+            col("n_s"), lit(maxDistinctScores))).cast("double"))
+        .when(col("n_pos") > 0 && col("n_neg") > 0,
           round(col("numer2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6))
-          .otherwise(lit(null).cast("double")).as("auc"))
+        .otherwise(lit(null).cast("double")).as("auc"))
   }
 
   private def reportFrom(df: DataFrame, y: Column, pred: Column,

@@ -246,21 +246,27 @@ class OperatorsSpec extends SparkSpec {
   test("bloom filter pruning keeps all true members") {
     val probe = (1 to 200).map(_.toLong).toDF("k")
     val build = (1 to 200 by 7).map(_.toLong).toDF("bk")
-    val bloom = build.stat.bloomFilter("bk", 100L, 0.03)
+    val bytes = graft.operators.BloomPrune.sketch(build, "bk", 100L, 0.03)
     val kept = graft.operators.BloomPrune
-      .filterMightContain(probe, col("k"), bloom)
+      .filterMightContain(probe, col("k"), bytes)
       .collect().map(_.getLong(0)).toSet
     assert((1 to 200 by 7).map(_.toLong).toSet.subsetOf(kept)) // no false negatives
   }
 
-  test("bloom prune rejects unsupported key types at plan time") {
-    val build = Seq(1L, 2L).toDF("k")
-    val bloom = build.stat.bloomFilter("k", 10, 0.01)
-    val probe = Seq(java.sql.Date.valueOf("2026-01-01")).toDF("d")
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.BloomPrune.filterMightContain(probe, col("d"), bloom)
-    }
-    assert(e.getMessage.contains("date"))
+  test("bloom prune hashes non-integral keys consistently on both " +
+    "sides (xxhash64 space) and drops null probe keys") {
+    // date keys — the type the raw-value sketch path had to reject
+    val build = Seq("2026-01-01", "2026-03-05")
+      .map(java.sql.Date.valueOf).toDF("bk")
+    val probe = Seq[java.sql.Date](
+      java.sql.Date.valueOf("2026-01-01"),
+      java.sql.Date.valueOf("2026-02-02"), null).toDF("d")
+    val bytes = graft.operators.BloomPrune.sketch(build, "bk", 10L, 0.01)
+    val kept = graft.operators.BloomPrune
+      .filterMightContain(probe, col("d"), bytes)
+      .collect().map(_.getDate(0)).toSet
+    assert(kept.contains(java.sql.Date.valueOf("2026-01-01"))) // true member
+    assert(!kept.contains(null)) // nulls never pass the prune
   }
 
   test("dynamic pivot: sorted deterministic schema, filled cells") {

@@ -153,10 +153,10 @@ class PlanSpec extends SparkSpec {
 
   test("bloom semi join: the pruning filter sits under the join, over the scan") {
     val lines = plan("q_bloom_semi_revenue").linesIterator.toVector
-    // anchor on the Filter NODE carrying the bloom probe, not any
-    // stray UDF string elsewhere in the printed plan
+    // anchor on the Filter NODE carrying the codegen bloom probe
+    // (might_contain over xxhash64 — r9 replaced the udf probe)
     val filterIdx = lines.indexWhere(l =>
-      l.contains("Filter") && l.contains("UDF"))
+      l.contains("Filter") && l.contains("might_contain"))
     val joinIdx = lines.indexWhere(_.contains("Join"))
     assert(filterIdx >= 0 && joinIdx >= 0 && filterIdx > joinIdx,
       "bloom Filter node must print deeper in the tree than the join")

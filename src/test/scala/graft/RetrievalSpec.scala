@@ -88,13 +88,19 @@ class RetrievalSpec extends SparkSpec {
 
   test("rocAuc guards: high-cardinality scores fail fast with the " +
     "quantize-first diagnosis; single-class input returns NULL auc") {
-    // continuous-score misuse: 5k distinct values over a 100-cap
+    // continuous-score misuse: 5k distinct values over a 100-cap.
+    // The guard is in-plan (raise_error in the final aggregate, r9:
+    // the eager sketch pre-pass doubled the query), so it surfaces
+    // as a Spark runtime failure whose cause chain carries the
+    // quantize-first diagnosis.
     val wide = (0 until 5000).map(i => (i / 5000.0, i % 2)).toDF("s", "y")
-    val e = intercept[IllegalArgumentException] {
+    val e = intercept[Exception] {
       EvalMetrics.rocAuc(wide, col("s"), col("y"),
         maxDistinctScores = 100L).head()
     }
-    assert(e.getMessage.contains("Quantize"))
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("Quantize"))
     // positive control: the same frame passes under a raised cap
     assert(EvalMetrics.rocAuc(wide, col("s"), col("y"),
       maxDistinctScores = 10000L).head().getDouble(2) > 0.0)

@@ -380,6 +380,47 @@ class SimilaritySpec extends SparkSpec {
     assert(cBig.length == 3 && aBig.forall(_ < 3))
   }
 
+  test("coarseGroups: every surviving coarse center owns >= 1 fine " +
+    "centroid (two-level routing totality)") {
+    // duplicate-heavy fine centroids collapse Lloyd's clusters, the
+    // regime that leaves re-seeded-but-empty coarse cells behind; a
+    // query probing only such cells used to join to zero fine rows
+    // and silently vanish from the index (r8 ADVICE)
+    val rnd = new scala.util.Random(7L)
+    val dup = Array.fill(4)(rnd.nextGaussian())
+    val pts = Array.tabulate(100)(i =>
+      if (i % 5 == 0) Array.fill(4)(rnd.nextGaussian()) else dup.clone)
+    val (coarse, fineToCoarse) = Similarity.coarseGroups(pts, 10)
+    assert(fineToCoarse.length == 100)
+    val owned = fineToCoarse.toSet
+    assert(owned == coarse.indices.toSet,
+      s"empty coarse cells survived compaction: " +
+        s"${coarse.indices.toSet -- owned}")
+    // identity case: well-separated centers keep all groups
+    val sep = Array.tabulate(20)(i => Array(i * 100.0, 0.0, 0.0, 0.0))
+    val (c2, a2) = Similarity.coarseGroups(sep, 4)
+    assert(a2.toSet == c2.indices.toSet)
+  }
+
+  test("fitSampleCapFor: fit sample grows with k so KMeans never " +
+    "sees k > sample rows") {
+    import Similarity.{fitSampleCapFor, fitSampleKeepPpb, fitSampleModulus,
+      ivfFitSampleCap}
+    assert(fitSampleCapFor(16) == ivfFitSampleCap) // flat regime
+    // unclamped derived k beyond the flat cap (n ≳ 2e7 for SemDeDup):
+    // expected sample stays within [cap/2, cap] of the GROWN cap,
+    // which itself is ≥ 4·k — the degenerate k-over-sample fit that
+    // contradicted the boundedness scaladoc cannot occur
+    for (n <- Seq(100000000L, 10000000000L)) {
+      val k = Similarity.semDedupDerivedK(n)
+      val cap = fitSampleCapFor(k)
+      assert(cap >= 4L * k)
+      val expected = fitSampleKeepPpb(n, cap).toDouble * n / fitSampleModulus
+      assert(expected <= cap.toDouble && expected >= cap / 2.0,
+        s"n=$n k=$k cap=$cap expected=$expected")
+    }
+  }
+
   test("two-level centroid routing: full-probe exactness preserved, " +
     "partial probe keeps high recall at k > threshold") {
     // a corpus small enough to brute-check but with nList above the
