@@ -1077,6 +1077,55 @@ object ScaleQueries {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** IVF×PQ over a PREBUILT index + PERSISTED codebook and codes —
+    * the production (search-only) shape of the deepest-compression
+    * ANN tier, completing the prebuilt family (knn_ivf_prebuilt
+    * 11.6→1.1 s, knn_ivf_sq8_prebuilt): KMeans cells, the PQ
+    * codebook (a pure function of the id-hash fit sample, ~130 KB at
+    * m8/ks256/64-dim) and the 8-byte codes parquet are all written
+    * once under the index memo ([[ivfLoadOrBuild]] invalidates them
+    * with the index); every later search pays load + route + one ADC
+    * code scan + exact refine — never a KMeans/PQ refit or corpus
+    * re-encode. Same derived sizing, refine rule and 0.75 bound as
+    * knn_ivf_pq, so the same oracle applies. */
+  def knnIvfPqPrebuilt(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
+    val index = ivfLoadOrBuild(s, "target/ivf_index_pq", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
+    val base = ivfMemoDir("target/ivf_index_pq", d)
+    val cbPath = s"$base/pq_cb"
+    if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8,
+        ks = 256, knownN = Some(nCorpus))
+      import s.implicits._
+      cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+        .coalesce(1).write.mode("overwrite").parquet(cbPath)
+    }
+    val cb = s.read.parquet(cbPath).orderBy("i").collect()
+      .map(_.getDouble(1))
+    val codesPath = s"$base/pq_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+      Similarity.pqCodes(index, cb).write.mode("overwrite")
+        .parquet(codesPath)
+    val codes = s.read.parquet(codesPath)
+    knnCertify(
+      Similarity.knnIvfPqIndexed(index, codes, cb, "vec_id", "embedding",
+        q, k = 5, nProbe = p.nProbe,
+        refine = Similarity.pqDerivedRefine(nCorpus, p)),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        lit(Similarity.pqDerivedRefine(nCorpus, p)).as("pq_refine"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
   val knnIvfPqOracle: String =
     s"""$knnExactTopkCte,
        |sz AS (SELECT COUNT(*) AS n FROM embeddings),
@@ -1216,14 +1265,17 @@ object ScaleQueries {
       if (resident != null) return resident
     }
     if (!fresh) {
-      // derived artifacts beside the index (e.g. the SQ8 codes
-      // parquet) are pure functions of the cell table: a rebuilt
-      // index must invalidate them with it
-      val codes = new java.io.File(s"$dir/sq8_codes")
-      if (codes.exists) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(codes.toPath).iterator().asScala.toSeq
-          .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      // derived artifacts beside the index (the SQ8/PQ codes
+      // parquets, the PQ codebook) are pure functions of the cell
+      // table / source corpus: a rebuilt index must invalidate them
+      // with it
+      for (name <- Seq("sq8_codes", "pq_codes", "pq_cb")) {
+        val codes = new java.io.File(s"$dir/$name")
+        if (codes.exists) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(codes.toPath).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
       Similarity.ivfSave(build, dir)
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
@@ -2022,6 +2074,7 @@ object ScaleQueries {
     Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     Q("knn_ivf_sq8_prebuilt", knnIvfSq8Prebuilt, Some(knnIvfSq8Oracle)),
     Q("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle)),
+    Q("knn_ivf_pq_prebuilt", knnIvfPqPrebuilt, Some(knnIvfPqOracle)),
     Q("knn_mmr_diverse", knnMmr, Some(knnMmrOracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),
     Q("graph_pagerank", graphPagerank, Some(graphPagerankOracle)),
