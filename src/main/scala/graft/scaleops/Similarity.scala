@@ -1159,51 +1159,55 @@ object Similarity {
     // probes², still O(n²/k) per cell pair set.
     val base = index.indexed
       .select(col("neighbor_id"), col("neighborv"), col("neighbornorm"))
-      .localCheckpoint(eager = false) // feeds assignment + both verify joins
-    // checkpointed: feeds BOTH sides of the candidate self-join —
-    // without it the centroid-distance crossJoin and the per-vector
-    // ranking window replay twice (same trap as nearDupPairsLsh's
-    // bucket table)
+      .localCheckpoint(eager = false) // feeds assignment + the join sides
     val assigned = probedCells(index,
       base.select(col("neighbor_id").as("query_id"),
         col("neighborv").as("queryv"), col("neighbornorm").as("querynorm")),
       nProbe = assignProbes)
       .select(col("cell"), col("query_id").as("id"))
       .localCheckpoint(eager = false)
-    // candidate pairs on BARE IDS, deduped by the MIN-SHARED-CELL
-    // rule instead of a distinct(): a pair meeting in up to
-    // assignProbes shared cells is emitted only from the smallest
-    // shared cell id — each side carries its (tiny, sorted) probe-
-    // cell array through the self-join, and the row survives iff the
-    // join cell equals min(cells_a ∩ cells_b). Unique by
-    // construction, so the n²·probes²/k-row candidate table — the
-    // LARGEST intermediate of the whole operator — is never
-    // shuffled for dedup at all (measured at the 20k-vector soak:
-    // the distinct's hash-exchange of ~10⁸ id-pairs dominated the
-    // gate row; a per-row 3-element array intersect replaces it.
-    // A triangle-salted variant of the join was also measured and
-    // REJECTED: +70% — the cost is candidate volume, not join-key
-    // parallelism). At 100 TB the same argument holds a fortiori:
-    // one extra n-row shuffle (the cell-set aggregation) buys away
-    // a candidate-table-sized one.
+    // CARRY-THROUGH self-join (r9 — the decisive scale fix of this
+    // operator): each side of the per-cell self-join carries its
+    // vector, norm and (tiny, sorted) probe-cell array, so the
+    // n²·probes²/(2k)-row candidate stream is generated, exact-
+    // scored and threshold-killed INSIDE one join stage and never
+    // crosses a stage boundary. The round-8 cut joined bare id pairs
+    // back to the vector table afterwards — at the 20k-vector soak
+    // that re-joined ~10⁸ id pairs through two corpus joins (the
+    // checkpointed base defeats broadcast: unknown stats → sort-merge
+    // — two full sorts OF THE CANDIDATE SET), which is where 100+ of
+    // its 121 s went. Carried side rows are n·probes × ~300 B —
+    // linear, trivially shuffled; the quadratic term now exists only
+    // as codegen-pipelined rows inside the join task.
+    // Filter order matters: the exact-cosine kill runs FIRST (a
+    // codegen 64-FMA dot that drops ~all candidates at any sane τ);
+    // the min-shared-cell uniqueness rule — pairs meeting in up to
+    // `assignProbes` shared cells are emitted only from the smallest
+    // shared cell id, replacing a candidate-table-wide distinct()
+    // with a per-row array intersect — allocates per evaluation, so
+    // it runs on threshold survivors only (same pair set either
+    // order: both predicates are deterministic per row).
+    // At 100 TB the same argument holds a fortiori: the only
+    // corpus-sized shuffles are the two linear ones (assignment,
+    // cell-set aggregation); nothing candidate-sized moves.
     val cellSets = assigned.groupBy("id")
       .agg(sort_array(collect_list(col("cell"))).as("cells"))
-    val withSets = assigned.join(cellSets, "id")
+    val withVecs = assigned.join(cellSets, "id")
+      .join(base.select(col("neighbor_id").as("id"), col("neighborv"),
+        col("neighbornorm")), "id")
       .localCheckpoint(eager = false) // feeds both sides of the join
-    val cands = withSets
-      .join(withSets.select(col("cell"), col("id").as("b_id"),
-        col("cells").as("b_cells")), "cell")
-      .filter(col("id") < col("b_id") &&
-        col("cell") === array_min(array_intersect(col("cells"),
-          col("b_cells"))))
-      .select(col("id").as("a_id"), col("b_id"))
-    cands
-      .join(base.select(col("neighbor_id").as("a_id"),
-        col("neighborv").as("av"), col("neighbornorm").as("anorm")), "a_id")
-      .join(base.select(col("neighbor_id").as("b_id"),
-        col("neighborv").as("bv"), col("neighbornorm").as("bnorm")), "b_id")
+    val aSide = withVecs.select(col("cell"), col("id").as("a_id"),
+      col("cells").as("a_cells"), col("neighborv").as("av"),
+      col("neighbornorm").as("anorm"))
+    val bSide = withVecs.select(col("cell"), col("id").as("b_id"),
+      col("cells").as("b_cells"), col("neighborv").as("bv"),
+      col("neighbornorm").as("bnorm"))
+    aSide.join(bSide, "cell")
+      .filter(col("a_id") < col("b_id"))
       .withColumn("cos", pairCos("a", "b"))
-      .filter(col("cos") >= threshold)
+      .filter(col("cos") >= threshold &&
+        col("cell") === array_min(array_intersect(col("a_cells"),
+          col("b_cells"))))
       .select(col("a_id").as("a"), col("b_id").as("b"), col("cos"))
   }
 
