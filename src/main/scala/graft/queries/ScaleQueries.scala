@@ -529,19 +529,20 @@ object ScaleQueries {
     // SemDedupProbe at the sf1 soak measured recall 0.820/0.668/0.530
     // at k = 16/32/64 — 66°-apart "duplicates" simply straddle fine
     // clusters, so a low threshold caps how small cells may get
-    // (recall ≥ 0.8 ⇒ cells ≥ ~1250). That recall cliff is why this
-    // row's sf1 cost (~2 min) is IRREDUCIBLE at τ = 0.4: k = 16 is
-    // recall-mandated, candidates ≈ n²·probes²/(2k) ≈ 0.28·n², and
-    // r8 A/B-measured both a triangle-salted join (+70%) and the
-    // min-shared-cell dedup (parity locally, one fewer shuffle at
-    // scale) without moving that floor. It is the certification
-    // price of the adversarially-hard regime, not a defect of the
-    // operator: at high τ — SemDeDup's design regime — fine cells
-    // KEEP recall (SimilaritySpec pins ≥ 0.9 planted-pair recall at
-    // τ = 0.9 with k = 80 two-level cells), so the unclamped rule
-    // scales sub-quadratically exactly where production runs it; at
-    // low τ the honest tools are the router's brute path or the
-    // sampled certification the other embedding rows use.
+    // (recall ≥ 0.8 ⇒ cells ≥ ~1250). The CANDIDATE VOLUME is thus
+    // recall-mandated (≈ n²·probes²/(2k) ≈ 0.28·n² at τ = 0.4) — but
+    // volume is not wall-clock: the r9 carry-through + sliced-key
+    // rewrite of semDedupPairsIndexed (vectors ride the cell
+    // self-join, candidates die in-stage, a-side sliced for
+    // parallelism) took the sf1 soak row 121.2 → 10.2 s and the
+    // sf1/sf0.1 ratio 16.7× → ~3× with a BIT-IDENTICAL pair set
+    // (SemDedupProbe re-pinned 0.965/0.820). At high τ — SemDeDup's
+    // design regime — fine cells keep recall (SimilaritySpec pins
+    // ≥ 0.9 planted-pair recall at τ = 0.9 with k = 80 two-level
+    // cells), so the unclamped rule scales sub-quadratically exactly
+    // where production runs it; at low τ on corpora too big for the
+    // 0.28·n² stream the honest tools are the router's brute path or
+    // the sampled certification the other embedding rows use.
     // Derived: gate SFs → 8, sf1 soak → 16.
     val n = emb.count()
     val nClusters = Similarity.semDedupDerivedK(n)

@@ -1196,13 +1196,29 @@ object Similarity {
       .join(base.select(col("neighbor_id").as("id"), col("neighborv"),
         col("neighbornorm")), "id")
       .localCheckpoint(eager = false) // feeds both sides of the join
+    // SLICED join keys: with k cells the quadratic in-join work would
+    // run on at most k tasks (at the sf1 soak: 16 of 32 cores busy) —
+    // slice the a-side deterministically by id hash and replicate the
+    // b-side once per slice, so the join fans out over k·S keys. The
+    // pair set is untouched (each (a,b) meets in exactly one
+    // (cell, slice)); the price is an S× replication of the LINEAR
+    // b-side shuffle, bought against parallelism on the QUADRATIC
+    // stage. (The r8 triangle-salting rejection measured the old
+    // bare-id shape, where the join stage was not the bottleneck.)
+    val slices = math.max(1, math.min(8,
+      index.indexed.sparkSession.sparkContext.defaultParallelism * 2 /
+        math.max(1, index.model.clusterCenters.length)))
     val aSide = withVecs.select(col("cell"), col("id").as("a_id"),
       col("cells").as("a_cells"), col("neighborv").as("av"),
-      col("neighbornorm").as("anorm"))
+      col("neighbornorm").as("anorm"),
+      pmod(xxhash64(col("id")), lit(slices)).as("slice"))
     val bSide = withVecs.select(col("cell"), col("id").as("b_id"),
       col("cells").as("b_cells"), col("neighborv").as("bv"),
       col("neighbornorm").as("bnorm"))
-    aSide.join(bSide, "cell")
+      .crossJoin(broadcast(
+        index.indexed.sparkSession.range(slices).select(
+          col("id").cast("long").as("slice"))))
+    aSide.join(bSide, Seq("cell", "slice"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", pairCos("a", "b"))
       .filter(col("cos") >= threshold &&
