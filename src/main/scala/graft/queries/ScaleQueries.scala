@@ -1309,6 +1309,82 @@ object ScaleQueries {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** Cost-routed DEFAULT k-NN ([[Similarity.knnAuto]]) certified in
+    * BOTH routing regimes at once: a one-shot call (reuse=1) must
+    * route to exact brute — witnessed row-identical against the brute
+    * twin (`one_exact_ok`) — because at the recall-0.9-mandated probe
+    * fraction a single small batch can never repay an index build;
+    * an amortized call (reuse=100 query batches over the index
+    * lifetime) must route to the derived-IVF tier and hold recall
+    * ≥ 0.9 (floor raised above the 0.75 of the explicit-tier rows —
+    * a DEFAULT must be safe; IvfProbeFracSweep measured 0.96-1.00 at
+    * probeFrac 0.6 across all four SFs). Both routing booleans are
+    * emitted and the oracle REPLAYS the cost model from COUNT(*)
+    * ([[Similarity.knnIvfWorthIt]] — plain IEEE doubles both
+    * engines), so a formula drift flips the hash. LSH is absent from
+    * the default path by design: its table count grows with n to
+    * hold recall (10.6× wall-clock for 10× data at the sf1 soak,
+    * structural) while the IVF tier re-sizes as √n (≤ 1.4×
+    * measured); [[Similarity.knnLshDerived]] remains the certified
+    * explicit fallback (`knn_lsh`). */
+  def knnAutoQ(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
+    val one = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
+      reuse = 1L)
+    val many = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
+      reuse = 100L)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5)
+      .localCheckpoint(eager = false) // twin feeds 2 certifications
+    val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")
+      .join(brute, Seq("query_id", "rank", "neighbor_id", "cos"))
+    knnCertify(many, brute, minRecall = 0.9)
+      .crossJoin(oneCommon.agg(count(lit(1)).as("n_one_common")))
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(Similarity.knnRoutedOf(one).get).as("route_one_ivf"),
+        lit(Similarity.knnRoutedOf(many).get).as("route_many_ivf"),
+        (col("n_one_common") === col("n_exact")).as("one_exact_ok"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnAutoOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nq AS (SELECT COUNT(*) AS m FROM embeddings WHERE vec_id < 10),
+       |pp AS (
+       |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+       |  FROM sz),
+       |p2 AS (
+       |  SELECT n, nlist, LEAST(nlist, GREATEST(3,
+       |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
+       |  FROM pp),
+       |cost AS (
+       |  SELECT n, nlist, nprobe,
+       |    CASE WHEN nlist <= 64 THEN CAST(nlist AS DOUBLE)
+       |      ELSE CEIL(SQRT(CAST(nlist AS DOUBLE)))
+       |        + CAST(3.0 AS DOUBLE) * nlist / CEIL(SQRT(CAST(nlist AS DOUBLE)))
+       |    END AS assign
+       |  FROM p2),
+       |dec AS (
+       |  SELECT nlist, nprobe,
+       |    ((CAST(n AS DOUBLE) * assign + CAST(1 AS DOUBLE) * m
+       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
+       |      * CAST(1.2 AS DOUBLE) <= CAST(1 AS DOUBLE) * m * n) AS route_one_ivf,
+       |    ((CAST(n AS DOUBLE) * assign + CAST(100 AS DOUBLE) * m
+       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
+       |      * CAST(1.2 AS DOUBLE) <= CAST(100 AS DOUBLE) * m * n) AS route_many_ivf
+       |  FROM cost, nq)
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  route_one_ivf, route_many_ivf,
+       |  TRUE AS one_exact_ok, TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, dec
+       |GROUP BY nlist, nprobe, route_one_ivf, route_many_ivf""".stripMargin
+
   /** Incremental IVF maintenance ([[Similarity.ivfAddBatch]]): a base
     * index fitted on the old corpus absorbs today's batch by frozen-
     * centroid assignment — no refit. Certified two ways: `union_ok`
@@ -2082,6 +2158,7 @@ object ScaleQueries {
     Q("graph_communities", graphCommunities, Some(graphCommunitiesOracle)),
     Q("dedup_incremental", dedupIncremental, Some(dedupIncrementalOracle)),
     Q("knn_ivf", knnIvf, Some(knnIvfOracle)),
+    Q("knn_auto", knnAutoQ, Some(knnAutoOracle)),
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_ivf_prebuilt", knnIvfPrebuilt, Some(knnIvfOracle)),
     Q("knn_ivf_incremental", knnIvfIncremental, Some(knnIvfIncrementalOracle)),

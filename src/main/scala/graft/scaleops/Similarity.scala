@@ -757,6 +757,84 @@ object Similarity {
         knownN = Some(n)), p)
   }
 
+  /** Probe fraction of the knn COST ROUTER's IVF tier — HIGHER than
+    * the standalone derived tier's 0.35: the router's output is a
+    * default (callers did not pick an ANN tier deliberately), so it
+    * certifies recall ≥ 0.9, and the sweep (IvfProbeFracSweep)
+    * measured 0.35 → 0.82-0.88 vs 0.6 → 0.96-1.00 across
+    * sf0.001/0.01/0.1/sf1 — 0.6 holds the floor with ≥ 0.06 margin
+    * at every measured scale. */
+  val knnAutoProbeFrac = 0.6
+
+  /** The knn router's cost model, exposed so the gate oracle can
+    * replay the decision from COUNT(*): predicted dot-products of
+    * brute (`reuse·|Q|·n`) vs one IVF build amortized over `reuse`
+    * query batches (`n·assign + reuse·|Q|·(assign + nProbe·n/nList)`,
+    * assign = per-vector routing dots — nList flat, √-structured
+    * above [[twoLevelCellThreshold]]). IVF must predict
+    * ≥ `minAdvantage`× fewer dots to win. The honest consequence:
+    * a ONE-SHOT small-batch knn routes to brute at every corpus size
+    * (at recall-0.9-mandated probe fractions a one-shot IVF cannot
+    * repay its build — the probed set is already 0.6·n per query);
+    * IVF wins exactly in the serving regime it exists for, where an
+    * index answers many batches ([[ivfSave]]/[[ivfLoad]] make reuse
+    * real). Plain IEEE-double arithmetic throughout so DuckDB
+    * replays the boolean bit-for-bit. */
+  def knnIvfWorthIt(n: Long, nQueries: Long, reuse: Long, p: IvfParams,
+                    minAdvantage: Double = 1.2): Boolean = {
+    val brute = reuse.toDouble * nQueries.toDouble * n.toDouble
+    val assign =
+      if (p.nList <= twoLevelCellThreshold) p.nList.toDouble
+      else {
+        val ck = math.ceil(math.sqrt(p.nList.toDouble))
+        ck + 3.0 * p.nList.toDouble / ck
+      }
+    val ivf = n.toDouble * assign + reuse.toDouble * nQueries.toDouble *
+      (assign + p.nProbe.toDouble * n.toDouble / p.nList.toDouble)
+    ivf * minAdvantage <= brute
+  }
+
+  /** Cost-routed DEFAULT k-NN — the entry point a caller should use
+    * without picking an ANN tier by hand ([[nearDupPairsAuto]]'s
+    * discipline applied to search). Routes between exact brute and
+    * the derived-IVF tier by [[knnIvfWorthIt]]; LSH is deliberately
+    * NOT in the default path: holding recall fixed its table count
+    * grows with n (measured 10.6× wall-clock for 10× data at the sf1
+    * soak — structural, the tables ARE the recall dial), while the
+    * IVF tier re-sizes as √n and measured ≤ 1.4×. [[knnLshDerived]]
+    * stays available as the certified explicit fallback (e.g. when
+    * no KMeans fit may run). `reuse` = expected query batches over
+    * the index lifetime (1 = one-shot). The result carries the
+    * routing decision + IVF params as `cos` metadata
+    * ([[knnRoutedOf]]/[[ivfParamsOf]]) so a consumer can PROVE which
+    * plan ran. */
+  def knnAuto(emb: DataFrame, idCol: String, vecCol: String,
+              queries: DataFrame, k: Int, reuse: Long = 1L,
+              seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    val nQ = queries.count()
+    val p = ivfDerivedParams(n, knnAutoProbeFrac)
+    val useIvf = knnIvfWorthIt(n, nQ, reuse, p)
+    val res =
+      if (useIvf)
+        ivfSearch(ivfBuild(emb, idCol, vecCol, p.nList, seed,
+          knownN = Some(n)), idCol, vecCol, queries, k, p.nProbe)
+      else knnBrute(emb, idCol, vecCol, queries, k)
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("ivf_nlist", p.nList.toLong)
+      .putLong("ivf_nprobe", p.nProbe.toLong)
+      .putBoolean("knn_ivf_routed", useIvf).build()
+    res.withColumn("cos", col("cos").as("cos", m))
+  }
+
+  /** The routing decision recorded by [[knnAuto]], or None for
+    * frames from other entry points. */
+  def knnRoutedOf(df: DataFrame): Option[Boolean] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("knn_ivf_routed")) Some(m.getBoolean("knn_ivf_routed"))
+    else None
+  }
+
   /** [[knnIvfSq8]] with corpus-derived sizing. */
   def knnIvfSq8Derived(emb: DataFrame, idCol: String, vecCol: String,
                        queries: DataFrame, k: Int, refine: Int = 4,

@@ -380,6 +380,42 @@ class SimilaritySpec extends SparkSpec {
     assert(cBig.length == 3 && aBig.forall(_ < 3))
   }
 
+  test("knn cost router: one-shot small batch routes brute (exact), " +
+    "amortized reuse routes the derived-IVF tier") {
+    import Similarity.{ivfDerivedParams, knnAutoProbeFrac, knnIvfWorthIt}
+    // one-shot |Q|=10 never repays an index build — at ANY corpus
+    // size (the probed set is already 0.6·n per query)
+    // amortization hurdle grows with n (the assign term is ~n^1/4
+    // dots/vector): harness-scale corpora repay at reuse=100, a 1e9
+    // corpus needs ~300 batches — the model prices the build honestly
+    for ((n, reuse) <- Seq((500L, 100L), (20000L, 100L),
+        (1000000000L, 1000L))) {
+      val p = ivfDerivedParams(n, knnAutoProbeFrac)
+      assert(!knnIvfWorthIt(n, 10L, 1L, p), s"one-shot routed IVF at n=$n")
+      assert(knnIvfWorthIt(n, 10L, reuse, p),
+        s"reuse=$reuse stayed brute at n=$n")
+    }
+    // end-to-end: the routed frames carry the decision, the brute
+    // route is row-identical to knnBrute, the IVF route holds recall
+    val rnd = new scala.util.Random(5L)
+    val emb = (0L until 400L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 5)
+    val one = Similarity.knnAuto(emb, "vec_id", "embedding", q, 3, reuse = 1L)
+    val many = Similarity.knnAuto(emb, "vec_id", "embedding", q, 3,
+      reuse = 100L)
+    assert(Similarity.knnRoutedOf(one).contains(false))
+    assert(Similarity.knnRoutedOf(many).contains(true))
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, 3)
+    assert(one.exceptAll(brute).isEmpty && brute.exceptAll(one).isEmpty)
+    val common = many.select("query_id", "neighbor_id")
+      .join(brute.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    assert(common.toDouble / brute.count() >= 0.8,
+      s"routed-IVF recall collapsed: $common/15")
+  }
+
   test("coarseGroups: every surviving coarse center owns >= 1 fine " +
     "centroid (two-level routing totality)") {
     // duplicate-heavy fine centroids collapse Lloyd's clusters, the
