@@ -179,8 +179,13 @@ object EventsStream {
     *
     * State-schema note: the tracked watermark widened the per-key
     * state from (s⁺, s⁻) to (s⁺, s⁻, maxUs, lastId) — a checkpoint
-    * written by a pre-r8 build cannot be resumed (state rows fail to
-    * decode); restart such a query from a FRESH checkpoint dir. */
+    * written by a pre-r8 build cannot be resumed (Spark's state
+    * schema checker rejects it, or the row fails to decode); restart
+    * such a query from a FRESH checkpoint dir. The name is KEPT as
+    * "cusum" deliberately: renaming the variable would make an old
+    * checkpoint resume with an EMPTY new variable — a silent
+    * trajectory reset, strictly worse than a loud failure — so the
+    * decode path instead rethrows with that guidance attached. */
   class CusumProcessor(slack: Double, threshold: Double)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long, Long, Double, Double),
@@ -200,7 +205,18 @@ object EventsStream {
       // (user, us, id, x, mu) sorted by event time within the batch
       val sorted = rows.toArray.sortBy(r => (r._2, r._3))
       var (p, n, maxUs, lastId) =
-        if (st.exists()) st.get() else (0.0, 0.0, Long.MinValue, Long.MinValue)
+        try {
+          if (st.exists()) st.get()
+          else (0.0, 0.0, Long.MinValue, Long.MinValue)
+        } catch {
+          case e: IllegalStateException => throw e
+          case e: Exception => throw new IllegalStateException(
+            s"cusumStream: failed to read per-key state for key $user — " +
+              "if this query resumed an old checkpoint, its state " +
+              "predates the (s+, s-, maxUs, lastId) schema (the r8 " +
+              "replay-watermark widening); the trajectory cannot be " +
+              "migrated — restart from a FRESH checkpoint dir", e)
+        }
       // the guard compares the batch twin's FULL sort key (us, id):
       // time alone cannot see an equal-timestamp pair split across
       // batches arriving id-descending, which reorders the clamped

@@ -196,6 +196,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batchTwin)
   }
 
+  test("cusum stream: a late file delivered after a later one fails " +
+    "loudly with the replay contract, never a silent wrong trajectory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val watch = java.nio.file.Files.createTempDirectory("graft-cusum-ooo")
+    def land(name: String, rows: Seq[(Long, Long, Long, Double)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-cusum-tmp")
+      rows.toDF("user_id", "us", "event_id", "value")
+        .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+          col("event_id"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, watch.resolve(name))
+    }
+    // the LATE half of the day lands first…
+    land("01.parquet", Seq((1L, 2000000L, 10L, 1.0), (1L, 3000000L, 11L, 2.0)))
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(watch.toString).schema
+      val stream = spark.readStream.schema(schema).parquet(watch.toString)
+      val baseline = Seq((1L, 0.0)).toDF("user_id", "mu")
+      val q = EventsStream.startMemorySink(
+        EventsStream.cusumStream(stream, baseline, slack = 0.0,
+          threshold = 100.0)
+          .toDF("user_id", "event_id", "x", "cusum_pos", "cusum_neg", "alarm"),
+        "cusum_ooo_out", "append")
+      q.processAllAvailable() // folds the late file
+      // …then the EARLY file arrives: replaying it would rewrite
+      // history the fold already consumed
+      land("02.parquet", Seq((1L, 1000000L, 9L, 5.0)))
+      val e = intercept[Exception] { q.processAllAvailable(); q.stop() }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+      assert(chain(e).contains("CUSUM replay contract") ||
+        chain(e).contains("replay contract"),
+        s"expected the ordered-replay contract in the failure, got: ${chain(e).take(500)}")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming session windows agree with the batch lag/cumsum sessionization") {
     val stream = EventsStream.readEvents(spark, streamDir)
     val q = EventsStream.startMemorySink(
