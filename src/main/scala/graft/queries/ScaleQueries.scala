@@ -724,15 +724,45 @@ object ScaleQueries {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** DuckDB replay of [[Similarity.lshMultiProbeParams]] — the
+    * multi-probe knn sizing. `c`, the per-plane agreement
+    * probability, is spelled inline; the plane recall-cap is a MAX
+    * over generate_series(1,30) of the p whose per-table multi-probe
+    * collision `c^p + p·c^(p−1)·(1−c)` still reaches the per-table
+    * floor `1 − (1−R)^(1/32)` — the same scan the Scala rule runs. */
+  private def lshMultiProbeParamsSql(tau: Double, recall: Double): String = {
+    val c = s"(CAST(1.0 AS DOUBLE) - ACOS(CAST($tau AS DOUBLE)) / PI())"
+    val floorExpr = s"(CAST(1.0 AS DOUBLE) - POWER(CAST(1.0 AS DOUBLE) " +
+      s"- CAST($recall AS DOUBLE), CAST(1.0 AS DOUBLE) / CAST(32.0 AS DOUBLE)))"
+    s"""mpp AS (
+       |  SELECT GREATEST(1, LEAST(LEAST(
+       |      CAST(CEIL(LN(GREATEST(CAST(1.0 AS DOUBLE), n / CAST(512.0 AS DOUBLE)))
+       |        / LN(CAST(2.0 AS DOUBLE))) AS INT),
+       |      GREATEST(1, COALESCE((
+       |        SELECT MAX(p) FROM generate_series(1, 30) AS g(p)
+       |        WHERE POWER($c, p) + p * POWER($c, p - 1)
+       |            * (CAST(1.0 AS DOUBLE) - $c) >= $floorExpr), 1))),
+       |    30)) AS planes
+       |  FROM sz),
+       |mpt AS (
+       |  SELECT planes, GREATEST(4, LEAST(32,
+       |    CAST(CEIL(LN(CAST(1.0 AS DOUBLE) - CAST($recall AS DOUBLE))
+       |      / LN(CAST(1.0 AS DOUBLE) - LEAST(POWER($c, planes)
+       |        + planes * POWER($c, planes - 1)
+       |          * (CAST(1.0 AS DOUBLE) - $c),
+       |        CAST(1.0 AS DOUBLE) - CAST(1e-9 AS DOUBLE)))) AS INT))) AS tabs
+       |  FROM mpp)""".stripMargin
+  }
+
   val knnLshOracle: String =
     s"""$knnExactTopkCte,
        |sz AS (SELECT COUNT(*) AS n FROM embeddings),
-       |${lshParamsSql(0.5, recall = 0.95)}
+       |${lshMultiProbeParamsSql(0.5, recall = 0.95)}
        |SELECT COUNT(DISTINCT query_id) AS n_queries,
        |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
        |  planes AS lsh_planes, tabs AS lsh_tables,
        |  TRUE AS recall_ok, TRUE AS ranks_dense
-       |FROM topk, tab
+       |FROM topk, mpt
        |GROUP BY planes, tabs""".stripMargin
 
   /** DuckDB replay of [[Similarity.ivfDerivedParams]] — nList ≈ √n

@@ -338,25 +338,78 @@ object Similarity {
     if (m.contains("lsh_routed")) Some(m.getBoolean("lsh_routed")) else None
   }
 
-  /** [[knnLsh]] with corpus-derived sizing. k-NN has no cosine
-    * threshold; `minCos` is the lowest neighbor cosine the caller
-    * still cares to recall reliably (the k-th-neighbor cosine floor
-    * of the workload — lower = more tables).
+  /** Per-table collision probability of a τ-cosine pair under 1-bit
+    * MULTI-PROBE (query probes its bucket plus every single-flipped-
+    * plane neighbor): exact bucket match OR exactly one disagreeing
+    * plane — `c^p + p·c^(p−1)·(1−c)` with c = 1 − acos(τ)/π. */
+  def lshMultiProbeP1(c: Double, planes: Int): Double =
+    math.pow(c, planes) + planes * math.pow(c, planes - 1) * (1.0 - c)
+
+  /** Derived sizing for MULTI-PROBE knn LSH — the structural fix of
+    * the single-probe rule's scale defect. Single-probe holds recall
+    * by ADDING TABLES, and its recall cap freezes `planes` low (at
+    * τ=0.5/R=0.95 planes caps at 5, tables at 22-32) — so bucket
+    * occupancy, the corpus-side explode and the candidate volume all
+    * grow linearly in n again (knn_lsh measured 10.6× wall-clock for
+    * 10× data at the sf1 soak). Multi-probe moves recall to the
+    * QUERY side (planes+1 probes per table, costing |Q|-bounded
+    * rows): the per-table collision jumps from c^p to
+    * [[lshMultiProbeP1]], so far fewer tables reach the same recall
+    * (τ=0.5/R=0.95 at the sf1 soak: 7 tables × 6 planes vs 22 × 5)
+    * and the recall cap admits ~2× more planes before freezing —
+    * bucket occupancy keeps tracking `targetBucket` an order of
+    * magnitude further in n. The corpus side stays ONE bucket per
+    * table. Same replayable ceil/ln/pow arithmetic; the plane cap is
+    * the max p ≤ 30 whose P1 still reaches the per-table floor
+    * (DuckDB replays it as a MAX over generate_series). */
+  def lshMultiProbeParams(n: Long, threshold: Double,
+                          targetBucket: Long = 512L,
+                          targetRecall: Double = 0.95,
+                          maxTables: Int = 32): LshParams = {
+    require(threshold > -1.0 && threshold < 1.0, s"threshold=$threshold")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall=$targetRecall")
+    val c = 1.0 - math.acos(threshold) / math.Pi
+    val sizePlanes =
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) /
+        math.log(2.0)).toInt
+    val perTableFloor =
+      1.0 - math.pow(1.0 - targetRecall, 1.0 / maxTables)
+    val recallCap = (1 to 30)
+      .filter(p => lshMultiProbeP1(c, p) >= perTableFloor)
+      .maxOption.getOrElse(1)
+    val planes = math.max(1, math.min(math.min(sizePlanes, recallCap), 30))
+    // planes=1 has P1 = 1 exactly (the only plane's flip is always
+    // probed): clamp below 1 so the table formula's log stays finite
+    // — the 4-table floor binds anyway. Same clamp in the SQL twin.
+    val p1 = math.min(lshMultiProbeP1(c, planes), 1.0 - 1e-9)
+    val tables = math.max(4, math.min(maxTables,
+      math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt))
+    LshParams(planes, tables)
+  }
+
+  /** [[knnLsh]] with corpus-derived MULTI-PROBE sizing
+    * ([[lshMultiProbeParams]]). k-NN has no cosine threshold;
+    * `minCos` is the lowest neighbor cosine the caller still cares
+    * to recall reliably (the k-th-neighbor cosine floor of the
+    * workload — lower = more tables/probes).
     *
     * targetRecall defaults HIGHER than the pair path's 0.85: knn
     * candidates are bounded by the (small) query side — |Q|·tables·
-    * bucket rows, never a pair blow-up — so extra tables are cheap
-    * insurance, and the sf1 probe measured 0.800 at the 0.85 sizing
-    * vs the 0.9 certified floor; 0.95 boundary sizing restores the
-    * floor's margin at every measured scale. */
+    * probes·bucket rows, never a pair blow-up — so probe insurance
+    * is cheap. Measured at the 0.95 sizing the single-probe cut held
+    * ≥ 0.9 at every SF; the multi-probe rewrite is re-pinned by
+    * RecallProbe (gate floor 0.9 unchanged). */
   def knnLshDerived(emb: DataFrame, idCol: String, vecCol: String,
                     queries: DataFrame, k: Int, dim: Int,
                     minCos: Double = 0.5,
                     targetBucket: Long = 512L,
                     targetRecall: Double = 0.95): DataFrame = {
-    val p = lshDerivedParams(emb.count(), minCos, targetBucket, targetRecall)
+    val p = lshMultiProbeParams(emb.count(), minCos, targetBucket,
+      targetRecall)
     stampLshParams(
-      knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables), p)
+      knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables,
+        multiProbe = true), p)
   }
 
   /** IVF (inverted-file) ANN index: KMeans-partition the corpus into
@@ -1345,18 +1398,35 @@ object Similarity {
     * library callers size via [[knnLshDerived]]. */
   private[graft] def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
-             numPlanes: Int = 4, numTables: Int = 8): DataFrame = {
+             numPlanes: Int = 4, numTables: Int = 8,
+             multiProbe: Boolean = false): DataFrame = {
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(id), explode(array((0 until numTables).map(t =>
         struct(lit(t).as("table"),
           lshBucket(col(vec), dim, numPlanes, seed = 42L + t).as("bucket"))): _*))
         .as("tb"))
         .select(col(id), col("tb.table"), col("tb.bucket"))
+    // 1-bit multi-probe (QUERY side only — the corpus keeps one
+    // bucket per table): each query also probes the numPlanes
+    // buckets one flipped plane away. The per-table bucket is
+    // computed ONCE into a column, then the probe variants are plain
+    // XORs of it — inlining the bucket aggregate per probe would
+    // blow the expression tree up (tables·(planes+1) copies of a
+    // 64-dim × planes projection).
+    def withProbeBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), posexplode(array((0 until numTables).map(t =>
+          lshBucket(col(vec), dim, numPlanes, seed = 42L + t)): _*)))
+        .toDF(id, "table", "b")
+        .select(col(id), col("table"),
+          explode(array(col("b") +: (0 until numPlanes).map(i =>
+            col("b").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
     val n = prepped(emb, idCol, vecCol, "neighbor")
     val q = prepped(queries, idCol, vecCol, "query")
+    val qBuckets =
+      if (multiProbe) withProbeBuckets(q, "query_id", "queryv")
+      else withBuckets(q, "query_id", "queryv")
     val cands = withBuckets(n, "neighbor_id", "neighborv")
-      .join(broadcast(withBuckets(q, "query_id", "queryv")),
-        Seq("table", "bucket"))
+      .join(broadcast(qBuckets), Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
     val scored = cands

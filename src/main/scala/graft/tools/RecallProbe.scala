@@ -27,7 +27,7 @@ object RecallProbe {
         (common, exactKnn.count(), a.count())
       }
       val nEmb = emb.count()
-      val knnP = Similarity.lshDerivedParams(nEmb, 0.5, targetRecall = 0.95)
+      val knnP = Similarity.lshMultiProbeParams(nEmb, 0.5, targetRecall = 0.95)
       val (lc, le, la) = recallOf(
         Similarity.knnLshDerived(emb, "vec_id", "embedding", q, 5, 64))
       println(f"$d knn_lsh  planes=${knnP.numPlanes} tables=${knnP.numTables} " +

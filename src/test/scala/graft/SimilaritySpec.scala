@@ -165,10 +165,11 @@ class SimilaritySpec extends SparkSpec {
       .contains(Similarity.lshDerivedParams(40L, 0.4)))
     val knn = Similarity.knnLshDerived(emb, "vec_id", "embedding",
       emb.filter(col("vec_id") < 3), k = 2, dim = 8)
-    // knn sizes at its own HIGHER recall target (0.95 — cheap tables
-    // on the query-bounded side, restores the 0.9 floor at sf1)
+    // knn sizes by the MULTI-PROBE rule at its own HIGHER recall
+    // target (0.95 — probe insurance on the query-bounded side is
+    // cheap; r9 moved knn off the table-multiplying single-probe rule)
     assert(Similarity.lshParamsOf(knn)
-      .contains(Similarity.lshDerivedParams(40L, 0.5, targetRecall = 0.95)))
+      .contains(Similarity.lshMultiProbeParams(40L, 0.5, targetRecall = 0.95)))
     // a frame from the raw (package-private) static path has no stamp
     val static = Similarity.nearDupPairsLsh(emb, "vec_id", "embedding",
       threshold = 0.4, dim = 8, numPlanes = 2, numTables = 2)
