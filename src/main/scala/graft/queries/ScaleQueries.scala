@@ -693,21 +693,22 @@ object ScaleQueries {
       |  FROM s),
       |topk AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5)""".stripMargin
 
-  /** Multi-table LSH ANN certified against brute top-k, at
-    * CORPUS-DERIVED plane/table counts ([[Similarity.knnLshDerived]]
-    * with the default minCos=0.5 neighbor floor — the same
-    * [[Similarity.lshDerivedParams]] rule the pair path certifies,
-    * sized so bucket occupancy tracks n instead of letting candidate
-    * volume grow quadratically at fixed planes). Bound 0.9 (raised
-    * from the static-era 0.5 once derivation landed — r6 ADVICE).
-    * knn sizes at targetRecall 0.95, HIGHER than the pair path's
-    * 0.85: the 0.85 sizing measured 0.800 at the sf1 soak — under
-    * the floor — and knn candidates are query-bounded, so the extra
-    * tables cost |Q|·bucket rows, not a pair blow-up. The chosen
-    * plane/table counts are result columns read from the provenance
-    * stamp ([[Similarity.lshParamsOf]]); the oracle recomputes them
-    * from COUNT(*) — reverting to static sizing throws here and
-    * hash-mismatches there. */
+  /** Multi-table MULTI-PROBE LSH ANN certified against brute top-k,
+    * at CORPUS-DERIVED plane/table counts
+    * ([[Similarity.lshMultiProbeParams]] with the default minCos=0.5
+    * neighbor floor, targetRecall 0.95 — HIGHER than the pair path's
+    * 0.85 since knn candidates are query-bounded). Since r9 the
+    * query side probes its bucket plus every one-flipped-plane
+    * neighbor: recall lives on the |Q|-bounded side, so 7 tables
+    * replace 22 at the sf1 soak and the plane cap stops freezing
+    * bucket growth (the single-probe rule's 10.6×-for-10×-data
+    * defect; measured after: 4.2×, recall 1.00/1.00/1.00/0.96).
+    * Bound 0.9 (raised from the static-era 0.5 once derivation
+    * landed — r6 ADVICE). The chosen plane/table counts are result
+    * columns read from the provenance stamp
+    * ([[Similarity.lshParamsOf]]); the oracle recomputes them from
+    * COUNT(*) — reverting to static or single-probe sizing throws
+    * here and hash-mismatches there. */
   def knnLsh(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
