@@ -398,9 +398,16 @@ object Relational {
     val urgent = t(s, d, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
+    // size the sketch from the BUILD side, not a static guess: the
+    // r8 cut passed expectedItems=1M for a ~30k-key build side at
+    // sf0.1 — 9.6M bits of per-partition aggregate buffer and a
+    // 1.2 MB plan literal where 287k bits suffice (the count is one
+    // cheap scan of the selective dim side; at 100 TB you'd reuse
+    // the same count the cost-based planner already has)
+    val nUrgent = urgent.count()
     graft.operators.BloomPrune
       .join(li, urgent, "l_orderkey", "o_orderkey",
-        expectedItems = 1000000L, fpp = 0.01)
+        expectedItems = math.max(1024L, nUrgent), fpp = 0.01)
       .groupBy("l_returnflag")
       .agg(moneySum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
   }
