@@ -2031,6 +2031,91 @@ object ScaleQueries {
       |FROM embeddings, range(1, 65) t(pos)
       |GROUP BY label, pos""".stripMargin
 
+  /** Per-label SIMPLIFIED SILHOUETTE (Hruschka et al. 2004 — the
+    * centroid-based silhouette: a(i) = dist to own cluster centroid,
+    * b(i) = min dist to any other centroid, s = (b−a)/max(a,b)) over
+    * the label clustering of the embedding corpus — the clustering-
+    * quality metric an embedding pipeline reports (full silhouette is
+    * O(n²) pairwise; the simplified form is the scale variant: one
+    * linear pass against a k-row broadcast centroid table).
+    *
+    * Cross-engine exactness (the ml_pca_power discipline throughout):
+    * centroids are DECIMAL-exact means rounded to 6 dp (shared with
+    * `emb_centroids`'s certified arithmetic); every squared-diff term
+    * quantizes via pure-IEEE `floor(x·10⁹ + 0.5)` into exact-integer
+    * micro-units (terms ≤ 9e11 ≪ 2^53) whose 64-dim sums are exact in
+    * ANY order and engine; per-point s is IEEE arithmetic on those
+    * identical doubles; the per-label mean sums floor-quantized
+    * s-micros exactly. No ROUND(double) anywhere — at 9 dp over the
+    * ~256k terms of the gate corpus a multiply-based engine ROUND
+    * would flip ~1e-4 of terms vs BigDecimal rounding. */
+  def embSilhouette(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cent = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(round((sum(col("v").cast("double").cast("decimal(27,12)")) /
+        count(lit(1)).cast("decimal(27,12)")).cast("double"), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x("c")).as("cvec"))
+      .select(col("label").as("clabel"), col("cvec"))
+    val dists = emb
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("x"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", sqrt(
+        aggregate(
+          zip_with(col("x"), col("cvec"), (a, b) =>
+            floor((a - b) * (a - b) * lit(1000000000.0) + lit(0.5))),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          lit(1000000000.0)))
+    val ab = dists.groupBy("vec_id", "label")
+      .agg(max(when(col("clabel") === col("label"), col("dist"))).as("a"),
+        min(when(col("clabel") =!= col("label"), col("dist"))).as("b"))
+    val sil = ab.select(col("label"),
+      when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+        .otherwise(floor((col("b") - col("a")) /
+          greatest(col("a"), col("b")) * lit(1000000.0) + lit(0.5)))
+        .as("s_micro"))
+    sil.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (floor(sum(col("s_micro")).cast("double") / count(lit(1)) + lit(0.5))
+          / lit(1000000.0)).as("silhouette"))
+  }
+
+  val embSilhouetteOracle: String =
+    """WITH c AS (
+      |  SELECT label, pos,
+      |    ROUND(CAST(SUM(CAST(CAST(embedding[pos] AS DOUBLE) AS DECIMAL(27,12))) /
+      |      CAST(COUNT(*) AS DECIMAL(27,12)) AS DOUBLE), 6) AS cval
+      |  FROM embeddings, range(1, 65) t(pos)
+      |  GROUP BY label, pos),
+      |cv AS (SELECT label AS clabel, list(cval ORDER BY pos) AS cvec
+      |  FROM c GROUP BY label),
+      |dists AS (
+      |  SELECT e.vec_id, e.label, cv.clabel,
+      |    SQRT(list_sum(list_transform(generate_series(1, 64), i ->
+      |      FLOOR((CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])
+      |        * (CAST(e.embedding[i] AS DOUBLE) - cv.cvec[i])
+      |        * 1000000000.0 + 0.5))) / 1000000000.0) AS dist
+      |  FROM embeddings e, cv),
+      |ab AS (
+      |  SELECT vec_id, label,
+      |    MAX(CASE WHEN clabel = label THEN dist END) AS a,
+      |    MIN(CASE WHEN clabel <> label THEN dist END) AS b
+      |  FROM dists GROUP BY vec_id, label),
+      |sil AS (
+      |  SELECT label,
+      |    CASE WHEN GREATEST(a, b) = 0 THEN 0
+      |      ELSE FLOOR((b - a) / GREATEST(a, b) * 1000000.0 + 0.5)
+      |    END AS s_micro
+      |  FROM ab)
+      |SELECT label, COUNT(*) AS n_vectors,
+      |  FLOOR(CAST(SUM(s_micro) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+      |    AS silhouette
+      |FROM sil GROUP BY label""".stripMargin
+
   /** Sparse document cosine similarity via an INVERTED-INDEX join —
     * the scale path for pairwise TF-IDF similarity: weights self-join
     * on term (so only docs SHARING a term ever meet — no dense n²
@@ -2201,6 +2286,7 @@ object ScaleQueries {
     Q("dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle), bench = true),
     Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
     Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
+    Q("emb_silhouette", embSilhouette, Some(embSilhouetteOracle)),
     Q("text_tfidf_cosine", tfidfCosinePairs, Some(tfidfCosineOracle)),
     Q("ts_zscore_outliers", zscoreOutliers, Some(zscoreOutliersOracle)),
     Q("events_per_group_sample", perGroupSample, Some(perGroupSampleOracle)),
