@@ -147,6 +147,68 @@ object TrainingDataQueries {
       |FROM t JOIN tf USING (term) CROSS JOIN tot
       |WHERE doc_id < 20 GROUP BY doc_id""".stripMargin
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): every doc
+    * scores under the corpus bigram LM, then splits into
+    * head/middle/tail TERCILES per source — the classic
+    * quality-stratification step before mixture sampling (train
+    * mostly on the head, keep a controlled middle slice, drop or
+    * down-weight the tail). Buckets assign by NTILE(3) over the
+    * 6-dp-rounded bits ordered (bits, doc_id) — a total order, so the
+    * split is deterministic and the oracle replays it exactly; docs
+    * with fewer than two tokens have no bigram score and are excluded
+    * by both engines alike. One window shuffle on source beyond the
+    * LM's term-keyed aggregates — linear at any corpus size. */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ce = TrainingData.bigramCrossEntropy(docs(s, d), "doc_id", "text",
+      lambda = 0.9)
+    val w = Window.partitionBy("source")
+      .orderBy(col("bits_per_bigram").asc, col("doc_id").asc)
+    docs(s, d).select(col("doc_id"), col("source"))
+      .join(ce, "doc_id")
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("bits_per_bigram")).as("min_bits"),
+        max(col("bits_per_bigram")).as("max_bits"))
+  }
+
+  val pplBucketsOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE len(toks) >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY 1),
+      |uni AS (
+      |  SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |  FROM documents),
+      |cu AS (SELECT term, COUNT(*) AS cu FROM uni GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS n_total FROM uni),
+      |ce AS (
+      |  SELECT doc_id,
+      |    ROUND(CAST(SUM(CAST(ROUND(-LOG2(
+      |        0.9 * CAST(c12 AS DOUBLE) / c1 +
+      |        (CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * CAST(cu AS DOUBLE) / n_total), 9)
+      |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS bits_per_bigram
+      |  FROM bg
+      |  JOIN c12 USING (w1, w2)
+      |  JOIN c1 USING (w1)
+      |  JOIN cu ON bg.w2 = cu.term
+      |  CROSS JOIN tot
+      |  GROUP BY doc_id),
+      |b AS (
+      |  SELECT d.source, ce.bits_per_bigram,
+      |    NTILE(3) OVER (PARTITION BY d.source
+      |      ORDER BY ce.bits_per_bigram ASC, ce.doc_id ASC) AS bucket
+      |  FROM ce JOIN documents d USING (doc_id))
+      |SELECT source, CAST(bucket AS INT) AS bucket, COUNT(*) AS n_docs,
+      |  MIN(bits_per_bigram) AS min_bits, MAX(bits_per_bigram) AS max_bits
+      |FROM b GROUP BY source, bucket""".stripMargin
+
   // ---- deterministic mixture sampling -----------------------------------
 
   private val mixFractions = Map(
@@ -588,6 +650,7 @@ object TrainingDataQueries {
     Q("text_repetition", repetition, Some(repetitionOracle)),
     Q("text_unigram_logprob", unigramLogprob, Some(unigramLogprobOracle)),
     Q("text_bigram_logprob", bigramLogprob, Some(bigramLogprobOracle)),
+    Q("docs_ppl_buckets", pplBuckets, Some(pplBucketsOracle)),
     Q("events_psi_drift", psiDrift, Some(psiDriftOracle)),
     Q("docs_quality_gate", qualityGate, Some(qualityGateOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),

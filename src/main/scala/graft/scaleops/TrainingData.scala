@@ -215,13 +215,21 @@ object TrainingData {
       lit(lambda) * col("c12").cast("double") / col("c1") +
         lit(1.0 - lambda) * col("cu").cast("double") / col("n_total")
     val surprisal = round(-log2(prob), 9).cast(DecimalType(18, 9))
-    bigrams
-      .join(cBigram, Seq("w1", "w2"))
+    // score each DISTINCT bigram once, then hit the position stream
+    // with ONE join: surprisal is a pure function of the (w1, w2)
+    // counts, and the distinct-bigram table is far smaller than the
+    // position stream — the r9 first cut shuffled every position
+    // through THREE sequential string-keyed joins (c12, c1, cu),
+    // tripling the corpus-stream shuffle volume for identical output
+    val scored = cBigram
       .join(cContext, Seq("w1"))
       .join(cUni.withColumnRenamed("term", "w2"), Seq("w2"))
       .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), surprisal.as("surp"))
+    bigrams
+      .join(scored, Seq("w1", "w2"))
       .groupBy(idCol)
-      .agg(count(lit(1)).as("n_bigrams"), sum(surprisal).as("bits"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("bits"))
       .select(col(idCol), col("n_bigrams"),
         round(col("bits").cast("double") / col("n_bigrams"), 6)
           .as("bits_per_bigram"))
