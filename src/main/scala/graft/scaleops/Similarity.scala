@@ -1062,17 +1062,26 @@ object Similarity {
       s"pqTrain: fit sample ${pts.length} smaller than ks=$ks")
     val dsub = d / m
     val cb = new Array[Double](m * ks * dsub)
-    var s = 0
-    while (s < m) {
-      val sub = pts.map(p => java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
-      val (centers, _) = localKMeans(sub, ks)
-      var j = 0
-      while (j < ks) {
-        System.arraycopy(centers(j), 0, cb, (s * ks + j) * dsub, dsub)
-        j += 1
-      }
-      s += 1
+    // the m subspace fits are INDEPENDENT deterministic Lloyd's runs
+    // over disjoint coordinate slices — run them on parallel threads
+    // (each writes a disjoint cb region; determinism is per-subspace,
+    // so the result is bit-identical to the sequential loop). The
+    // sequential r8 cut was ~2.7G single-threaded ops at the 16k-
+    // sample/ks=256 sizing — most of the one-shot knn_ivf_pq row.
+    val workers = (0 until m).map { s =>
+      new Thread(() => {
+        val sub = pts.map(p =>
+          java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
+        val (centers, _) = localKMeans(sub, ks)
+        var j = 0
+        while (j < ks) {
+          System.arraycopy(centers(j), 0, cb, (s * ks + j) * dsub, dsub)
+          j += 1
+        }
+      })
     }
+    workers.foreach(_.start())
+    workers.foreach(_.join())
     cb
   }
 
