@@ -48,6 +48,23 @@ class PlanSpec extends SparkSpec {
       s"shipdate range must reach the scan:\n$pushedLine")
   }
 
+  test("emb_silhouette: the k-row centroid table broadcasts (one " +
+    "nested-loop against a broadcast, never a shuffled product)") {
+    val p = plan("emb_silhouette")
+    assert(!p.contains("CartesianProduct"))
+    // the n×k expansion is a BroadcastNestedLoopJoin whose build side
+    // is the k-row centroid frame — the corpus side never shuffles
+    // for the distance pass
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1)
+    // centroid aggregate is map-side partial
+    assert(p.contains("partial_sum") || p.contains("partial_count"))
+  }
+
+  test("knn_auto: no shuffled cartesian anywhere in the routed plans") {
+    val p = plan("knn_auto")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("range join: equi-join on (key, bucket), never a nested-loop product") {
     val p = plan("range_join_clicks")
     assert(!p.contains("CartesianProduct"))
