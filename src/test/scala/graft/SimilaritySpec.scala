@@ -381,6 +381,32 @@ class SimilaritySpec extends SparkSpec {
     assert(cBig.length == 3 && aBig.forall(_ < 3))
   }
 
+  test("multi-probe knn LSH: candidate coverage dominates single-probe " +
+    "at identical plane/table params") {
+    val rnd = new scala.util.Random(17L)
+    val emb = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(multiProbe: Boolean): Double = {
+      val got = Similarity.knnLsh(emb, "vec_id", "embedding", q, 4,
+        dim = 16, numPlanes = 5, numTables = 3, multiProbe = multiProbe)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    val (single, multi) = (recall(false), recall(true))
+    // the probe set is a superset per table, so candidate coverage —
+    // and with exact scoring, recall — can only go up
+    assert(multi >= single, s"multi=$multi < single=$single")
+    // and at these deliberately-thin params the lift must be real,
+    // not vacuous (single-probe at 5 planes x 3 tables is weak)
+    assert(multi > single, s"no lift: multi=$multi single=$single")
+  }
+
   test("knn cost router: one-shot small batch routes brute (exact), " +
     "amortized reuse routes the derived-IVF tier") {
     import Similarity.{ivfDerivedParams, knnAutoProbeFrac, knnIvfWorthIt}
