@@ -419,6 +419,81 @@ object AnalyticsQueries {
       |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
       |FROM s GROUP BY 1""".stripMargin
 
+  // ---- information value / weight of evidence -----------------------------
+  /** Information Value of a categorical feature against a binary
+    * label (the credit-scoring feature-selection metric; Siddiqi
+    * 2006): per category, WoE = ln(good_share / bad_share) with the
+    * +0.5 continuity adjustment on counts (zero-class categories stay
+    * finite, the standard "adjusted WoE"); IV = Σ (gs − bs)·WoE.
+    * Feature: o_orderpriority; label: order value above its
+    * DECIMAL-exact corpus mean (the calibrationBins labeling rule).
+    * One groupBy + two broadcast one-row joins — trivially
+    * scale-safe. Cross-engine: shares are integer-count divisions
+    * (IEEE-identical), WoE/IV quantize via floor(x·10^s + 0.5) — the
+    * [[pcaPower]] discipline; the cross-category IV sum adds exact
+    * integer nanos, order-free. */
+  def infoValue(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val mu = o.agg(
+      (sum(dec4(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("mu"))
+    val counts = o.crossJoin(broadcast(mu))
+      .select(col("o_orderpriority").as("category"),
+        when(col("o_totalprice") > col("mu"), 1L).otherwise(0L).as("y"))
+      .groupBy("category")
+      .agg(sum(col("y")).as("n_good"),
+        (count(lit(1)) - sum(col("y"))).as("n_bad"))
+    val tot = counts.agg(sum(col("n_good")).as("g_tot"),
+      sum(col("n_bad")).as("b_tot"))
+    val terms = counts.crossJoin(broadcast(tot))
+      .withColumn("gs",
+        (col("n_good").cast("double") + lit(0.5)) / col("g_tot"))
+      .withColumn("bs",
+        (col("n_bad").cast("double") + lit(0.5)) / col("b_tot"))
+      .withColumn("woe_micro",
+        floor(log(col("gs") / col("bs")) * lit(1000000.0) + lit(0.5)))
+      .withColumn("term_nano",
+        floor((col("gs") - col("bs")) * log(col("gs") / col("bs"))
+          * lit(1000000000.0) + lit(0.5)))
+    val iv = terms.agg(sum(col("term_nano")).as("iv_nano"))
+    terms.crossJoin(broadcast(iv))
+      .select(col("category"), col("n_good"), col("n_bad"),
+        (col("woe_micro") / lit(1000000.0)).as("woe"),
+        (col("iv_nano") / lit(1000000000.0)).as("iv_total"))
+  }
+
+  val infoValueOracle: String =
+    """WITH m AS (
+      |  SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) AS mu
+      |  FROM orders),
+      |lab AS (
+      |  SELECT o_orderpriority AS category,
+      |    CASE WHEN o_totalprice > mu THEN 1 ELSE 0 END AS y
+      |  FROM orders, m),
+      |c AS (
+      |  SELECT category, CAST(SUM(y) AS BIGINT) AS n_good,
+      |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_bad
+      |  FROM lab GROUP BY category),
+      |tot AS (
+      |  SELECT CAST(SUM(n_good) AS BIGINT) AS g_tot,
+      |    CAST(SUM(n_bad) AS BIGINT) AS b_tot FROM c),
+      |terms AS (
+      |  SELECT category, n_good, n_bad,
+      |    (CAST(n_good AS DOUBLE) + 0.5) / g_tot AS gs,
+      |    (CAST(n_bad AS DOUBLE) + 0.5) / b_tot AS bs
+      |  FROM c, tot),
+      |q AS (
+      |  SELECT category, n_good, n_bad,
+      |    FLOOR(LN(gs / bs) * 1000000.0 + 0.5) AS woe_micro,
+      |    FLOOR((gs - bs) * LN(gs / bs) * 1000000000.0 + 0.5) AS term_nano
+      |  FROM terms),
+      |iv AS (SELECT SUM(term_nano) AS iv_nano FROM q)
+      |SELECT category, n_good, n_bad,
+      |  woe_micro / 1000000.0 AS woe,
+      |  iv_nano / 1000000000.0 AS iv_total
+      |FROM q, iv""".stripMargin
+
   // ---- PCA top component via power iteration -----------------------------
   private val pcaCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val pcaIters = 5
@@ -668,6 +743,7 @@ object AnalyticsQueries {
     Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)),
     Q("events_markov_transitions", markovTransitions, Some(markovOracle)),
     Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)),
+    Q("ml_information_value", infoValue, Some(infoValueOracle)),
     Q("ml_pca_power", pcaPower, Some(pcaOracle)),
     Q("events_attribution_last_touch", lastTouchAttribution, Some(attributionOracle)),
     Q("ml_ts_cv_folds", tsCvFolds, Some(tsCvFoldsOracle)),
