@@ -46,6 +46,23 @@ object BloomPrune {
       s"bloom sketch needs expectedItems > 0 and fpp in (0,1); " +
         s"got ($expectedItems, $fpp)")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both parameters to the
+    // session's runtime-bloom caps (defaults 4M items / 67.1M bits) —
+    // an oversized request would degrade to a far higher fpp than
+    // asked with no error (pruning quietly stops working). Fail
+    // loudly instead: the caller either shrinks the request or
+    // raises the confs deliberately.
+    val conf = build.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloom sketch request (items=$expectedItems, bits=$numBits) exceeds " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+        s"BloomFilterAggregate would silently clamp and degrade fpp — " +
+        s"raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+        s"maxNumBits or request a smaller sketch")
     val agg = new BloomFilterAggregate(
       GraftBridge.expression(xxhash64(col(buildKey))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()

@@ -209,9 +209,26 @@ object EventsStream {
           if (st.exists()) st.get()
           else (0.0, 0.0, Long.MinValue, Long.MinValue)
         } catch {
-          case e: IllegalStateException => throw e
-          case e: Exception => throw new IllegalStateException(
-            s"cusumStream: failed to read per-key state for key $user — " +
+          // Only DECODE-shaped failures get the schema-migration
+          // diagnosis: Spark 4 encoder deserialization throws a
+          // RuntimeException carrying the EXPRESSION_DECODING_FAILED
+          // error condition (SparkRuntimeException is private[spark],
+          // so match via the public SparkThrowable interface); a
+          // narrower old row read through the widened encoder can
+          // also surface as a cast/index error. Transient store/IO
+          // faults and task-retry interrupts propagate untouched —
+          // rewrapping those could steer an operator into discarding
+          // a healthy checkpoint on a recoverable fault.
+          case e: RuntimeException
+              if (e match {
+                case st: org.apache.spark.SparkThrowable =>
+                  Option(st.getCondition).exists(_.contains("DECODING"))
+                case _: ClassCastException => true
+                case _: IndexOutOfBoundsException => true
+                case _ => false
+              }) =>
+            throw new IllegalStateException(
+            s"cusumStream: failed to decode per-key state for key $user — " +
               "if this query resumed an old checkpoint, its state " +
               "predates the (s+, s-, maxUs, lastId) schema (the r8 " +
               "replay-watermark widening); the trajectory cannot be " +
