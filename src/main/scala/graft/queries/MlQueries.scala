@@ -21,27 +21,42 @@ object MlQueries {
     * booleans witness a finite positive CV metric and a finite
     * non-negative test RMSE, so a broken fit flips the hash compare
     * red. Fitted metric VALUES are not SQL-expressible (SURVEY §8.7)
-    * and stay pinned by AutoMLSpec. */
+    * and stay pinned by AutoMLSpec.
+    *
+    * SF-INVARIANT fit sample (the m5 precedent, generalized): the row
+    * certifies PROTOCOL, not scale, so the CV fits run on a fixed-size
+    * deterministic systematic sample of the train split —
+    * `l_orderkey % k_mod = 0` with `k_mod = max(1, n/10000)` derived
+    * from COUNT(*) and replayed in the oracle (both the modulus AND
+    * the sampled count), keeping the fit ~8-10k rows at every SF
+    * instead of 0.8·n (19.8 s at sf1 trained the full 4.8M-row split
+    * for a witness the sample certifies identically). Full-split
+    * counts, test-label stats and the full-test evaluation scan stay —
+    * they are the split protocol being certified. */
   def automlTrainEval(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select("l_orderkey", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
     val train = li.filter(col("l_orderkey") % 10 < 8)
     val test = li.filter(col("l_orderkey") % 10 >= 8)
+    val kMod = math.max(1L, li.count() / 10000L)
+    val fit = train.filter(col("l_orderkey") % kMod === 0)
     val features = Seq("l_quantity", "l_discount", "l_tax")
-    val trained = AutoML.train(train, "l_extendedprice", features,
+    val trained = AutoML.train(fit, "l_extendedprice", features,
       AutoML.Regression, numFolds = 2, parallelism = 4, quick = true)
     val report = AutoML.evaluate(trained, test, "l_extendedprice",
       threshold = Some(30000.0))
     val metricOk = java.lang.Double.isFinite(trained.cvMetric) &&
       trained.cvMetric > 0
     train.agg(count(lit(1)).as("n_train"))
+      .crossJoin(fit.agg(count(lit(1)).as("n_fit")))
       .crossJoin(test.agg(count(lit(1)).as("n_test"),
         round(min(col("l_extendedprice").cast("double")), 6).as("y_min"),
         round(max(col("l_extendedprice").cast("double")), 6).as("y_max")))
       .crossJoin(report.select(
         (col("rmse").isNotNull && !isnan(col("rmse")) && col("rmse") >= 0)
           .as("rmse_ok")))
-      .select(col("n_train"), col("n_test"), col("y_min"), col("y_max"),
+      .select(col("n_train"), col("n_fit"), lit(kMod).as("k_mod"),
+        col("n_test"), col("y_min"), col("y_max"),
         lit(trained.model.getEstimatorParamMaps.length).as("grid_size"),
         lit(trained.model.getNumFolds).as("n_folds"),
         lit(trained.zooName).as("family"),
@@ -102,29 +117,38 @@ object MlQueries {
       |FROM embeddings""".stripMargin
 
   val automlTrainEvalOracle: String =
-    """WITH tr AS (
+    """WITH k AS (
+      |  SELECT GREATEST(1, COUNT(*) // 10000) AS k_mod FROM lineitem),
+      |tr AS (
       |  SELECT COUNT(*) AS n_train FROM lineitem WHERE l_orderkey % 10 < 8),
+      |fit AS (
+      |  SELECT COUNT(*) AS n_fit FROM lineitem, k
+      |  WHERE l_orderkey % 10 < 8 AND l_orderkey % k_mod = 0),
       |te AS (
       |  SELECT COUNT(*) AS n_test,
       |    ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 6) AS y_min,
       |    ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 6) AS y_max
       |  FROM lineitem WHERE l_orderkey % 10 >= 8)
-      |SELECT n_train, n_test, y_min, y_max,
+      |SELECT n_train, n_fit, k_mod, n_test, y_min, y_max,
       |  1 AS grid_size, 2 AS n_folds, 'gbt' AS family,
       |  TRUE AS cv_metric_ok, TRUE AS rmse_ok
-      |FROM tr, te""".stripMargin
+      |FROM tr, fit, te, k""".stripMargin
 
   /** Classification mode end-to-end (the reference's silent no-op,
     * implemented for real — SURVEY.md §8.5): binarized price label,
-    * quick GBTClassifier CV on a 20% systematic sample of the train
-    * split, full-split evaluation. */
+    * quick GBTClassifier CV on a fixed-size deterministic sample of
+    * the train split (SF-invariant like [[automlTrainEval]]:
+    * `l_orderkey % k_mod = 0`, `k_mod = max(1, n/50000)` replayed in
+    * the oracle — the old 20% systematic sample still grew with the
+    * corpus), full-split evaluation. */
   def automlClassify(s: SparkSession, d: String): DataFrame = {
     val li = Tables.load(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
         col("l_tax"),
         when(col("l_extendedprice") < 30000.0, 1.0).otherwise(0.0).as("hi"))
+    val kMod = math.max(1L, li.count() / 50000L)
     val train = li.filter(col("l_orderkey") % 10 < 8 &&
-      col("l_orderkey") % 5 === 0)
+      col("l_orderkey") % 5 === 0 && col("l_orderkey") % kMod === 0)
     val test = li.filter(col("l_orderkey") % 10 >= 8)
     val features = Seq("l_quantity", "l_discount", "l_tax")
     val trained = AutoML.train(train, "hi", features,
@@ -141,7 +165,8 @@ object MlQueries {
       .crossJoin(report.select(
         (col("tp") + col("fp") + col("fn") + col("tn")).as("confusion_total"),
         (col("f1") >= 0 && col("f1") <= 1).as("f1_ok")))
-      .select(col("n_train"), col("n_test"), col("n_test_pos"),
+      .select(col("n_train"), lit(kMod).as("k_mod"),
+        col("n_test"), col("n_test_pos"),
         (col("confusion_total") === col("n_test")).as("confusion_total_ok"),
         lit(trained.model.getEstimatorParamMaps.length).as("grid_size"),
         lit(trained.model.getNumFolds).as("n_folds"),
@@ -150,18 +175,21 @@ object MlQueries {
   }
 
   val automlClassifyOracle: String =
-    """WITH tr AS (
-      |  SELECT COUNT(*) AS n_train FROM lineitem
-      |  WHERE l_orderkey % 10 < 8 AND l_orderkey % 5 = 0),
+    """WITH k AS (
+      |  SELECT GREATEST(1, COUNT(*) // 50000) AS k_mod FROM lineitem),
+      |tr AS (
+      |  SELECT COUNT(*) AS n_train FROM lineitem, k
+      |  WHERE l_orderkey % 10 < 8 AND l_orderkey % 5 = 0
+      |    AND l_orderkey % k_mod = 0),
       |te AS (
       |  SELECT COUNT(*) AS n_test,
       |    CAST(SUM(CASE WHEN l_extendedprice < 30000.0 THEN 1 ELSE 0 END)
       |      AS BIGINT) AS n_test_pos
       |  FROM lineitem WHERE l_orderkey % 10 >= 8)
-      |SELECT n_train, n_test, n_test_pos, TRUE AS confusion_total_ok,
+      |SELECT n_train, k_mod, n_test, n_test_pos, TRUE AS confusion_total_ok,
       |  1 AS grid_size, 2 AS n_folds, 'gbt' AS family,
       |  TRUE AS cv_metric_ok, TRUE AS f1_ok
-      |FROM tr, te""".stripMargin
+      |FROM tr, te, k""".stripMargin
 
   /** M4 FULL protocol — the reference's actual contract
     * (auto_machine_learning.py:29-31,77-84): the COMPLETE 18-combo GBT
