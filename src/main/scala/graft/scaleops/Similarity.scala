@@ -108,35 +108,71 @@ object Similarity {
     * candidate pairs grow quadratically in n). Library users go
     * through [[nearDupPairsLshDerived]]; the raw knobs stay reachable
     * for the in-package recall probes and the derived wrapper. */
+  /** High-τ regimes carry an SQ8 int-dot PRESCORE through the bucket
+    * self-join: int8 cosine error at 64 dims is ~0.01, so a cutoff
+    * `threshold − 0.05` provably keeps every true pair while killing
+    * ~all of the candidate stream inside the join stage (the r9 shape
+    * re-joined millions of bare id pairs through two corpus joins and
+    * exact-scored all of them — most of dedup_embedding_planted's sf1
+    * cost). Below this τ the 0.05 margin is a larger fraction of the
+    * score scale and candidates aren't prescore-killable anyway (the
+    * τ≤0.5 regime routes to brute per the measured router law). */
+  private[graft] val lshPrescoreMinThreshold = 0.7
+  private[graft] val lshPrescoreMargin = 0.05
+
   private[graft] def nearDupPairsLsh(
       emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, numPlanes: Int = 4,
       numTables: Int = 8): DataFrame = {
+    import graft.functions.Sq8
     // pinned: vectors+norms feed all table builds and both verify
     // joins; the bucket table feeds both sides of its own self-join —
     // without the checkpoints the plane projections run ~2× and the
     // scan+norms ~10×
     val base = prepped(emb, idCol, vecCol, "a")
       .localCheckpoint(eager = false)
-    // candidate generation on BARE IDS: the pair-dedup shuffle carries
-    // 16 bytes/row, never the vectors (carrying them was ~4× slower);
-    // vectors re-attach via id-keyed joins afterwards. NOTE: the
+    // candidate generation carries 16-byte ids — plus, at high τ, the
+    // ~70-byte SQ8 code for the in-join prescore; never the 8·dim-
+    // byte float vectors (carrying them was ~4× slower). NOTE: the
     // checkpoint truncates plan-time size stats, so static broadcast
-    // won't fire for those joins — AQE's runtime conversion picks
-    // broadcast at small sizes, and at corpus scale they're shuffle
-    // joins on compact ids either way
-    val tables = (0 until numTables).map { t =>
-      base.select(col("a_id"),
-        lshBucket(col("av"), dim, numPlanes, seed = 42L + t).as("bucket"))
-        .withColumn("table", lit(t))
-    }
-    val bucketed = tables.reduce(_ unionByName _)
+    // won't fire for the verify joins — AQE's runtime conversion
+    // picks broadcast at small sizes, and at corpus scale they're
+    // shuffle joins on compact ids either way
+    // one codegen pass emits every table's bucket
+    // ([[graft.functions.Lsh]] — bit-identical to the legacy
+    // per-table interpreted HOF columns, whose union re-scanned the
+    // checkpointed base numTables times)
+    val prescore = threshold >= lshPrescoreMinThreshold
+    val codeCols =
+      if (prescore) Seq(Sq8.encodeMaxAbs(col("av")).as("acode")) else Seq.empty
+    val bucketedAll = base.select((col("a_id") +: codeCols) :+ posexplode(
+        graft.functions.Lsh.buckets(col("av"), numTables, numPlanes, dim)): _*)
+    val bucketed =
+      (if (prescore)
+        bucketedAll.toDF("a_id", "acode", "table", "bucket")
+      else bucketedAll.toDF("a_id", "table", "bucket"))
       .localCheckpoint(eager = false)
-    val cands = bucketed
-      .join(bucketed.select(col("table"), col("bucket"),
-        col("a_id").as("b_id")), Seq("table", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+    val rawCands =
+      if (prescore) {
+        // prescore INSIDE the join stage: candidates that can't reach
+        // the threshold die as codegen-pipelined rows before the
+        // distinct shuffle ever sees them
+        val bSide = bucketed.select(col("table"), col("bucket"),
+          col("a_id").as("b_id"), col("acode").as("bcode"))
+        bucketed
+          .join(bSide, Seq("table", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(Sq8.intDot(col("acode"), col("bcode")).cast("double") /
+            (sqrt(Sq8.intDot(col("acode"), col("acode")).cast("double")) *
+              sqrt(Sq8.intDot(col("bcode"), col("bcode")).cast("double"))) >=
+            threshold - lshPrescoreMargin)
+      } else {
+        bucketed
+          .join(bucketed.select(col("table"), col("bucket"),
+            col("a_id").as("b_id")), Seq("table", "bucket"))
+          .filter(col("a_id") < col("b_id"))
+      }
+    val cands = rawCands.select("a_id", "b_id").distinct()
     cands
       .join(base, "a_id")
       .join(base.select(col("a_id").as("b_id"), col("av").as("bv"),
@@ -205,7 +241,12 @@ object Similarity {
     *    cosine: ceil(ln(1−R) / ln(1−c^planes)). Pairs above the
     *    threshold collide more (c rises with cos), so measured recall
     *    sits above R — the certification bound keeps its margin. */
-  final case class LshParams(numPlanes: Int, numTables: Int)
+  /** `probeDepth` is the knn multi-probe Hamming radius (how many
+    * plane flips the query side probes per table); the pair path is
+    * corpus-side single-probe, so its entry points leave the
+    * default. */
+  final case class LshParams(numPlanes: Int, numTables: Int,
+                             probeDepth: Int = 1)
 
   def lshDerivedParams(n: Long, threshold: Double,
                        targetBucket: Long = 512L,
@@ -241,7 +282,8 @@ object Similarity {
   private def stampLshParams(df: DataFrame, p: LshParams): DataFrame = {
     val m = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("lsh_planes", p.numPlanes.toLong)
-      .putLong("lsh_tables", p.numTables.toLong).build()
+      .putLong("lsh_tables", p.numTables.toLong)
+      .putLong("lsh_depth", p.probeDepth.toLong).build()
     df.withColumn("cos", col("cos").as("cos", m))
   }
 
@@ -251,7 +293,8 @@ object Similarity {
     val m = df.schema(df.schema.fieldIndex("cos")).metadata
     if (m.contains("lsh_planes") && m.contains("lsh_tables"))
       Some(LshParams(m.getLong("lsh_planes").toInt,
-        m.getLong("lsh_tables").toInt))
+        m.getLong("lsh_tables").toInt,
+        if (m.contains("lsh_depth")) m.getLong("lsh_depth").toInt else 1))
     else None
   }
 
@@ -341,9 +384,40 @@ object Similarity {
   /** Per-table collision probability of a τ-cosine pair under 1-bit
     * MULTI-PROBE (query probes its bucket plus every single-flipped-
     * plane neighbor): exact bucket match OR exactly one disagreeing
-    * plane — `c^p + p·c^(p−1)·(1−c)` with c = 1 − acos(τ)/π. */
+    * plane — `c^p + p·c^(p−1)·(1−c)` with c = 1 − acos(τ)/π.
+    * (= [[lshMultiProbeTail]] at depth 1; kept as the named depth-1
+    * form the r9 artifacts and specs reference.) */
   def lshMultiProbeP1(c: Double, planes: Int): Double =
     math.pow(c, planes) + planes * math.pow(c, planes - 1) * (1.0 - c)
+
+  /** Per-table collision at probe depth D (the query probes every
+    * bucket within Hamming distance D of its own): the binomial tail
+    * `Σ_{i=0}^{D} C(p,i)·c^(p−i)·(1−c)^i`. Terms accumulate in
+    * ascending i with C(p,i) built by the left-assoc product
+    * `Π_j (p−j+1)/j` — the oracle replays the identical IEEE
+    * arithmetic term-for-term (D ≤ 3, so the SQL spells the four
+    * terms inline rather than trusting an engine list_sum order). */
+  def lshMultiProbeTail(c: Double, planes: Int, depth: Int): Double = {
+    var sum = 0.0
+    var i = 0
+    val d = math.min(depth, planes)
+    while (i <= d) {
+      var comb = 1.0
+      var j = 1
+      while (j <= i) { comb *= (planes - j + 1).toDouble / j; j += 1 }
+      sum += comb * math.pow(c, planes - i) * math.pow(1.0 - c, i)
+      i += 1
+    }
+    sum
+  }
+
+  /** The largest plane count depth-D probing still holds at the
+    * per-table collision floor — the dial that keeps bucket occupancy
+    * tracking `targetBucket` as n grows. */
+  private[graft] def lshMaxPlanesAt(c: Double, depth: Int,
+                                    perTableFloor: Double): Int =
+    (1 to 30).filter(p => lshMultiProbeTail(c, p, depth) >= perTableFloor)
+      .maxOption.getOrElse(1)
 
   /** Derived sizing for MULTI-PROBE knn LSH — the structural fix of
     * the single-probe rule's scale defect. Single-probe holds recall
@@ -352,16 +426,32 @@ object Similarity {
     * occupancy, the corpus-side explode and the candidate volume all
     * grow linearly in n again (knn_lsh measured 10.6× wall-clock for
     * 10× data at the sf1 soak). Multi-probe moves recall to the
-    * QUERY side (planes+1 probes per table, costing |Q|-bounded
-    * rows): the per-table collision jumps from c^p to
-    * [[lshMultiProbeP1]], so far fewer tables reach the same recall
-    * (τ=0.5/R=0.95 at the sf1 soak: 7 tables × 6 planes vs 22 × 5)
-    * and the recall cap admits ~2× more planes before freezing —
-    * bucket occupancy keeps tracking `targetBucket` an order of
-    * magnitude further in n. The corpus side stays ONE bucket per
-    * table. Same replayable ceil/ln/pow arithmetic; the plane cap is
-    * the max p ≤ 30 whose P1 still reaches the per-table floor
-    * (DuckDB replays it as a MAX over generate_series). */
+    * QUERY side (probes per table, costing |Q|-bounded rows): the
+    * per-table collision jumps from c^p to [[lshMultiProbeTail]], so
+    * far fewer tables reach the same recall (τ=0.5/R=0.95 at the sf1
+    * soak: 7 tables × 6 planes × depth 1 vs single-probe's 22 × 5)
+    * and the plane cap stops freezing bucket growth. The corpus side
+    * stays ONE bucket per table.
+    *
+    * r10 generalization — DERIVED PROBE DEPTH: depth-1 probing still
+    * capped planes at 10 (τ=0.5), so past n ≈ 512·2¹⁰ ≈ 0.5M the
+    * table count resumed growing toward the 32 cap and occupancy
+    * after that. The depth dial is the structurally cheap one (probe
+    * rows are |Q|-bounded; tables multiply the CORPUS explode), so
+    * the rule now picks the SMALLEST depth ≤ 3 whose plane ceiling
+    * ([[lshMaxPlanesAt]]) covers the size-derived plane count:
+    * τ=0.5/R=0.95 ceilings are p ≤ 10 / 14 / 18 at depth 1 / 2 / 3 —
+    * tables stay ≤ 32 and occupancy keeps tracking `targetBucket` to
+    * n ≈ 512·2¹⁸ ≈ 134M vectors (34 GB of 64-dim floats — past the
+    * point a single ANN shard should hold; shard or go IVF beyond).
+    * Past the depth-3 ceiling, planes freeze there: candidates per
+    * query grow linearly in n with tables FROZEN — the pre-r10 rule's
+    * linear growth arrived 256× earlier WITH table growth on top.
+    * At every harness SF the rule lands on depth 1 with the exact r9
+    * planes/tables (the generalization only activates past n≈0.5M),
+    * so committed gate hashes are unchanged; the depth selection is
+    * spec-pinned at synthetic large n and oracle-replayed from
+    * COUNT(*). */
   def lshMultiProbeParams(n: Long, threshold: Double,
                           targetBucket: Long = 512L,
                           targetRecall: Double = 0.95,
@@ -375,17 +465,19 @@ object Similarity {
         math.log(2.0)).toInt
     val perTableFloor =
       1.0 - math.pow(1.0 - targetRecall, 1.0 / maxTables)
-    val recallCap = (1 to 30)
-      .filter(p => lshMultiProbeP1(c, p) >= perTableFloor)
-      .maxOption.getOrElse(1)
-    val planes = math.max(1, math.min(math.min(sizePlanes, recallCap), 30))
-    // planes=1 has P1 = 1 exactly (the only plane's flip is always
-    // probed): clamp below 1 so the table formula's log stays finite
-    // — the 4-table floor binds anyway. Same clamp in the SQL twin.
-    val p1 = math.min(lshMultiProbeP1(c, planes), 1.0 - 1e-9)
+    val depth = (1 to 3)
+      .find(d => lshMaxPlanesAt(c, d, perTableFloor) >= sizePlanes)
+      .getOrElse(3)
+    val planeCap = lshMaxPlanesAt(c, depth, perTableFloor)
+    val planes = math.max(1, math.min(math.min(sizePlanes, planeCap), 30))
+    // shallow planes have tail ≈ 1 exactly (every flip within depth
+    // is probed): clamp below 1 so the table formula's log stays
+    // finite — the 4-table floor binds anyway. Same clamp in the SQL
+    // twin.
+    val p1 = math.min(lshMultiProbeTail(c, planes, depth), 1.0 - 1e-9)
     val tables = math.max(4, math.min(maxTables,
       math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - p1)).toInt))
-    LshParams(planes, tables)
+    LshParams(planes, tables, depth)
   }
 
   /** [[knnLsh]] with corpus-derived MULTI-PROBE sizing
@@ -409,7 +501,7 @@ object Similarity {
       targetRecall)
     stampLshParams(
       knnLsh(emb, idCol, vecCol, queries, k, dim, p.numPlanes, p.numTables,
-        multiProbe = true), p)
+        multiProbe = true, probeDepth = p.probeDepth), p)
   }
 
   /** IVF (inverted-file) ANN index: KMeans-partition the corpus into
@@ -1068,8 +1160,12 @@ object Similarity {
     // so the result is bit-identical to the sequential loop). The
     // sequential r8 cut was ~2.7G single-threaded ops at the 16k-
     // sample/ks=256 sizing — most of the one-shot knn_ivf_pq row.
+    // a worker Throwable must fail pqTrain LOUDLY: a swallowed fit
+    // would leave an all-zeros subspace block in cb and surface only
+    // as silently degraded recall later
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val workers = (0 until m).map { s =>
-      new Thread(() => {
+      val t = new Thread(() => {
         val sub = pts.map(p =>
           java.util.Arrays.copyOfRange(p, s * dsub, (s + 1) * dsub))
         val (centers, _) = localKMeans(sub, ks)
@@ -1079,9 +1175,17 @@ object Similarity {
           j += 1
         }
       })
+      t.setUncaughtExceptionHandler((_, e) => failures.add(e))
+      t
     }
     workers.foreach(_.start())
     workers.foreach(_.join())
+    if (!failures.isEmpty) {
+      val first = failures.peek()
+      throw new IllegalStateException(
+        s"pqTrain: ${failures.size} of $m subspace fits failed; first: $first",
+        first)
+    }
     cb
   }
 
@@ -1405,30 +1509,38 @@ object Similarity {
     *
     * `private[graft]` for the same reason as [[nearDupPairsLsh]]:
     * library callers size via [[knnLshDerived]]. */
+  /** All non-zero XOR probe masks within Hamming distance `depth` of
+    * a bucket, weight-ascending (weight-1 masks in bit order first —
+    * the legacy depth-1 list — then weight-2, …). Driver-side: the
+    * mask list is query-plan metadata, Σ C(planes,w) literals. */
+  private[graft] def lshProbeMasks(planes: Int, depth: Int): Seq[Long] =
+    (1 to math.min(depth, planes)).flatMap(w =>
+      (0 until planes).combinations(w).map(
+        _.foldLeft(0L)((m, b) => m | (1L << b))))
+
   private[graft] def knnLsh(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, dim: Int,
              numPlanes: Int = 4, numTables: Int = 8,
-             multiProbe: Boolean = false): DataFrame = {
+             multiProbe: Boolean = false, probeDepth: Int = 1): DataFrame = {
+    // every table's bucket in ONE codegen pass ([[graft.functions.Lsh]]
+    // — bit-identical to the legacy per-table HOF columns, which were
+    // interpreted and re-ran per table: most of knn_lsh's sf1 cost)
     def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("table"),
-          lshBucket(col(vec), dim, numPlanes, seed = 42L + t).as("bucket"))): _*))
-        .as("tb"))
-        .select(col(id), col("tb.table"), col("tb.bucket"))
-    // 1-bit multi-probe (QUERY side only — the corpus keeps one
-    // bucket per table): each query also probes the numPlanes
-    // buckets one flipped plane away. The per-table bucket is
-    // computed ONCE into a column, then the probe variants are plain
-    // XORs of it — inlining the bucket aggregate per probe would
-    // blow the expression tree up (tables·(planes+1) copies of a
-    // 64-dim × planes projection).
+      df.select(col(id), posexplode(
+          graft.functions.Lsh.buckets(col(vec), numTables, numPlanes, dim)))
+        .toDF(id, "table", "bucket")
+    // Hamming-radius-`probeDepth` multi-probe (QUERY side only — the
+    // corpus keeps one bucket per table): each query also probes
+    // every bucket within `probeDepth` flipped planes. The per-table
+    // bucket is computed ONCE into a column, then the probe variants
+    // are plain XORs of it.
     def withProbeBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(id), posexplode(array((0 until numTables).map(t =>
-          lshBucket(col(vec), dim, numPlanes, seed = 42L + t)): _*)))
+      df.select(col(id), posexplode(
+          graft.functions.Lsh.buckets(col(vec), numTables, numPlanes, dim)))
         .toDF(id, "table", "b")
         .select(col(id), col("table"),
-          explode(array(col("b") +: (0 until numPlanes).map(i =>
-            col("b").bitwiseXOR(lit(1L << i))): _*)).as("bucket"))
+          explode(array(col("b") +: lshProbeMasks(numPlanes, probeDepth)
+            .map(m => col("b").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val n = prepped(emb, idCol, vecCol, "neighbor")
     val q = prepped(queries, idCol, vecCol, "query")
     val qBuckets =

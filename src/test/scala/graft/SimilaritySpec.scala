@@ -663,4 +663,96 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(composed == brute)
   }
+
+  test("Lsh.buckets codegen kernel is bit-identical to the legacy " +
+    "per-table lshBucket columns") {
+    val rnd = new scala.util.Random(11L)
+    val df = (0L until 50L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val tables = 5
+    val planes = 7
+    val fused = df.select(col("vec_id"),
+      graft.functions.Lsh.buckets(col("v"), tables, planes, dim = 16))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val legacy = df.select(col("vec_id") +: (0 until tables).map(t =>
+        Similarity.lshBucket(col("v"), dim = 16, numPlanes = planes,
+          seed = 42L + t).as(s"b$t")): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to tables).map(r.getLong(_)).toSeq).toMap
+    assert(fused.keySet == legacy.keySet)
+    fused.foreach { case (id, bs) =>
+      assert(bs == legacy(id), s"bucket mismatch for vec $id")
+    }
+  }
+
+  test("lshProbeMasks: all distinct masks within the Hamming radius, " +
+    "weight-ascending") {
+    val m1 = Similarity.lshProbeMasks(6, 1)
+    assert(m1 == (0 until 6).map(i => 1L << i))
+    val m2 = Similarity.lshProbeMasks(6, 2)
+    assert(m2.size == 6 + 15 && m2.distinct.size == m2.size)
+    assert(m2.forall(m => java.lang.Long.bitCount(m) <= 2 && m != 0L))
+    assert(m2.take(6) == m1) // depth-1 prefix unchanged (legacy order)
+    // radius never exceeds the plane count
+    assert(Similarity.lshProbeMasks(2, 3).size == 2 + 1)
+  }
+
+  test("lshMultiProbeParams: derived probe depth — r9 configs at " +
+    "harness sizes, depth (not tables) absorbs corpus growth") {
+    import Similarity.{lshMultiProbeParams, lshMultiProbeTail, lshMultiProbeP1}
+    // depth-1 tail IS the named P1 form (bit-identical arithmetic) —
+    // gate hashes at every SF depend on this
+    for (p <- 1 to 12)
+      assert(lshMultiProbeTail(2.0 / 3.0, p, 1) == lshMultiProbeP1(2.0 / 3.0, p))
+    // the r9-committed configs at the harness corpus sizes: the depth
+    // generalization must not move them (sf0.001/0.01 → 500, sf0.1 →
+    // 2k, sf1 soak → 20k embeddings)
+    assert(lshMultiProbeParams(500L, 0.5) == Similarity.LshParams(1, 4, 1))
+    assert(lshMultiProbeParams(2000L, 0.5) == Similarity.LshParams(2, 4, 1))
+    assert(lshMultiProbeParams(20000L, 0.5) == Similarity.LshParams(6, 7, 1))
+    // past the depth-1 plane ceiling (p=10 at τ=0.5 ⇒ n ≈ 0.5M) the
+    // rule deepens probing instead of freezing planes / growing
+    // tables: occupancy keeps tracking the 512 target and tables stay
+    // ≤ 32 — the 100 TB structural claim
+    val at2m = lshMultiProbeParams(2000000L, 0.5)
+    assert(at2m.numPlanes == 12 && at2m.probeDepth == 2,
+      s"2M vectors: $at2m")
+    val at134m = lshMultiProbeParams(512L << 18, 0.5)
+    assert(at134m.numPlanes == 18 && at134m.probeDepth == 3,
+      s"134M vectors: $at134m")
+    // graceful past the depth-3 ceiling: planes freeze (occupancy
+    // grows linearly) but tables and depth stay bounded
+    val at1t = lshMultiProbeParams(1000000000000L, 0.5)
+    assert(at1t.numPlanes == 18 && at1t.probeDepth == 3 &&
+      at1t.numTables <= 32, s"1T vectors: $at1t")
+    // depth and planes are monotone non-decreasing in n
+    val ns = Seq(500L, 20000L, 500000L, 2000000L, 50000000L, 512L << 18)
+    val ps = ns.map(lshMultiProbeParams(_, 0.5))
+    assert(ps.map(_.numPlanes) == ps.map(_.numPlanes).sorted)
+    assert(ps.map(_.probeDepth) == ps.map(_.probeDepth).sorted)
+  }
+
+  test("depth-2 multi-probe candidate coverage dominates depth-1 " +
+    "(superset by construction, recall no worse)") {
+    val rnd = new scala.util.Random(23L)
+    val emb = (0L until 400L)
+      .map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(depth: Int): Set[(Long, Long)] =
+      Similarity.knnLsh(emb, "vec_id", "embedding", q, 4,
+        dim = 16, numPlanes = 8, numTables = 2, multiProbe = true,
+        probeDepth = depth)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = (hits(1) & brute).size
+    val r2 = (hits(2) & brute).size
+    assert(r2 >= r1, s"depth-2 recall $r2 < depth-1 $r1")
+  }
 }
