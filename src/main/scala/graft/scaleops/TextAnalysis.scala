@@ -40,14 +40,34 @@ object TextAnalysis {
     * - mean_token_len
     * These feed a composite score; all expressible in ANSI SQL for
     * the oracle. */
-  def qualityColumns(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def qualityColumns(text: Column): Seq[(String, Column)] =
+    qualityColumnsOf(tokens(text), text)
+
+  /** [[qualityColumns]] over a PRE-TOKENIZED column — pipelines that
+    * compute several token-derived metrics per row should tokenize
+    * into a real column once (its own select step: a non-cheap
+    * expression referenced more than once is not inlined by
+    * CollapseProject) and feed it here, instead of paying the regex
+    * split per metric. Expression trees are identical to the inline
+    * form, so values never move. */
+  def qualityColumnsOf(toks: Column, text: Column): Seq[(String, Column)] =
+    qualityColumnsCounted(toks, text,
+      size(filter(toks, t => t.isin(stopwords: _*))))
+
+  /** [[qualityColumnsOf]] with the stopword count INJECTED — for
+    * pipelines that already fused it via [[markerCounts]] (the
+    * interpreted `filter` HOF column costs ~0.7 s per corpus pass at
+    * the sf1 soak; six of them dominated docs_clean_pipeline). The
+    * injected count must equal `size(filter(toks, isin(stopwords)))`
+    * — [[markerCounts]] index 0 does, by the fused kernel's
+    * contract. */
+  def qualityColumnsCounted(toks: Column, text: Column,
+                            stops: Column): Seq[(String, Column)] = {
     // nullif guards the empty-document case under ANSI mode (x/0 is
     // an error, not NaN): ratios come out null, callers skip them.
     val nTok = nullif(size(toks).cast("int"), lit(0))
     val nChars = nullif(length(text), lit(0))
     val alpha = length(regexp_replace(text, "[^a-z ]", ""))
-    val stops = size(filter(toks, t => t.isin(stopwords: _*)))
     Seq(
       "n_tokens" -> size(toks),
       "alpha_ratio" -> round(alpha.cast("double") / nChars, 6),
@@ -55,10 +75,27 @@ object TextAnalysis {
       "mean_token_len" -> round((length(text) - (size(toks) - 1)).cast("double") / nTok, 6))
   }
 
+  /** Fused marker-set counts (one codegen pass,
+    * [[graft.functions.MarkerCounts]]): index 0 = stopword count,
+    * 1… = [[langMarkers]] order. */
+  def markerCounts(toks: Column): Column =
+    graft.functions.MarkerCounts.of(toks, stopwords +: langMarkers.map(_._2))
+
   /** Composite quality score in [0,1]: long-enough, mostly-alpha,
     * some-but-not-too-many stopwords. Deterministic linear blend. */
-  def qualityScore(text: Column): Column = {
-    val cols = qualityColumns(text).toMap
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-tokenized column (see
+    * [[qualityColumnsOf]]). */
+  def qualityScoreOf(toks: Column, text: Column): Column =
+    qualityScoreCounted(toks, text,
+      size(filter(toks, t => t.isin(stopwords: _*))))
+
+  /** [[qualityScoreOf]] with the stopword count injected (see
+    * [[qualityColumnsCounted]]). */
+  def qualityScoreCounted(toks: Column, text: Column, stops: Column): Column = {
+    val cols = qualityColumnsCounted(toks, text, stops).toMap
     round(
       least(lit(1.0), cols("n_tokens").cast("double") / 100.0) * 0.3 +
         cols("alpha_ratio") * 0.4 +
@@ -76,23 +113,34 @@ object TextAnalysis {
     "fr" -> Seq("le", "les", "et"),
     "zh" -> Seq("de5", "shi4", "le5"))
 
-  def langScores(text: Column): Seq[(String, Column)] = {
-    val toks = tokens(text)
+  def langScores(text: Column): Seq[(String, Column)] =
+    langScoresOf(tokens(text))
+
+  /** [[langScores]] over a pre-tokenized column (see
+    * [[qualityColumnsOf]]). */
+  def langScoresOf(toks: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, markers) =>
       lang -> size(filter(toks, t => t.isin(markers: _*)))
     }
-  }
 
   /** argmax over language scores; ties resolve in `langMarkers`
     * declaration order (en first). */
-  def langId(text: Column): Column = {
-    val scores = langScores(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over a pre-tokenized column (see
+    * [[qualityColumnsOf]]). */
+  def langIdOf(toks: Column): Column =
+    langIdScores(langScoresOf(toks))
+
+  /** [[langId]] over already-computed per-language scores — e.g.
+    * `markerCounts(toks)[1…]` (the fused kernel). The argmax fold is
+    * THE tie-break definition; every entry point shares it. */
+  def langIdScores(scores: Seq[(String, Column)]): Column =
     scores.tail.foldLeft((scores.head._2, lit(scores.head._1))) {
       case ((bestScore, bestLang), (lang, score)) =>
         (greatest(bestScore, score),
           when(score > bestScore, lang).otherwise(bestLang))
     }._2
-  }
 
   /** TF-IDF top-k terms per document — relational formulation (no
     * fitted vocabulary): tf = term count within the doc, idf =
@@ -126,7 +174,13 @@ object TextAnalysis {
     * hashed — identical for any token permutation/duplication of the
     * same vocabulary. */
   def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(lower(text)))), " "))
+    fingerprintOf(tokens(lower(text)))
+
+  /** [[fingerprint]] over pre-tokenized LOWERCASED tokens (see
+    * [[qualityColumnsOf]]; note the lower() inside the canonical
+    * form — pass `tokens(lower(text))`, not the raw token column). */
+  def fingerprintOf(toksLower: Column): Column =
+    md5(array_join(array_sort(array_distinct(toksLower)), " "))
 
   /** Rolling (shift-xor) hash over the token stream — order-sensitive
     * (unlike `fingerprint`), overflow-free under ANSI mode (bitwise

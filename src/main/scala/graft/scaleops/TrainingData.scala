@@ -196,6 +196,12 @@ object TrainingData {
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
                          lambda: Double = 0.9): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // NO corpus-sized pinning here: tokenize is a codegen'd regex
+    // split, so re-deriving the token stream per consumer is cheaper
+    // than materializing 50k token arrays through a checkpoint (an
+    // r10 attempt measured the pinned+pre-grouped variant 2.7× SLOWER
+    // at the sf1 soak — recompute-vs-materialize goes to recompute
+    // for cheap pure maps). The derivation wins below are free.
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(lower(col(textCol))).as("toks"))
     val bigrams = base
@@ -207,10 +213,15 @@ object TrainingData {
         .as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val cBigram = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val cContext = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val unigrams = base.select(col(idCol), explode(col("toks")).as("term"))
-    val cUni = unigrams.groupBy("term").agg(count(lit(1)).as("cu"))
-    val total = unigrams.agg(count(lit(1)).as("n_total"))
+    // c1 is the w2-marginal of c12 — aggregate the small distinct-
+    // bigram table instead of shuffling the position stream a second
+    // time (saves one corpus-sized string-keyed shuffle)
+    val cContext = cBigram.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val cUni = base.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    // total tokens = Σ cu — a one-row aggregate of the vocab table
+    // instead of a second unigram corpus pass
+    val total = cUni.agg(sum(col("cu")).as("n_total"))
     val prob =
       lit(lambda) * col("c12").cast("double") / col("c1") +
         lit(1.0 - lambda) * col("cu").cast("double") / col("n_total")
