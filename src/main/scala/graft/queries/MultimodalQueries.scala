@@ -110,8 +110,100 @@ object MultimodalQueries {
       |  TRUE AS channels_equal, TRUE AS dims_match
       |FROM px GROUP BY 1""".stripMargin
 
+  /** Perceptual-hash near-duplicate detection over the binary image
+    * column — the image-modality counterpart of the text dedup stack
+    * (a 100 TB image corpus needs near-dup pruning as much as text
+    * does). Corpus: one deterministic 32×32 gray image per doc
+    * (mixed-phase pixel fabric so ids don't alias mod 256; BMP/PGM
+    * containers alternate), plus a PLANTED brightness-patched twin
+    * for every 10th id — in the OTHER container, so a found twin also
+    * certifies cross-container hash equality. Operator:
+    * [[Multimodal.perceptualHashes]] (real pixel decode → 8×8 block
+    * downsample → 56-bit dHash) then [[Multimodal.nearDupByPHash]]
+    * (Hamming-bucket LSH, `maxDist+1 = 4` bands of 14 bits — the
+    * pigeonhole EXACTNESS guarantee, so the engine's pair set is the
+    * exact distance-≤3 set and the oracle can replay it from the
+    * pixel formula: hashes via LEAD over block sums, truth via the
+    * all-pairs bit_count — oracle-side only; the ENGINE never goes
+    * all-pairs). `n_planted_found` ≥ all twins witnesses the patch
+    * stays within the radius; the band parameters are result columns
+    * pinned against the pigeonhole arithmetic. */
+  def mediaNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val W = 32
+    val H = 32
+    val maxDist = 3
+    def pix(pixId: Long, patched: Boolean)(p: Int): Int =
+      ((((pixId * 31 + p) % 256) + (pixId * 2654435761L + p * 40503L) % 127 +
+        (if (patched && p < 8) 60 else 0)) % 256).toInt
+    val media = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { i =>
+          val orig = Multimodal.MediaRow(i, "image",
+            if (i % 2 == 0) Multimodal.makeGrayPgm(W, H, pix(i, patched = false))
+            else Multimodal.makeGrayBmp(W, H, pix(i, patched = false)))
+          if (i % 10 == 0)
+            Iterator(orig, Multimodal.MediaRow(i + 10000000L, "image",
+              if (i % 2 == 0) Multimodal.makeGrayBmp(W, H, pix(i, patched = true))
+              else Multimodal.makeGrayPgm(W, H, pix(i, patched = true))))
+          else Iterator(orig)
+        }
+      }
+    // hashes feed both sides of the band self-join; pairs feed the
+    // total count and the planted-recall count
+    val hashes = Multimodal.perceptualHashes(media)
+      .localCheckpoint(eager = false)
+    val pairs = Multimodal.nearDupByPHash(hashes, maxDist = maxDist)
+      .localCheckpoint(eager = false)
+    val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    hashes.agg(count(lit(1)).as("n_images"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(max(col("dist")), lit(-1)).as("max_found_dist")))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted_found")))
+      .select(col("n_images"), col("n_pairs"), col("max_found_dist"),
+        col("n_planted_found"),
+        lit(maxDist + 1).as("n_bands"),
+        lit(56 / (maxDist + 1)).as("band_bits"),
+        lit(maxDist).as("max_dist"))
+  }
+
+  val mediaNearDupOracle: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |imgs AS (
+      |  SELECT id, id AS pix_id, FALSE AS patched FROM ids
+      |  UNION ALL
+      |  SELECT id + 10000000, id, TRUE FROM ids WHERE id % 10 = 0),
+      |bs AS (
+      |  SELECT i.id, (g.p // 32) // 4 AS br, (g.p % 32) // 4 AS bc,
+      |    SUM(((i.pix_id * 31 + g.p) % 256
+      |      + (i.pix_id * 2654435761 + g.p * 40503) % 127
+      |      + CASE WHEN i.patched AND g.p < 8 THEN 60 ELSE 0 END) % 256) AS s
+      |  FROM imgs i, generate_series(0, 1023) AS g(p)
+      |  GROUP BY 1, 2, 3),
+      |grad AS (
+      |  SELECT id, br, bc, s,
+      |    LEAD(s) OVER (PARTITION BY id, br ORDER BY bc) AS s_next
+      |  FROM bs),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE WHEN s_next > s
+      |      THEN (CAST(1 AS BIGINT) << CAST(br * 7 + bc AS INT))
+      |      ELSE 0 END) AS BIGINT) AS h
+      |  FROM grad WHERE bc < 7 GROUP BY id),
+      |pairs AS (
+      |  SELECT a.id AS a, b.id AS b, bit_count(xor(a.h, b.h)) AS dist
+      |  FROM hashes a JOIN hashes b ON a.id < b.id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+      |SELECT (SELECT COUNT(*) FROM imgs) AS n_images,
+      |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
+      |  (SELECT COALESCE(MAX(dist), -1) FROM pairs) AS max_found_dist,
+      |  (SELECT COUNT(*) FROM pairs WHERE b = a + 10000000)
+      |    AS n_planted_found,
+      |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_bytes", mediaBytes, Some(mediaBytesOracle)),
     Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)),
-    Q("multimodal_decode", mediaDecode, Some(mediaDecodeOracle)))
+    Q("multimodal_decode", mediaDecode, Some(mediaDecodeOracle)),
+    Q("multimodal_neardup", mediaNearDup, Some(mediaNearDupOracle)))
 }

@@ -263,16 +263,137 @@ object Multimodal {
       }
     }
 
+  /** 8×8 block gray sums of a decodable image (24-bit BMP or binary
+    * netpbm) whose dims are block-divisible — the downsample step of
+    * the perceptual hash. Gray per pixel = R+G+B (a PGM sample
+    * replicates into all three, so a gray image hashes identically in
+    * either container — spec-pinned). Exact integer sums: every
+    * downstream comparison is replayable arithmetic, never float. */
+  private[graft] def blockGraySums(p: Array[Byte], grid: Int = 8)
+      : Option[(Int, Int, Array[Long])] = {
+    def sums(w: Int, h: Int)(pixelGray: (Int, Int) => Int)
+        : Option[(Int, Int, Array[Long])] = {
+      if (w % grid != 0 || h % grid != 0) return None
+      val bw = w / grid
+      val bh = h / grid
+      val out = new Array[Long](grid * grid)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out((y / bh) * grid + (x / bw)) += pixelGray(x, y)
+          x += 1
+        }
+        y += 1
+      }
+      Some((w, h, out))
+    }
+    if (p.length >= 54 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
+      val off = le32(p, 10).toInt
+      val w = le32(p, 18).toInt
+      val hRaw = le32(p, 22).toInt
+      val bpp = le16(p, 28)
+      val compression = le32(p, 30)
+      if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0L) return None
+      val h = math.abs(hRaw)
+      val rowBytes = (w * 3 + 3) & ~3
+      if (off < 54 || off.toLong + rowBytes.toLong * h > p.length) return None
+      sums(w, h) { (x, y) =>
+        val src = off + (if (hRaw > 0) h - 1 - y else y) * rowBytes + x * 3
+        u8(p(src)) + u8(p(src + 1)) + u8(p(src + 2))
+      }
+    } else pnmHeader(p).flatMap { case (rgb, w, h, maxval, off) =>
+      val ch = if (rgb) 3 else 1
+      if (maxval > 255 || off.toLong + w.toLong * h * ch > p.length) None
+      else sums(w, h) { (x, y) =>
+        val o = off + (y * w + x) * ch
+        if (rgb) u8(p(o)) + u8(p(o + 1)) + u8(p(o + 2)) else 3 * u8(p(o))
+      }
+    }
+  }
+
+  /** 56-bit dHash (difference hash — the classic perceptual
+    * fingerprint, gradient signs over the 8×8 block downsample): bit
+    * `r·7 + c` is set iff blockSum(r, c+1) > blockSum(r, c) — seven
+    * horizontal gradients per row, exact integer comparisons. 56 bits
+    * keeps every power of two (and any band arithmetic) inside a
+    * non-negative BIGINT in both engines. */
+  private[graft] def dHash56(p: Array[Byte]): Option[Long] =
+    blockGraySums(p).map { case (_, _, s) =>
+      var hash = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 7) {
+          if (s(r * 8 + c + 1) > s(r * 8 + c)) hash |= 1L << (r * 7 + c)
+          c += 1
+        }
+        r += 1
+      }
+      hash
+    }
+
+  /** Perceptual hashes of every decodable, block-divisible image —
+    * (media_id, phash). Non-image/undecodable payloads drop out (a
+    * near-dup pass only ranges over what it can hash). */
+  def perceptualHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => dHash56(m.payload).map(h => (m.media_id, h)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate image pairs by perceptual hash, via
+    * HAMMING-BUCKET LSH with an EXACTNESS GUARANTEE: the 56-bit hash
+    * splits into `maxDist + 1` bands, and two hashes within Hamming
+    * distance `maxDist` must agree on ≥ 1 whole band (pigeonhole) —
+    * so banding loses NOTHING; candidates verify with one
+    * `bit_count(a XOR b)` and the output is exactly the distance-≤
+    * maxDist pair set. All candidate generation is a band-keyed
+    * self-join (the only corpus-sized shuffle — at 100 TB of images
+    * the hash table is 16 B/row and the join is the familiar
+    * banded-LSH shape of [[Dedup]]); nothing is all-pairs. Occupancy
+    * per 14-bit band bucket is n/2¹⁶ in the random-hash limit, so
+    * candidate volume stays near-linear until n ≈ millions per
+    * uniform band value; beyond that, raise hash bits (16×16 grid →
+    * 240 bits) rather than dropping bands — the guarantee needs
+    * bands > maxDist. */
+  def nearDupByPHash(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6, s"maxDist=$maxDist outside [0,6]")
+    val bands = maxDist + 1
+    val bandBits = 56 / bands
+    val mask = (1L << bandBits) - 1
+    val banded = hashes.select(col("media_id"), col("phash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("phash"), i * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("media_id", "phash", "band", "bval")
+    banded
+      .join(banded.select(col("band"), col("bval"),
+        col("media_id").as("b_id"), col("phash").as("b_phash")),
+        Seq("band", "bval"))
+      .filter(col("media_id") < col("b_id"))
+      .select(col("media_id").as("a"), col("b_id").as("b"),
+        bit_count(col("phash").bitwiseXOR(col("b_phash"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+
   /** Deterministic binary PGM (P5): pixel (x,y) = (id·31 + y·w + x)
     * mod 256 — the fabric the decode-certification query rebuilds
     * arithmetically in SQL. */
-  private[graft] def makePgm(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def makePgm(id: Long, w: Int, h: Int): Array[Byte] =
+    makeGrayPgm(w, h, p => ((id * 31 + p) % 256).toInt)
+
+  /** Binary PGM with a caller-supplied pixel function over the
+    * row-major index p = y·w + x (values 0..255). */
+  private[graft] def makeGrayPgm(w: Int, h: Int,
+                                 pixel: Int => Int): Array[Byte] = {
     val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
     val out = new Array[Byte](header.length + w * h)
     System.arraycopy(header, 0, out, 0, header.length)
     var p = 0
     while (p < w * h) {
-      out(header.length + p) = ((id * 31 + p) % 256).toByte
+      out(header.length + p) = pixel(p).toByte
       p += 1
     }
     out
@@ -282,7 +403,14 @@ object Multimodal {
     * 4-byte row padding, 54-byte headers; all three channels carry
     * the same (id·31 + y·w + x) mod 256 value. A decoder that botches
     * padding or row order shifts the sums and fails the oracle. */
-  private[graft] def makeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+  private[graft] def makeBmp(id: Long, w: Int, h: Int): Array[Byte] =
+    makeGrayBmp(w, h, p => ((id * 31 + p) % 256).toInt)
+
+  /** 24-bit BMP with a caller-supplied pixel function over the
+    * row-major index p = y·w + x (gray value 0..255 into all three
+    * channels); real layout — bottom-up rows, 4-byte padding. */
+  private[graft] def makeGrayBmp(w: Int, h: Int,
+                                 pixel: Int => Int): Array[Byte] = {
     val rowBytes = (w * 3 + 3) & ~3
     val dataSize = rowBytes * h
     val out = new Array[Byte](54 + dataSize)
@@ -300,7 +428,7 @@ object Multimodal {
       val rowStart = 54 + (h - 1 - y) * rowBytes // bottom-up
       var x = 0
       while (x < w) {
-        val v = ((id * 31 + (y.toLong * w + x)) % 256).toByte
+        val v = pixel(y * w + x).toByte
         val o = rowStart + x * 3
         out(o) = v; out(o + 1) = v; out(o + 2) = v
         x += 1

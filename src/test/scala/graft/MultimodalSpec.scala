@@ -187,4 +187,62 @@ class MultimodalSpec extends SparkSpec {
     assert(first.length == 8)
     assert(first(0) == 128.toByte) // slice starts at len*1/4 = 128
   }
+
+  test("dHash56: container-invariant (BMP ≡ PGM of same pixels), " +
+    "sensitive to a real pixel change, bit layout as documented") {
+    def pix(seed: Long)(p: Int): Int =
+      (((seed * 31 + p) % 256 + (seed * 2654435761L + p * 40503L) % 127)
+        % 256).toInt
+    val asBmp = Multimodal.makeGrayBmp(32, 32, pix(5L))
+    val asPgm = Multimodal.makeGrayPgm(32, 32, pix(5L))
+    val hBmp = Multimodal.dHash56(asBmp).get
+    val hPgm = Multimodal.dHash56(asPgm).get
+    assert(hBmp == hPgm, "same pixels must hash identically across containers")
+    assert((hBmp & ~((1L << 56) - 1)) == 0L, "56-bit hash")
+    // independent reference: recompute from block sums directly
+    val (_, _, s) = Multimodal.blockGraySums(asPgm).get
+    val expected = (for (r <- 0 until 8; c <- 0 until 7
+      if s(r * 8 + c + 1) > s(r * 8 + c)) yield 1L << (r * 7 + c)).sum
+    assert(hBmp == expected)
+    // a heavy pixel change in one block region flips at least one bit
+    val perturbed = Multimodal.makeGrayPgm(32, 32,
+      p => (pix(5L)(p) + (if (p < 8) 60 else 0)) % 256)
+    val hPert = Multimodal.dHash56(perturbed).get
+    assert(hPert != hBmp)
+    // …but stays within the planted radius the gate row relies on
+    assert(java.lang.Long.bitCount(hPert ^ hBmp) <= 3)
+    // non-divisible dims refuse (no silent ragged blocks)
+    assert(Multimodal.dHash56(Multimodal.makeGrayPgm(30, 32, pix(5L))).isEmpty)
+  }
+
+  test("nearDupByPHash: pigeonhole banding finds EXACTLY the " +
+    "distance-bounded pairs (vs a brute twin on planted fixtures)") {
+    def pix(seed: Long)(p: Int): Int =
+      (((seed * 31 + p) % 256 + (seed * 2654435761L + p * 40503L) % 127)
+        % 256).toInt
+    val rows = (0L until 40L).flatMap { i =>
+      val orig = Multimodal.MediaRow(i, "image",
+        if (i % 2 == 0) Multimodal.makeGrayPgm(32, 32, pix(i))
+        else Multimodal.makeGrayBmp(32, 32, pix(i)))
+      if (i % 10 == 0)
+        Seq(orig, Multimodal.MediaRow(i + 1000L, "image",
+          Multimodal.makeGrayBmp(32, 32,
+            p => (pix(i)(p) + (if (p < 8) 60 else 0)) % 256)))
+      else Seq(orig)
+    }
+    val hashes = Multimodal.perceptualHashes(rows.toDS())
+    val got = Multimodal.nearDupByPHash(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute twin over the collected hashes
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, "banded pair set must equal the exact set")
+    // every planted twin is found
+    val planted = hs.map(_._1).filter(i => i % 10 == 0 && i < 1000)
+      .map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
+  }
 }
