@@ -1,0 +1,720 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.scaleops.{Dedup, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** ANN / similarity-search gate queries (knn_* rows): brute, LSH,
+  * IVF (+SQ8/PQ/prebuilt/incremental), the cost router, MMR — plus
+  * their shared certification and COUNT(*)-replay SQL builders and
+  * the on-disk IVF index memo. Split from ScaleQueries.scala (r10),
+  * zero behavior change. */
+private[queries] trait ScaleAnnQueries extends ScaleBase {
+  // ---- similarity search ----------------------------------------------
+  def knnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnBrute(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val knnBruteOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cos FROM r WHERE rank <= 5""".stripMargin
+
+  /** One-row ANN certification vs the exact twin: exact-side counts
+    * the oracle recomputes in SQL, plus Spark-witnessed properties —
+    * recall over exact top-k ≥ `minRecall`, and per-query ranks dense
+    * from 1 (min(rank)=1, max(rank)=count). `min` over the boolean
+    * column is conjunction. Returned ANN scores are exact cosines by
+    * construction (candidates are exact-scored), so score equality
+    * needs no separate witness. */
+  private def knnCertify(approx: DataFrame, exact: DataFrame,
+                         minRecall: Double): DataFrame = {
+    val common = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+    val ranks = approx.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .agg(min(col("mn") === 1 && col("mx") === col("c")).as("ranks_dense"))
+    exact.agg(countDistinct("query_id").as("n_queries"),
+        max("rank").as("k"), count(lit(1)).as("n_exact"))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .crossJoin(ranks)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        (col("n_common").cast("double") / col("n_exact") >= minRecall)
+          .as("recall_ok"),
+        col("ranks_dense"))
+  }
+
+  /** Exact-top-k CTE shared by the ANN certification oracles. */
+  private val knnExactTopkCte: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s),
+      |topk AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 5)""".stripMargin
+
+  /** Multi-table MULTI-PROBE LSH ANN certified against brute top-k,
+    * at CORPUS-DERIVED plane/table counts
+    * ([[Similarity.lshMultiProbeParams]] with the default minCos=0.5
+    * neighbor floor, targetRecall 0.95 — HIGHER than the pair path's
+    * 0.85 since knn candidates are query-bounded). Since r9 the
+    * query side probes its bucket plus every one-flipped-plane
+    * neighbor: recall lives on the |Q|-bounded side, so 7 tables
+    * replace 22 at the sf1 soak and the plane cap stops freezing
+    * bucket growth (the single-probe rule's 10.6×-for-10×-data
+    * defect; measured after: 4.2×, recall 1.00/1.00/1.00/0.96).
+    * Bound 0.9 (raised from the static-era 0.5 once derivation
+    * landed — r6 ADVICE). The chosen plane/table counts are result
+    * columns read from the provenance stamp
+    * ([[Similarity.lshParamsOf]]); the oracle recomputes them from
+    * COUNT(*) — reverting to static or single-probe sizing throws
+    * here and hash-mismatches there. */
+  def knnLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val approx =
+      Similarity.knnLshDerived(emb, "vec_id", "embedding", q, k = 5, dim = 64)
+    val p = Similarity.lshParamsOf(approx).getOrElse(throw new IllegalStateException(
+      "knn_lsh must use the corpus-derived LSH path"))
+    knnCertify(
+      approx,
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.9)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.numPlanes).as("lsh_planes"), lit(p.numTables).as("lsh_tables"),
+        lit(p.probeDepth).as("lsh_depth"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  /** DuckDB replay of [[Similarity.lshMultiProbeParams]] — the
+    * DERIVED-DEPTH multi-probe knn sizing. `c`, the per-plane
+    * agreement probability, is spelled inline; the per-table
+    * collision at probe depth d is the binomial tail
+    * `Σ_{i≤min(d,p)} C(p,i)·c^(p−i)·(1−c)^i` with each term written
+    * out (d ≤ 3 — four CASE-gated terms, never an engine list_sum)
+    * in the exact left-assoc IEEE arithmetic of
+    * [[Similarity.lshMultiProbeTail]]; the plane ceiling per depth is
+    * a MAX over generate_series(1,30); the chosen depth is the
+    * smallest d ∈ {1,2,3} whose ceiling covers the size-derived plane
+    * count (else 3) — the same scans the Scala rule runs. */
+  private def lshMultiProbeParamsSql(tau: Double, recall: Double): String = {
+    val c = s"(CAST(1.0 AS DOUBLE) - ACOS(CAST($tau AS DOUBLE)) / PI())"
+    val floorExpr = s"(CAST(1.0 AS DOUBLE) - POWER(CAST(1.0 AS DOUBLE) " +
+      s"- CAST($recall AS DOUBLE), CAST(1.0 AS DOUBLE) / CAST(32.0 AS DOUBLE)))"
+    // binomial-tail collision for plane count `p` at probe depth `d`
+    // (SQL identifiers): terms gated exactly like the Scala loop
+    // bound i ≤ min(d, p); a skipped term adds 0.0 (bit-neutral on
+    // the positive partial sums).
+    def tail(p: String, d: String): String =
+      s"""(POWER($c, $p)
+         | + CASE WHEN $d >= 1 AND $p >= 1 THEN CAST($p AS DOUBLE)
+         |     * POWER($c, $p - 1)
+         |     * POWER(CAST(1.0 AS DOUBLE) - $c, 1) ELSE 0.0 END
+         | + CASE WHEN $d >= 2 AND $p >= 2 THEN CAST($p AS DOUBLE)
+         |     * (CAST($p - 1 AS DOUBLE) / CAST(2 AS DOUBLE))
+         |     * POWER($c, $p - 2)
+         |     * POWER(CAST(1.0 AS DOUBLE) - $c, 2) ELSE 0.0 END
+         | + CASE WHEN $d >= 3 AND $p >= 3 THEN CAST($p AS DOUBLE)
+         |     * (CAST($p - 1 AS DOUBLE) / CAST(2 AS DOUBLE))
+         |     * (CAST($p - 2 AS DOUBLE) / CAST(3 AS DOUBLE))
+         |     * POWER($c, $p - 3)
+         |     * POWER(CAST(1.0 AS DOUBLE) - $c, 3) ELSE 0.0 END)"""
+        .stripMargin.linesIterator.mkString(" ")
+    s"""mpc AS (
+       |  SELECT gd.d AS d, GREATEST(1, COALESCE((
+       |      SELECT MAX(g.p) FROM generate_series(1, 30) AS g(p)
+       |      WHERE ${tail("g.p", "gd.d")} >= $floorExpr), 1)) AS maxp
+       |  FROM generate_series(1, 3) AS gd(d)),
+       |msz AS (
+       |  SELECT CAST(CEIL(LN(GREATEST(CAST(1.0 AS DOUBLE),
+       |      n / CAST(512.0 AS DOUBLE))) / LN(CAST(2.0 AS DOUBLE))) AS INT)
+       |    AS sizeplanes
+       |  FROM sz),
+       |mdep AS (
+       |  SELECT COALESCE((SELECT MIN(d) FROM mpc, msz WHERE maxp >= sizeplanes),
+       |    3) AS depth),
+       |mpp AS (
+       |  SELECT GREATEST(1, LEAST(LEAST(sizeplanes,
+       |      (SELECT maxp FROM mpc, mdep WHERE d = depth)), 30)) AS planes,
+       |    (SELECT depth FROM mdep) AS depth
+       |  FROM msz),
+       |mpt AS (
+       |  SELECT planes, depth, GREATEST(4, LEAST(32,
+       |    CAST(CEIL(LN(CAST(1.0 AS DOUBLE) - CAST($recall AS DOUBLE))
+       |      / LN(CAST(1.0 AS DOUBLE) - LEAST(${tail("planes", "depth")},
+       |        CAST(1.0 AS DOUBLE) - CAST(1e-9 AS DOUBLE)))) AS INT))) AS tabs
+       |  FROM mpp)""".stripMargin
+  }
+
+  val knnLshOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |${lshMultiProbeParamsSql(0.5, recall = 0.95)}
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  planes AS lsh_planes, tabs AS lsh_tables, depth AS lsh_depth,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, mpt
+       |GROUP BY planes, tabs, depth""".stripMargin
+
+  /** DuckDB replay of [[Similarity.ivfDerivedParams]] — nList ≈ √n
+    * (floor 8), nProbe = ceil(0.35·nList) (floor 3, cap nList), all
+    * IEEE-double ceil/sqrt so the engine's arithmetic reproduces
+    * exactly. Emits one row (nlist, nprobe) given a one-row relation
+    * `sz(n)`. */
+  private val ivfParamsSql: String =
+    """ivfp AS (
+      |  SELECT GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+      |  FROM sz),
+      |ivfq AS (
+      |  SELECT nlist, LEAST(nlist, GREATEST(3,
+      |    CAST(CEIL(CAST(0.35 AS DOUBLE) * nlist) AS INT))) AS nprobe
+      |  FROM ivfp)""".stripMargin
+
+  /** IVF ANN at CORPUS-DERIVED sizing ([[Similarity.knnIvfDerived]]:
+    * nList ≈ √n cells, nProbe a fixed 0.35 fraction of them — the
+    * same derivation discipline as the LSH rows; static 8/3 was the
+    * thinnest certification margin in the registry, 0.68 measured vs
+    * a 0.6 floor at sf1). Measured recall under the derived rule
+    * (RecallProbe): 0.84 / 0.84 / 0.84 / 0.88 at
+    * sf0.001 / 0.01 / 0.1 / sf1-soak — bound 0.75. The chosen
+    * nList/nProbe are result columns read from the provenance stamp
+    * ([[Similarity.ivfParamsOf]]); the oracle recomputes them from
+    * COUNT(*) — reverting to static sizing throws here and
+    * hash-mismatches there. The exact-search regime is pinned
+    * separately by knn_ivf_full (nProbe = nList ≡ brute,
+    * hash-matched). */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = Similarity.knnIvfDerived(emb, "vec_id", "embedding", q, k = 5)
+    val p = Similarity.ivfParamsOf(approx).getOrElse(
+      throw new IllegalStateException(
+        "knn_ivf must use the corpus-derived IVF path"))
+    knnCertify(approx,
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |$ivfParamsSql
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, ivfq
+       |GROUP BY nlist, nprobe""".stripMargin
+
+
+  /** SQ8-quantized ANN (int8 codes + exact re-rank, refine=4)
+    * certified against brute top-k — see [[Similarity.knnSq8]]: the
+    * candidate scan reads 64 B codes instead of 256 B floats (the
+    * 100 TB IO dial, complementary to LSH/IVF's candidate dial).
+    * int8 on this corpus barely perturbs ranking, so the bound is
+    * high: measured recall (RecallProbe) 1.000 at every SF
+    * (sf0.001 / 0.01 / 0.1); bound 0.9. */
+  def knnSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    knnCertify(
+      Similarity.knnSq8(emb, "vec_id", "embedding", q, k = 5, refine = 4),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.9)
+  }
+
+  val knnSq8Oracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
+  /** IVF×SQ8 composed ANN (cells bound the candidates, int8 codes
+    * bound the bytes, exact refine restores scores — the standard
+    * vector-store shape) certified against brute top-k at the same
+    * corpus-derived routing as knn_ivf ([[Similarity
+    * .knnIvfSq8Derived]]). Measured recall under the derived rule is
+    * IDENTICAL to plain IVF at every SF (RecallProbe: 0.84/0.84/0.84
+    * at sf0.001/0.01/0.1) — the SQ8 + refine stage loses nothing;
+    * all loss is cell routing. Bound 0.75. */
+  def knnIvfSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val approx =
+      Similarity.knnIvfSq8Derived(emb, "vec_id", "embedding", q, k = 5,
+        refine = 4)
+    val p = Similarity.ivfParamsOf(approx).getOrElse(
+      throw new IllegalStateException(
+        "knn_ivf_sq8 must use the corpus-derived IVF path"))
+    knnCertify(approx,
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfSq8Oracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |$ivfParamsSql
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, ivfq
+       |GROUP BY nlist, nprobe""".stripMargin
+
+  /** IVF×SQ8 over a PREBUILT index + PERSISTED codes table — the
+    * production (search-only) shape of the designated 100 TB ANN
+    * architecture: centroids + cell assignments are fitted and saved
+    * once ([[ivfLoadOrBuild]]), the int8 codes parquet is written
+    * once beside them ([[Similarity.sq8Codes]] is a pure function of
+    * the cell table, so the persisted codes are exactly what a
+    * rebuild would produce), and every later search pays load +
+    * route + code-scan + refine only — never a KMeans refit or a
+    * corpus re-encode per query batch (the knn_ivf_prebuilt
+    * precedent: 11.6 → 1.1 s). Same derived sizing and 0.75 bound as
+    * knn_ivf_sq8; the codes memo invalidates with the index (the
+    * loadOrBuild rebuild deletes it). */
+  def knnIvfSq8Prebuilt(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
+    val index = ivfLoadOrBuild(s, "target/ivf_index_sq8", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
+    val codesPath = ivfMemoDir("target/ivf_index_sq8", d) + "/sq8_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+      Similarity.sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+    val codes = s.read.parquet(codesPath)
+    knnCertify(
+      Similarity.knnIvfSq8Indexed(index, codes, "vec_id", "embedding", q,
+        k = 5, nProbe = p.nProbe, refine = 4),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  /** IVF×PQ composed ANN (faiss `IVF<n>,PQ8` — cells bound the
+    * candidates, 8-BYTE product-quantization codes bound the bytes
+    * (32× under floats, 8× under SQ8), ADC table lookups score, exact
+    * refine restores scores — see [[Similarity.knnIvfPq]] /
+    * [[graft.functions.Pq]]) certified against brute top-k at the
+    * same corpus-derived routing as knn_ivf. PQ ranks coarser than
+    * SQ8, so the refine pool is DERIVED from the probed-set size
+    * ([[Similarity.pqDerivedRefine]] — max(16, ceil(√probed)):
+    * refine=16 measured 0.68 at the sf1 soak because the probed set
+    * grows ~linearly with n; the derived pool recovers 0.820 = plain
+    * IVF there, and the sweep saturates at ≥32, so residual loss is
+    * all routing) and the codebook is the faiss-default 8
+    * bits/subspace (ks=256; ks=16 measured 0.48 at sf0.1 — 4-bit
+    * cells are too coarse for ADC ordering). Measured recall
+    * (RecallProbe): 0.840/0.820/0.880/0.820 at sf0.001/0.01/0.1/sf1
+    * vs plain IVF's 0.840/0.840/0.880/0.820. Bound 0.75, same as
+    * knn_ivf; the oracle replays nList/nProbe AND the refine rule
+    * from COUNT(*). */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val approx = Similarity.knnIvfPq(emb, "vec_id", "embedding", q, k = 5)
+    val p = Similarity.ivfParamsOf(approx).getOrElse(
+      throw new IllegalStateException(
+        "knn_ivf_pq must use the corpus-derived IVF path"))
+    val nCorpus = emb.count()
+    knnCertify(approx,
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        lit(Similarity.pqDerivedRefine(nCorpus, p)).as("pq_refine"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  /** IVF×PQ over a PREBUILT index + PERSISTED codebook and codes —
+    * the production (search-only) shape of the deepest-compression
+    * ANN tier, completing the prebuilt family (knn_ivf_prebuilt
+    * 11.6→1.1 s, knn_ivf_sq8_prebuilt): KMeans cells, the PQ
+    * codebook (a pure function of the id-hash fit sample, ~130 KB at
+    * m8/ks256/64-dim) and the 8-byte codes parquet are all written
+    * once under the index memo ([[ivfLoadOrBuild]] invalidates them
+    * with the index); every later search pays load + route + one ADC
+    * code scan + exact refine — never a KMeans/PQ refit or corpus
+    * re-encode. Same derived sizing, refine rule and 0.75 bound as
+    * knn_ivf_pq, so the same oracle applies. */
+  def knnIvfPqPrebuilt(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
+    val index = ivfLoadOrBuild(s, "target/ivf_index_pq", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
+    val base = ivfMemoDir("target/ivf_index_pq", d)
+    val cbPath = s"$base/pq_cb"
+    if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8,
+        ks = 256, knownN = Some(nCorpus))
+      import s.implicits._
+      cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+        .coalesce(1).write.mode("overwrite").parquet(cbPath)
+    }
+    val cb = s.read.parquet(cbPath).orderBy("i").collect()
+      .map(_.getDouble(1))
+    val codesPath = s"$base/pq_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+      Similarity.pqCodes(index, cb).write.mode("overwrite")
+        .parquet(codesPath)
+    val codes = s.read.parquet(codesPath)
+    knnCertify(
+      Similarity.knnIvfPqIndexed(index, codes, cb, "vec_id", "embedding",
+        q, k = 5, nProbe = p.nProbe,
+        refine = Similarity.pqDerivedRefine(nCorpus, p)),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        lit(Similarity.pqDerivedRefine(nCorpus, p)).as("pq_refine"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfPqOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |$ivfParamsSql
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  8 AS pq_m, 256 AS pq_ks,
+       |  GREATEST(16, CAST(CEIL(SQRT(nprobe * CAST((SELECT n FROM sz) AS DOUBLE)
+       |    / nlist)) AS INT)) AS pq_refine,
+       |  TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, ivfq
+       |GROUP BY nlist, nprobe""".stripMargin
+
+  /** Greedy MMR diverse top-5 for query vector 0 over the top-20
+    * relevance pool ([[Similarity.mmrSelect]], λ=0.7) — the
+    * diversity-aware re-rank stage after ANN retrieval. Every pick of
+    * the greedy chain is hash-pinned: the oracle unrolls all five
+    * argmax rounds (MATERIALIZED pool/similarity CTEs — referenced
+    * once per round, DuckDB would otherwise re-inline the corpus
+    * scan), with 6-dp-rounded cosines and the 0.7/0.3 literal weights
+    * shared by both engines. */
+  def knnMmr(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrSelect(t(s, d, "embeddings"), "vec_id", "embedding",
+      queryId = 0L)
+
+  val knnMmrOracle: String = {
+    val rounds = (2 to 5).map { r =>
+      s"""s$r AS (
+         |  SELECT vec_id, rel, score FROM (
+         |    SELECT c.vec_id, c.rel,
+         |      CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * (
+         |        SELECT MAX(sim) FROM sim
+         |        WHERE ia = c.vec_id
+         |          AND ib IN (SELECT vec_id FROM sel${r - 1})) AS score
+         |    FROM cand c
+         |    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1}))
+         |  ORDER BY score DESC, vec_id ASC LIMIT 1),
+         |sel$r AS (SELECT vec_id FROM sel${r - 1}
+         |  UNION ALL SELECT vec_id FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 5).map(r =>
+      s"SELECT $r AS rank, vec_id, rel, ROUND(score, 6) AS score FROM s$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |relv AS (
+       |  SELECT e.vec_id,
+       |    ROUND(list_dot_product(qv, v) /
+       |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS rel,
+       |    e.v
+       |  FROM e, q WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (
+       |  SELECT * FROM relv ORDER BY rel DESC, vec_id ASC LIMIT 20),
+       |sim AS MATERIALIZED (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |    ROUND(list_dot_product(a.v, b.v) /
+       |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS sim
+       |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+       |s1 AS (
+       |  SELECT vec_id, rel, CAST(0.7 AS DOUBLE) * rel AS score
+       |  FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |sel1 AS (SELECT vec_id FROM s1),
+       |$rounds
+       |$out""".stripMargin
+  }
+
+  /** IVF at nProbe = nList degenerates to exact search, so the
+    * brute-force oracle applies — this pins the whole IVF path
+    * (build, cell routing, scoring) to a hash-match, while `knn_ivf`
+    * exercises the approximate regime. */
+  def knnIvfFull(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnIvf(emb, "vec_id", "embedding",
+      queries = emb.filter(col("vec_id") < 10), k = 5,
+      nList = 8, nProbe = 8)
+  }
+
+  /** IVF search over a PREBUILT on-disk index — the build/search
+    * split that matters at 100 TB: centroids + cell assignments are
+    * fitted and persisted ONCE ([[Similarity.ivfSave]]); every later
+    * search pays only load + route + probe, never a KMeans refit per
+    * query batch (every other IVF gate query rebuilds, ~3.4 s of pure
+    * build at sf0.1). The index memoizes under `target/ivf_index/<sf>`
+    * — the first run (the bench's untimed warm-up rep) builds and
+    * saves, so the timed rep measures the search-only path. Certified
+    * like knn_ivf: recall vs brute ≥ 0.6 at the same nList=8/nProbe=3
+    * routing (the loaded index is a seed-42 build on this corpus, so
+    * measured recall matches knn_ivf's 0.66/0.84/0.70). Save/load
+    * fidelity — loaded search ≡ the saved in-memory index's search,
+    * row for row — is pinned by SimilaritySpec. */
+  /** Load a memoized on-disk IVF index, building + saving it on first
+    * use — the shared protocol of both prebuilt-index gate queries
+    * (one definition, so a change to the memoization contract — e.g.
+    * partial-write invalidation — lands everywhere at once). */
+  /** In-JVM residency for loaded IVF indexes: an index handle is a
+    * driver-side KMeansModel plus a LAZY scan of the cells parquet,
+    * and a hot index re-read from disk on every query batch is not
+    * how a serving path behaves — vector stores keep live indexes
+    * resident. Keyed by (session, dir, source fingerprint) so a
+    * regenerated dataset or a new session can never be served a stale
+    * handle; bounded at 8 entries (a handle is kilobytes). */
+  protected val ivfResident =
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+
+  protected def ivfMemoDir(baseDir: String, d: String): String =
+    baseDir + "/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  protected def ivfLoadOrBuild(s: SparkSession, baseDir: String, d: String,
+                             tag: String = "")
+                            (build: => Similarity.IvfIndex): Similarity.IvfIndex = {
+    val dir = ivfMemoDir(baseDir, d)
+    // stale-index guard: the memo is keyed by dataset DIR NAME, so a
+    // regenerated dataset under the same path would otherwise serve an
+    // index fitted on the old rows — surfacing as a baffling gate
+    // failure instead of a rebuild. Stamp the saved index with a
+    // fingerprint of the source parquet (per-file name+size+mtime) —
+    // plus the caller's `tag` (e.g. the derived nList, so a sizing-
+    // rule change invalidates too) — and rebuild on mismatch.
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val srcFiles =
+      if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
+    val fingerprint = (srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}") :+ tag)
+      .mkString("\n")
+    val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
+    val fresh = new java.io.File(s"$dir/cells/_SUCCESS").exists &&
+      stampFile.exists && {
+        val st = java.nio.file.Files.readString(stampFile.toPath)
+        st == fingerprint
+      }
+    val key = s"${System.identityHashCode(s)}\n$dir\n$fingerprint"
+    if (fresh) {
+      val resident = ivfResident.get(key)
+      if (resident != null) return resident
+    }
+    if (!fresh) {
+      // derived artifacts beside the index (the SQ8/PQ codes
+      // parquets, the PQ codebook) are pure functions of the cell
+      // table / source corpus: a rebuilt index must invalidate them
+      // with it
+      for (name <- Seq("sq8_codes", "pq_codes", "pq_cb")) {
+        val codes = new java.io.File(s"$dir/$name")
+        if (codes.exists) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(codes.toPath).iterator().asScala.toSeq
+            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      }
+      Similarity.ivfSave(build, dir)
+      java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
+    }
+    val loaded = Similarity.ivfLoad(s, dir)
+    if (ivfResident.size >= 8) ivfResident.clear()
+    ivfResident.put(key, loaded)
+    loaded
+  }
+
+  def knnIvfPrebuilt(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    // same corpus-derived sizing as knn_ivf (the tag invalidates the
+    // saved index if the derivation rule ever changes); the loaded
+    // seed-42 build is identical to knn_ivf's, so recall matches
+    val nCorpus = emb.count()
+    val p = Similarity.ivfDerivedParams(nCorpus)
+    val index = ivfLoadOrBuild(s, "target/ivf_index", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(nCorpus)))
+    knnCertify(
+      Similarity.ivfSearch(index, "vec_id", "embedding", q, k = 5,
+        nProbe = p.nProbe),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  /** Cost-routed DEFAULT k-NN ([[Similarity.knnAuto]]) certified in
+    * BOTH routing regimes at once: a one-shot call (reuse=1) must
+    * route to exact brute — witnessed row-identical against the brute
+    * twin (`one_exact_ok`) — because at the recall-0.9-mandated probe
+    * fraction a single small batch can never repay an index build;
+    * an amortized call (reuse=100 query batches over the index
+    * lifetime) must route to the derived-IVF tier and hold recall
+    * ≥ 0.9 (floor raised above the 0.75 of the explicit-tier rows —
+    * a DEFAULT must be safe; IvfProbeFracSweep measured 0.96-1.00 at
+    * probeFrac 0.6 across all four SFs). Both routing booleans are
+    * emitted and the oracle REPLAYS the cost model from COUNT(*)
+    * ([[Similarity.knnIvfWorthIt]] — plain IEEE doubles both
+    * engines), so a formula drift flips the hash. LSH is absent from
+    * the default path by design: its table count grows with n to
+    * hold recall (10.6× wall-clock for 10× data at the sf1 soak,
+    * structural) while the IVF tier re-sizes as √n (≤ 1.4×
+    * measured); [[Similarity.knnLshDerived]] remains the certified
+    * explicit fallback (`knn_lsh`). */
+  def knnAutoQ(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
+    val one = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
+      reuse = 1L)
+    val many = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
+      reuse = 100L)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5)
+      .localCheckpoint(eager = false) // twin feeds 2 certifications
+    val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")
+      .join(brute, Seq("query_id", "rank", "neighbor_id", "cos"))
+    knnCertify(many, brute, minRecall = 0.9)
+      .crossJoin(oneCommon.agg(count(lit(1)).as("n_one_common")))
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(Similarity.knnRoutedOf(one).get).as("route_one_ivf"),
+        lit(Similarity.knnRoutedOf(many).get).as("route_many_ivf"),
+        (col("n_one_common") === col("n_exact")).as("one_exact_ok"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnAutoOracle: String =
+    s"""$knnExactTopkCte,
+       |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+       |nq AS (SELECT COUNT(*) AS m FROM embeddings WHERE vec_id < 10),
+       |pp AS (
+       |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+       |  FROM sz),
+       |p2 AS (
+       |  SELECT n, nlist, LEAST(nlist, GREATEST(3,
+       |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
+       |  FROM pp),
+       |cost AS (
+       |  SELECT n, nlist, nprobe,
+       |    CASE WHEN nlist <= 64 THEN CAST(nlist AS DOUBLE)
+       |      ELSE CEIL(SQRT(CAST(nlist AS DOUBLE)))
+       |        + CAST(3.0 AS DOUBLE) * nlist / CEIL(SQRT(CAST(nlist AS DOUBLE)))
+       |    END AS assign
+       |  FROM p2),
+       |dec AS (
+       |  SELECT nlist, nprobe,
+       |    ((CAST(n AS DOUBLE) * assign + CAST(1 AS DOUBLE) * m
+       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
+       |      * CAST(1.2 AS DOUBLE) <= CAST(1 AS DOUBLE) * m * n) AS route_one_ivf,
+       |    ((CAST(n AS DOUBLE) * assign + CAST(100 AS DOUBLE) * m
+       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
+       |      * CAST(1.2 AS DOUBLE) <= CAST(100 AS DOUBLE) * m * n) AS route_many_ivf
+       |  FROM cost, nq)
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  nlist AS n_list, nprobe AS n_probe,
+       |  route_one_ivf, route_many_ivf,
+       |  TRUE AS one_exact_ok, TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk, dec
+       |GROUP BY nlist, nprobe, route_one_ivf, route_many_ivf""".stripMargin
+
+  /** Incremental IVF maintenance ([[Similarity.ivfAddBatch]]): a base
+    * index fitted on the old corpus absorbs today's batch by frozen-
+    * centroid assignment — no refit. Certified two ways: `union_ok`
+    * witnesses that the incrementally-extended cell table is
+    * ROW-IDENTICAL to transforming the full corpus with the same
+    * model (assignment is a pure function of (model, vector), so any
+    * divergence means a broken union/transform); then the standard
+    * recall-vs-brute bound on a search over the extended index, with
+    * queries drawn from the NEW batch — the freshly ingested rows
+    * must be findable. Base model memoizes beside the prebuilt-query
+    * index (`target/ivf_index_base/<sf>`), so the timed rep pays
+    * assignment + search only — the per-batch cost at scale. */
+  def knnIvfIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val batch = emb.filter(col("vec_id") < 100)
+    val base = emb.filter(col("vec_id") >= 100)
+    val baseIndex = ivfLoadOrBuild(s, "target/ivf_index_base", d)(
+      Similarity.ivfBuild(base, "vec_id", "embedding", nList = 8))
+    val incr = Similarity.ivfAddBatch(baseIndex, batch, "vec_id", "embedding")
+    val full = Similarity.ivfAddBatch(
+      Similarity.IvfIndex(baseIndex.model,
+        baseIndex.indexed.limit(0)), emb, "vec_id", "embedding")
+    val keyCols = Seq("cell", "neighbor_id")
+    val unionOk =
+      incr.indexed.select(keyCols.map(col): _*)
+        .unionByName(full.indexed.select(keyCols.map(col): _*))
+        .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(min(col("c") === 2).as("union_ok")) // every row in BOTH tables
+    val q = emb.filter(col("vec_id") < 10) // queries ⊂ the new batch
+    knnCertify(
+      Similarity.ivfSearch(incr, "vec_id", "embedding", q, k = 5, nProbe = 3),
+      Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5),
+      minRecall = 0.6)
+      .crossJoin(unionOk)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        col("union_ok"), col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnIvfIncrementalOracle: String =
+    s"""$knnExactTopkCte
+       |SELECT COUNT(DISTINCT query_id) AS n_queries,
+       |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+       |  TRUE AS union_ok, TRUE AS recall_ok, TRUE AS ranks_dense
+       |FROM topk""".stripMargin
+
+}
