@@ -643,7 +643,134 @@ object TrainingDataQueries {
       |  COUNT(*) AS n_events, TRUE AS groups_disjoint
       |FROM f GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** PMI collocation mining — the classic corpus-statistics operator
+    * a tokenizer/phrase pipeline runs before merging multiword units:
+    * pmi(w1,w2) = log2(P(w1,w2) / (P(w1)·P(w2))) over ADJACENT word
+    * pairs, minimum pair count 5, top-20 by (quantized pmi desc,
+    * pair asc). All probabilities are integer-count ratios evaluated
+    * in ONE spelled-out double expression order both engines restate
+    * verbatim; emission floor-quantizes to 6 dp (pure-IEEE — no
+    * ROUND). Plan shape: one corpus-sized bigram groupBy + one
+    * unigram groupBy, then vocabulary-sized joins and a TakeOrdered
+    * top-20 — no corpus re-scan, no global sort. */
+  def pmiCollocations(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"),
+      graft.scaleops.TextAnalysis.tokens(lower(col("text"))).as("toks"))
+    val bigrams = base
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cBigram = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nBigrams = cBigram.agg(sum(col("c12")).as("n_big"))
+    val cUni = base.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val nToks = cUni.agg(sum(col("cu")).as("n_tok"))
+    val pmi = log2(col("c12").cast("double") * col("n_tok") * col("n_tok") /
+      col("n_big") / col("cu1") / col("cu2"))
+    cBigram.filter(col("c12") >= 5)
+      .join(cUni.select(col("term").as("w1"), col("cu").as("cu1")), "w1")
+      .join(cUni.select(col("term").as("w2"), col("cu").as("cu2")), "w2")
+      .crossJoin(broadcast(nBigrams))
+      .crossJoin(broadcast(nToks))
+      .withColumn("pmi_micro",
+        floor(pmi * lit(1000000.0) + lit(0.5)).cast("long"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(20)
+      .select(col("w1"), col("w2"), col("c12").as("pair_count"),
+        (col("pmi_micro").cast("double") / lit(1000000.0)).as("pmi"))
+  }
+
+  val pmiCollocationsOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+      |  WHERE len(toks) >= 2),
+      |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+      |nb AS (SELECT SUM(c12) AS n_big FROM c12),
+      |cu AS (
+      |  SELECT term, COUNT(*) AS cu FROM (
+      |    SELECT UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS term
+      |    FROM documents) GROUP BY 1),
+      |nt AS (SELECT SUM(cu) AS n_tok FROM cu),
+      |scored AS (
+      |  SELECT w1, w2, c12,
+      |    CAST(FLOOR(LOG2(CAST(c12 AS DOUBLE) * n_tok * n_tok
+      |        / n_big / a.cu / b.cu)
+      |      * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+      |  FROM c12
+      |  JOIN cu a ON c12.w1 = a.term
+      |  JOIN cu b ON c12.w2 = b.term
+      |  CROSS JOIN nb CROSS JOIN nt
+      |  WHERE c12 >= 5)
+      |SELECT w1, w2, c12 AS pair_count,
+      |  CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi
+      |FROM scored
+      |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC
+      |LIMIT 20""".stripMargin
+
+  /** Sequential-pattern mining, length-2 (the PrefixSpan seed step —
+    * Pei et al. 2001): pattern (a → b) holds for a user iff SOME
+    * a-event strictly precedes SOME b-event, which reduces to
+    * min_ts(a) < max_ts(b) — so the whole mine is one per-(user,type)
+    * aggregate (≤ |event types| rows per user) and a per-user
+    * self-join of that TINY frame; support is exact integer ppm.
+    * Never touches event pairs — the n² that makes naive sequence
+    * mining explode. Patterns below 5% user support are cut. */
+  def seqPatterns(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.load(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val perType = ev.groupBy("user_id", "event_type")
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+      .localCheckpoint(eager = false) // both sides of its own self-join
+    val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
+    perType.select(col("user_id"), col("event_type").as("a_type"),
+        col("first_us"))
+      .join(perType.select(col("user_id"), col("event_type").as("b_type"),
+        col("last_us")), "user_id")
+      .filter(col("a_type") =!= col("b_type") &&
+        col("first_us") < col("last_us"))
+      .groupBy("a_type", "b_type").agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_users") * 20 >= col("n_total"))
+      .select(col("a_type"), col("b_type"), col("n_users"),
+        // integer division (`div`), mirroring the oracle's `//` —
+        // a double `/` + cast could round up across an integer
+        // boundary for non-representable quotients
+        expr("(n_users * CAST(1000000 AS BIGINT)) div n_total")
+          .as("support_ppm"))
+  }
+
+  val seqPatternsOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |pt AS (
+      |  SELECT user_id, event_type, MIN(us) AS first_us, MAX(us) AS last_us
+      |  FROM e GROUP BY 1, 2),
+      |tot AS (SELECT COUNT(DISTINCT user_id) AS n_total FROM e),
+      |p AS (
+      |  SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |    COUNT(*) AS n_users
+      |  FROM pt a JOIN pt b
+      |    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      |  WHERE a.first_us < b.last_us
+      |  GROUP BY 1, 2)
+      |SELECT a_type, b_type, n_users,
+      |  CAST(n_users * 1000000 // n_total AS BIGINT) AS support_ppm
+      |FROM p, tot WHERE n_users * 20 >= n_total""".stripMargin
+
   val all: Seq[Q] = Seq(
+    Q("text_pmi_collocations", pmiCollocations, Some(pmiCollocationsOracle)),
+    Q("events_seq_patterns", seqPatterns, Some(seqPatternsOracle)),
     Q("docs_source_caps", sourceCaps, Some(sourceCapsOracle)),
     Q("ml_group_folds", groupFoldSplit, Some(groupFoldSplitOracle)),
     Q("text_pii_redact", piiRedact, Some(piiRedactOracle)),

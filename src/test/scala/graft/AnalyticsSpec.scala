@@ -133,4 +133,26 @@ class AnalyticsSpec extends SparkSpec {
     val got = AnalyticsQueries.seasonalDow(spark, d).collect()
     assert(got.nonEmpty && got.forall(_.getDouble(2) == 0.0))
   }
+
+  test("seq patterns: a→b needs SOME a strictly before SOME b; " +
+    "support floor cuts; min/max reduction is order-correct") {
+    // user 1: view(10) → click(20)      ⇒ view→click
+    // user 2: click(5) → view(15) → click(25)
+    //   ⇒ click→view AND view→click (the 25-click is after the view:
+    //   min(view)=15 < max(click)=25 — an only-first-occurrence
+    //   implementation would miss it)
+    // user 3: purchase(7) only          ⇒ no patterns
+    val d = fixtureDir("events" -> eventsDf(Seq(
+      (1L, 10L, 1L, "view", 0.0), (2L, 20L, 1L, "click", 0.0),
+      (3L, 5L, 2L, "click", 0.0), (4L, 15L, 2L, "view", 0.0),
+      (5L, 25L, 2L, "click", 0.0),
+      (6L, 7L, 3L, "purchase", 0.0))))
+    val got = graft.queries.TrainingDataQueries.seqPatterns(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got(("view", "click")) == (2L, 666666L)) // 2 of 3 users
+    assert(got(("click", "view")) == (1L, 333333L))
+    assert(!got.contains(("click", "purchase")))
+    assert(!got.contains(("view", "view"))) // self-pairs excluded
+  }
 }
