@@ -419,6 +419,65 @@ object AnalyticsQueries {
       |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
       |FROM s GROUP BY 1""".stripMargin
 
+  /** Cumulative gains / lift table — the model-targeting view that
+    * complements [[calibrationBins]] (calibration) and ROC (ranking):
+    * "contact the top-scored X% → capture Y% of positives at Z× the
+    * base rate". Computed at SCORE-BUCKET granularity, not forced
+    * deciles: a global NTILE funnels the whole corpus through one
+    * rank task, while grouping by the (small-cardinality) rounded
+    * score keeps corpus work to ONE groupBy and runs the cumulative
+    * window over the ~50-row aggregate. Same deterministic scorer and
+    * label as calibrationBins; capture is exact integer ppm
+    * (`div` ≡ `//`), lift is one spelled-out double expression
+    * floor-quantized to 6 dp. */
+  def gainsCurve(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val thresh = li.agg(
+      (sum(dec4(col("l_extendedprice"))).cast("double") / count(lit(1)))
+        .as("mu"))
+    val scored = li.crossJoin(broadcast(thresh))
+      .select(round(col("l_quantity") / 50.0, 6).as("phat6"),
+        when(col("l_extendedprice") > col("mu"), 1L).otherwise(0L).as("y"))
+    val g = scored.groupBy("phat6")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+    val w = Window.orderBy(col("phat6").desc) // ~50 aggregate rows
+    g.select(col("phat6"),
+        sum(col("n")).over(w).as("cum_n"),
+        sum(col("pos")).over(w).as("cum_pos"))
+      .crossJoin(broadcast(g.agg(sum(col("n")).as("tot_n"),
+        sum(col("pos")).as("tot_pos"))))
+      .select(col("phat6"), col("cum_n"), col("cum_pos"),
+        expr("(cum_pos * CAST(1000000 AS BIGINT)) div tot_pos")
+          .as("capture_ppm"),
+        (floor(col("cum_pos").cast("double") * col("tot_n") /
+          col("cum_n") / col("tot_pos") * lit(1000000.0) + lit(0.5)) /
+          lit(1000000.0)).as("lift"))
+  }
+
+  val gainsCurveOracle: String =
+    """WITH t AS (
+      |  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+      |      / COUNT(*) AS mu
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT ROUND(l_quantity / 50.0, 6) AS phat6,
+      |    CASE WHEN l_extendedprice > mu THEN 1 ELSE 0 END AS y
+      |  FROM lineitem, t),
+      |g AS (SELECT phat6, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+      |  FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT phat6,
+      |    SUM(n) OVER (ORDER BY phat6 DESC) AS cum_n,
+      |    SUM(pos) OVER (ORDER BY phat6 DESC) AS cum_pos
+      |  FROM g),
+      |tot AS (SELECT SUM(n) AS tot_n, SUM(pos) AS tot_pos FROM g)
+      |SELECT phat6, CAST(cum_n AS BIGINT) AS cum_n,
+      |  CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS capture_ppm,
+      |  FLOOR(CAST(cum_pos AS DOUBLE) * tot_n / cum_n / tot_pos
+      |    * 1000000.0 + 0.5) / 1000000.0 AS lift
+      |FROM c, tot""".stripMargin
+
   // ---- information value / weight of evidence -----------------------------
   /** Information Value of a categorical feature against a binary
     * label (the credit-scoring feature-selection metric; Siddiqi
@@ -743,6 +802,7 @@ object AnalyticsQueries {
     Q("ts_seasonal_dow", seasonalDow, Some(seasonalOracle)),
     Q("events_markov_transitions", markovTransitions, Some(markovOracle)),
     Q("ml_calibration_bins", calibrationBins, Some(calibrationOracle)),
+    Q("ml_gains_curve", gainsCurve, Some(gainsCurveOracle)),
     Q("ml_information_value", infoValue, Some(infoValueOracle)),
     Q("ml_pca_power", pcaPower, Some(pcaOracle)),
     Q("events_attribution_last_touch", lastTouchAttribution, Some(attributionOracle)),
