@@ -128,15 +128,24 @@ object MultimodalQueries {
     * all-pairs). `n_planted_found` ≥ all twins witnesses the patch
     * stays within the radius; the band parameters are result columns
     * pinned against the pigeonhole arithmetic. */
-  def mediaNearDup(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic image corpus shared by the near-dup rows: one
+    * 32×32 gray image per doc (mixed-phase fabric, alternating
+    * containers) + a brightness-patched cross-container twin for
+    * every 10th id. */
+  private def nearDupMedia(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
     import s.implicits._
     val W = 32
     val H = 32
-    val maxDist = 3
+    // multiplicative mix: per-image pixel step = (id+1) mod 65521, so
+    // no two doc ids below 65521 share a wrap pattern — natural
+    // near-collisions stay rare (an additive fabric measured ~28k
+    // natural pairs at sf0.1, pushing the CC end-cap distributed at
+    // the soak); the patch term perturbs only blocks (0,0)/(0,1)
     def pix(pixId: Long, patched: Boolean)(p: Int): Int =
-      ((((pixId * 31 + p) % 256) + (pixId * 2654435761L + p * 40503L) % 127 +
+      ((((pixId + 1) * (p + 7919)) % 65521 % 256 +
         (if (patched && p < 8) 60 else 0)) % 256).toInt
-    val media = Tables.load(s, d, "documents")
+    Tables.load(s, d, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { i =>
@@ -150,9 +159,13 @@ object MultimodalQueries {
           else Iterator(orig)
         }
       }
+  }
+
+  def mediaNearDup(s: SparkSession, d: String): DataFrame = {
+    val maxDist = 3
     // hashes feed both sides of the band self-join; pairs feed the
     // total count and the planted-recall count
-    val hashes = Multimodal.perceptualHashes(media)
+    val hashes = Multimodal.perceptualHashes(nearDupMedia(s, d))
       .localCheckpoint(eager = false)
     val pairs = Multimodal.nearDupByPHash(hashes, maxDist = maxDist)
       .localCheckpoint(eager = false)
@@ -168,16 +181,19 @@ object MultimodalQueries {
         lit(maxDist).as("max_dist"))
   }
 
-  val mediaNearDupOracle: String =
-    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+  /** The hash/pair replay CTEs shared by both image near-dup
+    * oracles: deterministic fabric → block sums → LEAD gradients →
+    * 56-bit hashes → all-pairs distance-≤3 truth (oracle-side
+    * only). */
+  private val nearDupCtes: String =
+    """ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
       |imgs AS (
       |  SELECT id, id AS pix_id, FALSE AS patched FROM ids
       |  UNION ALL
       |  SELECT id + 10000000, id, TRUE FROM ids WHERE id % 10 = 0),
       |bs AS (
       |  SELECT i.id, (g.p // 32) // 4 AS br, (g.p % 32) // 4 AS bc,
-      |    SUM(((i.pix_id * 31 + g.p) % 256
-      |      + (i.pix_id * 2654435761 + g.p * 40503) % 127
+      |    SUM((((i.pix_id + 1) * (g.p + 7919)) % 65521 % 256
       |      + CASE WHEN i.patched AND g.p < 8 THEN 60 ELSE 0 END) % 256) AS s
       |  FROM imgs i, generate_series(0, 1023) AS g(p)
       |  GROUP BY 1, 2, 3),
@@ -193,7 +209,10 @@ object MultimodalQueries {
       |pairs AS (
       |  SELECT a.id AS a, b.id AS b, bit_count(xor(a.h, b.h)) AS dist
       |  FROM hashes a JOIN hashes b ON a.id < b.id
-      |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3)""".stripMargin
+
+  val mediaNearDupOracle: String =
+    s"""WITH $nearDupCtes
       |SELECT (SELECT COUNT(*) FROM imgs) AS n_images,
       |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
       |  (SELECT COALESCE(MAX(dist), -1) FROM pairs) AS max_found_dist,
@@ -201,9 +220,63 @@ object MultimodalQueries {
       |    AS n_planted_found,
       |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist""".stripMargin
 
+  /** The image-dedup end-cap: connected components over the
+    * perceptual-hash pairs, keep the min-id representative per
+    * duplicate group (plus every unpaired image) — the image
+    * counterpart of [[graft.scaleops.Similarity.semDedup]]'s keep
+    * list. The whole keep SET is pinned, not just its size: the
+    * exact sum of kept ids rides as a column (order-free integer
+    * arithmetic), and `twins_all_dropped` witnesses that every
+    * planted twin loses to its lower-id base through whatever
+    * component it lands in. Engine CC is the size-adaptive
+    * [[graft.operators.ConnectedComponents]]; the oracle replays it
+    * as a recursive reach over the replayed pair set. */
+  def mediaNearDupKeep(s: SparkSession, d: String): DataFrame = {
+    val hashes = Multimodal.perceptualHashes(nearDupMedia(s, d))
+      .localCheckpoint(eager = false)
+    val pairs = Multimodal.nearDupByPHash(hashes, maxDist = 3)
+    val comps = graft.operators.ConnectedComponents
+      .components(pairs, "a", "b")
+      .localCheckpoint(eager = false) // feeds dropped count + keep join
+    val dropped = comps.filter(col("comp") =!= col("id"))
+      .select(col("id").as("media_id"))
+    val kept = hashes.select(col("media_id"))
+      .join(dropped, Seq("media_id"), "left_anti")
+      .localCheckpoint(eager = false) // feeds 3 aggregates below
+    hashes.agg(count(lit(1)).as("n_images"))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+        sum(col("media_id")).as("kept_id_sum")))
+      .crossJoin(kept.filter(col("media_id") >= 10000000L)
+        .agg((count(lit(1)) === 0).as("twins_all_dropped")))
+      .select(col("n_images"), col("n_kept"), col("n_dropped"),
+        col("kept_id_sum"), col("twins_all_dropped"))
+  }
+
+  val mediaNearDupKeepOracle: String =
+    s"""WITH RECURSIVE $nearDupCtes,
+      |edges AS (
+      |  SELECT a, b FROM pairs
+      |  UNION ALL SELECT b, a FROM pairs),
+      |reach(id, comp) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.id),
+      |cc AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id),
+      |dropped AS (SELECT id FROM cc WHERE comp <> id),
+      |kept AS (
+      |  SELECT h.id FROM hashes h ANTI JOIN dropped d ON h.id = d.id)
+      |SELECT (SELECT COUNT(*) FROM hashes) AS n_images,
+      |  (SELECT COUNT(*) FROM kept) AS n_kept,
+      |  (SELECT COUNT(*) FROM dropped) AS n_dropped,
+      |  (SELECT CAST(SUM(id) AS BIGINT) FROM kept) AS kept_id_sum,
+      |  (SELECT COUNT(*) FROM kept WHERE id >= 10000000) = 0
+      |    AS twins_all_dropped""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_bytes", mediaBytes, Some(mediaBytesOracle)),
     Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)),
     Q("multimodal_decode", mediaDecode, Some(mediaDecodeOracle)),
-    Q("multimodal_neardup", mediaNearDup, Some(mediaNearDupOracle)))
+    Q("multimodal_neardup", mediaNearDup, Some(mediaNearDupOracle)),
+    Q("multimodal_neardup_keep", mediaNearDupKeep, Some(mediaNearDupKeepOracle)))
 }
