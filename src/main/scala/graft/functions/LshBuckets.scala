@@ -37,6 +37,7 @@ case class LshBucketsExpr(child: Expression, numTables: Int, numPlanes: Int,
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
+  override def prettyName: String = "lsh_buckets"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _)

@@ -28,6 +28,7 @@ case class MarkerCountsExpr(child: Expression, sets: Seq[Seq[String]])
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
+  override def prettyName: String = "marker_counts"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) if sets.nonEmpty =>

@@ -307,6 +307,75 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("knn lsh: ONE fused codegen bucket kernel per side — no " +
+    "interpreted HOF bucket columns, no per-table re-scan") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val p = graft.scaleops.Similarity.knnLshDerived(emb, "vec_id",
+      "embedding", emb.filter(col("vec_id") < 5), k = 3, dim = 64)
+      .queryExecution.executedPlan.toString
+    // both sides bucket through the kernel (corpus single-probe +
+    // query multi-probe), each computed once then posexploded
+    assert(p.contains("lsh_buckets"), s"fused kernel missing:\n$p")
+    // the legacy shape built buckets from interpreted aggregate/
+    // zip_with HOFs — none may remain in the bucket path
+    assert(!p.contains("zip_with"),
+      "interpreted HOF bucket arithmetic resurfaced")
+  }
+
+  test("high-tau pair LSH: SQ8 prescore kills candidates INSIDE the " +
+    "join stage, before the distinct shuffle") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val df = graft.scaleops.Similarity.nearDupPairsLsh(emb, "vec_id",
+      "embedding", threshold = 0.9, dim = 64, numPlanes = 6, numTables = 4)
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val s = root.toString
+    assert(s.contains("sq8intdot") || s.contains("sq8_intdot"),
+      s"prescore kernel missing from the plan:\n$s")
+    // no shuffle may carry the prescore codes OUT of the join stage:
+    // survivors leave as bare id pairs (the codes exist only inside
+    // the bucket join's pipelined rows and the linear bucket shuffle)
+    val shuffles = root.collectWithSubqueries {
+      case e: ShuffleExchangeLike => e.output.map(_.name)
+    }
+    val pairShuffles = shuffles.filter(cols =>
+      cols.exists(_.startsWith("a_id")) && cols.exists(_.startsWith("b_id")))
+    assert(pairShuffles.nonEmpty)
+    pairShuffles.foreach(cols =>
+      assert(!cols.exists(_.contains("code")),
+        s"prescore codes leaked past the join stage: $cols"))
+  }
+
+  test("clean pipeline scoring: the text splits exactly twice per row " +
+    "(raw + lowered) — shared by quality, langid and fingerprint") {
+    import org.apache.spark.sql.functions._
+    // the scored projection BEFORE the checkpoint barrier (the
+    // checkpointed gate plan truncates to a LogicalRDD)
+    val ta = graft.scaleops.TextAnalysis
+    val scored = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        ta.tokens(col("text")).as("_toks"),
+        ta.tokens(lower(col("text"))).as("_toksl"))
+      .withColumn("_mc", ta.markerCounts(col("_toks")))
+      .select(col("doc_id"),
+        ta.qualityScoreCounted(col("_toks"), col("text"),
+          element_at(col("_mc"), 1)).as("quality"),
+        ta.langIdScores(ta.langMarkers.zipWithIndex.map {
+          case ((lang, _), i) => lang -> element_at(col("_mc"), i + 2)
+        }).as("pred_lang"),
+        ta.fingerprintOf(col("_toksl")).as("fp"))
+    val p = scored.queryExecution.executedPlan.toString
+    val splits = "split\\(".r.findAllIn(p).length
+    assert(splits == 2, s"expected exactly 2 regex splits, got $splits:\n$p")
+    assert(p.contains("marker_counts"), "fused marker kernel missing")
+  }
+
   test("rake: per-doc top-k rank filter gets WindowGroupLimit pruning") {
     // unlike source_caps there is no partial/final pair here: the
     // window's input arrives already hash-partitioned on doc_id from
