@@ -76,6 +76,94 @@ object AnalyticsQueries {
        |     (SELECT COUNT(*) AS nc FROM c),
        |     (SELECT COUNT(*) AS np FROM p)""".stripMargin
 
+  /** Conversion-WINDOW funnel — [[funnelSteps]] with the real product
+    * constraint attached: a stage counts only if reached within Δt of
+    * the PREVIOUS stage entry (view → click ≤ 24 h → purchase ≤
+    * 72 h). Same three-keyed-aggregation shape (never a window over
+    * the raw stream); the per-stage deadline is pure integer-µs
+    * arithmetic, and median time-to-convert per stage is reported in
+    * whole seconds (exact integer division) for the latency view a
+    * funnel dashboard shows next to the rates. */
+  def funnelWindowed(s: SparkSession, d: String): DataFrame = {
+    val clickUs = 24L * 3600 * 1000000
+    val purchaseUs = 72L * 3600 * 1000000
+    val ev = t(s, d, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+      .localCheckpoint(false)
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + lit(clickUs))
+      .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+      .localCheckpoint(false)
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t2") + lit(purchaseUs))
+      .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+    // median delay = exact lower-median order statistic, computed on
+    // the GROUPED delay histogram (one shuffle collapses converted
+    // users to distinct whole-second delays; the cumulative window
+    // then runs over that small frame — never a rank over raw rows)
+    def medianSec(df: DataFrame, from: String, to: String): DataFrame = {
+      val d = df.select(expr(s"($to - $from) div 1000000").as("dsec"))
+        .groupBy("dsec").agg(count(lit(1)).as("cnt"))
+      d.withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("dsec"))))
+        .crossJoin(broadcast(d.agg(sum(col("cnt")).as("n"))))
+        .filter(col("cum") >= expr("(n - 1) div 2 + 1"))
+        .agg(min(col("dsec")).as("dsec"))
+    }
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_72h")))
+      .crossJoin(medianSec(c, "t1", "t2")
+        .select(col("dsec").as("med_click_sec")))
+      .crossJoin(medianSec(p, "t2", "t3")
+        .select(col("dsec").as("med_purchase_sec")))
+      .select(col("n_view"), col("n_click_24h"), col("n_purchase_72h"),
+        r6(col("n_click_24h").cast("double") / col("n_view"))
+          .as("view_to_click"),
+        r6(col("n_purchase_72h").cast("double") / col("n_click_24h"))
+          .as("click_to_purchase"),
+        col("med_click_sec"), col("med_purchase_sec"))
+  }
+
+  val funnelWindowedOracle: String =
+    s"""WITH e AS (
+       |  SELECT user_id, $usExpr AS us, event_type FROM events),
+       |v AS (SELECT user_id, MIN(us) AS t1 FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, MIN(us) AS t2, MIN(t1) AS t1
+       |      FROM e JOIN v USING (user_id)
+       |      WHERE event_type = 'click' AND us > t1
+       |        AND us <= t1 + 86400000000 GROUP BY 1),
+       |p AS (SELECT e.user_id, MIN(us) AS t3, MIN(t2) AS t2
+       |      FROM e JOIN c USING (user_id)
+       |      WHERE event_type = 'purchase' AND us > t2
+       |        AND us <= t2 + 259200000000 GROUP BY 1),
+       |mc AS (
+       |  SELECT MIN(dsec) AS med FROM (
+       |    SELECT dsec, SUM(cnt) OVER (ORDER BY dsec) AS cum,
+       |      SUM(cnt) OVER () AS n
+       |    FROM (SELECT (t2 - t1) // 1000000 AS dsec, COUNT(*) AS cnt
+       |          FROM c GROUP BY 1))
+       |  WHERE cum >= (n - 1) // 2 + 1),
+       |mp AS (
+       |  SELECT MIN(dsec) AS med FROM (
+       |    SELECT dsec, SUM(cnt) OVER (ORDER BY dsec) AS cum,
+       |      SUM(cnt) OVER () AS n
+       |    FROM (SELECT (t3 - t2) // 1000000 AS dsec, COUNT(*) AS cnt
+       |          FROM p GROUP BY 1))
+       |  WHERE cum >= (n - 1) // 2 + 1)
+       |SELECT nv AS n_view, nc AS n_click_24h, np AS n_purchase_72h,
+       |  ROUND(CAST(nc AS DOUBLE) / nv, 6) AS view_to_click,
+       |  ROUND(CAST(np AS DOUBLE) / nc, 6) AS click_to_purchase,
+       |  (SELECT med FROM mc) AS med_click_sec,
+       |  (SELECT med FROM mp) AS med_purchase_sec
+       |FROM (SELECT COUNT(*) AS nv FROM v),
+       |     (SELECT COUNT(*) AS nc FROM c),
+       |     (SELECT COUNT(*) AS np FROM p)""".stripMargin
+
   // ---- retention cohorts ------------------------------------------------
   /** Weekly retention triangle — the reporting rollup of
     * `events_retention`'s day-offset matrix (weeks are what a 100 TB
@@ -795,6 +883,7 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(
     Q("events_funnel_steps", funnelSteps, Some(funnelOracle)),
+    Q("events_funnel_windowed", funnelWindowed, Some(funnelWindowedOracle)),
     Q("events_retention_cohorts", retentionCohorts, Some(retentionOracle)),
     Q("ml_ks_test", ksTest, Some(ksOracle)),
     Q("ml_chi2_independence", chi2Independence, Some(chi2Oracle)),
