@@ -101,6 +101,7 @@ object AnalyticsQueries {
       .join(c, "user_id")
       .filter(col("us") > col("t2") && col("us") <= col("t2") + lit(purchaseUs))
       .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+      .localCheckpoint(false) // feeds its count + both medianSec branches
     // median delay = exact lower-median order statistic, computed on
     // the GROUPED delay histogram (one shuffle collapses converted
     // users to distinct whole-second delays; the cumulative window
@@ -528,6 +529,7 @@ object AnalyticsQueries {
         when(col("l_extendedprice") > col("mu"), 1L).otherwise(0L).as("y"))
     val g = scored.groupBy("phat6")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      .localCheckpoint(false) // feeds the cumulative window + totals
     val w = Window.orderBy(col("phat6").desc) // ~50 aggregate rows
     g.select(col("phat6"),
         sum(col("n")).over(w).as("cum_n"),

@@ -1,9 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.scaleops.{Dedup, Similarity, TextAnalysis}
 import graft.sources.Tables
 
 /** Shared table-loading plumbing for the ScaleQueries trait family
@@ -25,6 +23,4 @@ private[queries] trait ScaleBase {
   protected def tw(s: SparkSession, d: String, n: String,
                  key: String): DataFrame =
     t(s, d, n).repartition(col(key))
-
-  // ---- text analysis ---------------------------------------------------
 }

@@ -9,9 +9,13 @@ import graft.sources.Tables
 /** Embedding-dedup + centroid/silhouette gate queries (the
   * dedup_embedding_* family, SemDeDup, emb_centroids,
   * emb_silhouette) with their sampled-twin and sizing-replay SQL
-  * builders. Split from ScaleQueries.scala (r10), zero behavior
-  * change. Extends [[ScaleAnnQueries]] for the shared IVF index
-  * memo (SemDeDup reuses the KMeans build). */
+  * builders. Split from ScaleQueries.scala (r10). The move itself is
+  * mechanical, but two r10 fixes landed in this code the same round:
+  * emb_centroids/emb_silhouette centroids floor-quantize (the r9
+  * ADVICE ROUND-call closure — values at rounding boundaries differ
+  * from r9) and dedup_embedding_planted runs targetBucket=2 with a
+  * pinned pipeline. Extends [[ScaleAnnQueries]] for the shared IVF
+  * index memo (SemDeDup reuses the KMeans build). */
 private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
   private def embSample(emb: DataFrame, n: Long): (DataFrame, Long) = {
     val permille = math.min(1000L, 1000000L / math.max(1L, n))

@@ -730,7 +730,9 @@ object TrainingDataQueries {
     val perType = ev.groupBy("user_id", "event_type")
       .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
       .localCheckpoint(eager = false) // both sides of its own self-join
-    val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
+    // the distinct-user total comes off the (tiny, pinned) per-type
+    // frame — same user set, no second corpus scan
+    val total = perType.agg(countDistinct(col("user_id")).as("n_total"))
     perType.select(col("user_id"), col("event_type").as("a_type"),
         col("first_us"))
       .join(perType.select(col("user_id"), col("event_type").as("b_type"),

@@ -109,16 +109,25 @@ object Similarity {
     * through [[nearDupPairsLshDerived]]; the raw knobs stay reachable
     * for the in-package recall probes and the derived wrapper. */
   /** High-τ regimes carry an SQ8 int-dot PRESCORE through the bucket
-    * self-join: int8 cosine error at 64 dims is ~0.01, so a cutoff
-    * `threshold − 0.05` provably keeps every true pair while killing
-    * ~all of the candidate stream inside the join stage (the r9 shape
-    * re-joined millions of bare id pairs through two corpus joins and
-    * exact-scored all of them — most of dedup_embedding_planted's sf1
-    * cost). Below this τ the 0.05 margin is a larger fraction of the
-    * score scale and candidates aren't prescore-killable anyway (the
-    * τ≤0.5 regime routes to brute per the measured router law). */
+    * self-join, killing ~all of the candidate stream inside the join
+    * stage (the r9 shape re-joined millions of bare id pairs through
+    * two corpus joins and exact-scored all of them — most of
+    * dedup_embedding_planted's sf1 cost).
+    *
+    * Margin soundness (worst case, not typical): per-vector max-abs
+    * quantization gives component error ≤ s/2 with s = max|v|/127, so
+    * the relative L2 error is ≤ √d/254 ≈ 0.0315 at d = 64 (equality
+    * needs a one-hot-shaped vector) and the pair's cosine error is
+    * bounded by the sum over both sides ≈ 0.063. The margin is 0.10 —
+    * above the WORST-case bound, so the prescore can never kill a
+    * true ≥ τ pair for any input (typical gaussian-ish vectors sit
+    * near 0.01). At τ ≥ 0.7 the cutoff τ−0.10 ≥ 0.60 still rejects
+    * essentially every non-pair (random 64-dim cosines are
+    * ~N(0, 1/√64)); below that τ the margin eats the score scale and
+    * the τ≤0.5 regime routes to brute anyway per the measured router
+    * law. */
   private[graft] val lshPrescoreMinThreshold = 0.7
-  private[graft] val lshPrescoreMargin = 0.05
+  private[graft] val lshPrescoreMargin = 0.10
 
   private[graft] def nearDupPairsLsh(
       emb: DataFrame, idCol: String, vecCol: String,
