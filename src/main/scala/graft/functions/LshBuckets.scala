@@ -30,7 +30,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * powers of two summed, i.e. the same integer.
   */
 case class LshBucketsExpr(child: Expression, numTables: Int, numPlanes: Int,
-                          planes: Seq[Double])
+                          dim: Int, planes: Seq[Double])
     extends UnaryExpression {
 
   @transient private lazy val planesArr: Array[Double] = planes.toArray
@@ -39,16 +39,22 @@ case class LshBucketsExpr(child: Expression, numTables: Int, numPlanes: Int,
   override def nullable: Boolean = true
   override def prettyName: String = "lsh_buckets"
 
+  // the plane matrix must match tables×planes×dim EXACTLY: a matrix
+  // built for the wrong dim would pass a multiple-of check and then
+  // null-bucket every row at eval (the whole corpus silently dropping
+  // out of every table). The runtime null stays reserved for
+  // genuinely ragged/corrupt rows.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _)
         if numTables >= 1 && numPlanes >= 1 && numPlanes <= 50 &&
-          planes.length % (numTables * numPlanes) == 0 &&
-          planes.nonEmpty =>
+          dim >= 1 && planes.length == numTables * numPlanes * dim =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
       s"lsh_buckets needs array<double> and a tables×planes×dim plane " +
-        s"matrix (planes in [1,50]); got ${child.dataType.simpleString}, " +
-        s"tables=$numTables, planes=$numPlanes, matrix=${planes.length}")
+        s"matrix (planes in [1,50], matrix length exactly " +
+        s"tables*planes*dim); got ${child.dataType.simpleString}, " +
+        s"tables=$numTables, planes=$numPlanes, dim=$dim, " +
+        s"matrix=${planes.length}")
   }
 
   override def nullSafeEval(v: Any): Any = {
@@ -140,6 +146,6 @@ object Lsh {
   def buckets(vec: Column, numTables: Int, numPlanes: Int, dim: Int,
               seed: Long = 42L): Column =
     GraftBridge.column(LshBucketsExpr(GraftBridge.expression(vec),
-      numTables, numPlanes,
+      numTables, numPlanes, dim,
       planesFor(numTables, numPlanes, dim, seed).toIndexedSeq))
 }

@@ -116,18 +116,25 @@ object Similarity {
     *
     * Margin soundness (worst case, not typical): per-vector max-abs
     * quantization gives component error ≤ s/2 with s = max|v|/127, so
-    * the relative L2 error is ≤ √d/254 ≈ 0.0315 at d = 64 (equality
-    * needs a one-hot-shaped vector) and the pair's cosine error is
-    * bounded by the sum over both sides ≈ 0.063. The margin is 0.10 —
-    * above the WORST-case bound, so the prescore can never kill a
-    * true ≥ τ pair for any input (typical gaussian-ish vectors sit
-    * near 0.01). At τ ≥ 0.7 the cutoff τ−0.10 ≥ 0.60 still rejects
+    * the relative L2 error is ≤ √d/254 (equality needs a
+    * one-hot-shaped vector). An L2 perturbation of relative size e
+    * rotates the vector by at most asin(e), so a pair's quantized
+    * cosine differs from the exact one by at most
+    * 2·asin(min(1, √d/254)) — ≈ 0.063 at d = 64, but GROWING with
+    * dimension (≈ 0.10 at d = 160, 0.22 at d = 768). The margin is
+    * therefore DERIVED from dim (bound + 0.005 IEEE slack), so the
+    * prescore can never kill a true ≥ τ pair for any input at any
+    * dimension (typical gaussian-ish vectors sit near 0.01). At
+    * d = 64, τ ≥ 0.7 the cutoff τ−0.068 ≥ 0.63 still rejects
     * essentially every non-pair (random 64-dim cosines are
-    * ~N(0, 1/√64)); below that τ the margin eats the score scale and
-    * the τ≤0.5 regime routes to brute anyway per the measured router
-    * law. */
+    * ~N(0, 1/√64)). When the worst-case bound eats the score scale
+    * (cutoff τ−margin below [[lshPrescoreMinCutoff]], i.e. very high
+    * dim), the prescore is SKIPPED — it is a pruning optimization,
+    * and skipping is always sound. */
   private[graft] val lshPrescoreMinThreshold = 0.7
-  private[graft] val lshPrescoreMargin = 0.10
+  private[graft] val lshPrescoreMinCutoff = 0.5
+  private[graft] def lshPrescoreMargin(dim: Int): Double =
+    2.0 * math.asin(math.min(1.0, math.sqrt(dim.toDouble) / 254.0)) + 0.005
 
   private[graft] def nearDupPairsLsh(
       emb: DataFrame, idCol: String, vecCol: String,
@@ -151,7 +158,9 @@ object Similarity {
     // ([[graft.functions.Lsh]] — bit-identical to the legacy
     // per-table interpreted HOF columns, whose union re-scanned the
     // checkpointed base numTables times)
-    val prescore = threshold >= lshPrescoreMinThreshold
+    val margin = lshPrescoreMargin(dim)
+    val prescore = threshold >= lshPrescoreMinThreshold &&
+      threshold - margin >= lshPrescoreMinCutoff
     val codeCols =
       if (prescore) Seq(Sq8.encodeMaxAbs(col("av")).as("acode")) else Seq.empty
     val bucketedAll = base.select((col("a_id") +: codeCols) :+ posexplode(
@@ -174,7 +183,7 @@ object Similarity {
           .filter(Sq8.intDot(col("acode"), col("bcode")).cast("double") /
             (sqrt(Sq8.intDot(col("acode"), col("acode")).cast("double")) *
               sqrt(Sq8.intDot(col("bcode"), col("bcode")).cast("double"))) >=
-            threshold - lshPrescoreMargin)
+            threshold - margin)
       } else {
         bucketed
           .join(bucketed.select(col("table"), col("bucket"),

@@ -688,6 +688,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lsh prescore margin: dim-derived, above the worst-case SQ8 " +
+    "cosine bound at every dim; prescore skipped when the bound eats " +
+    "the scale") {
+    // worst-case pair cosine error: 2*asin(min(1, sqrt(d)/254))
+    for (d <- Seq(8, 64, 160, 256, 768, 4096)) {
+      val bound = 2.0 * math.asin(math.min(1.0, math.sqrt(d.toDouble) / 254.0))
+      assert(Similarity.lshPrescoreMargin(d) > bound,
+        s"margin at d=$d not above the worst-case bound")
+    }
+    // d=64 stays a usable prune (cutoff 0.9-0.068 ≈ 0.83)
+    assert(Similarity.lshPrescoreMargin(64) < 0.07)
+    // d=768 bound ≈ 0.22: at τ=0.7 the cutoff 0.7-0.22 < minCutoff
+    // 0.5 ⇒ the prescore branch must be skipped (sound either way —
+    // pruning is an optimization)
+    assert(0.7 - Similarity.lshPrescoreMargin(768) <
+      Similarity.lshPrescoreMinCutoff)
+    // ...and skipping is observably sound: high-dim near-dup still
+    // finds a planted pair through the no-prescore branch
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(300)(rnd.nextGaussian())
+    val twin = base.map(x => x + rnd.nextGaussian() * 0.01)
+    val rows = Seq(1L -> base, 2L -> twin) ++
+      (3L to 30L).map(i => i -> Array.fill(300)(rnd.nextGaussian()))
+    val df = rows.toDF("vec_id", "v")
+    val pairs = Similarity.nearDupPairsLsh(df, "vec_id", "v",
+      threshold = 0.9, dim = 300, numPlanes = 4, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("LshBucketsExpr rejects a plane matrix whose length is a " +
+    "multiple of tables*planes but built for the wrong dim") {
+    import graft.functions.{Lsh, LshBucketsExpr}
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq((1L, Array.fill(16)(0.5))).toDF("vec_id", "v")
+    // matrix for dim=32 against dim=16 vectors: 2x multiple — the old
+    // check passed this and every row silently null-bucketed
+    val wrong = GraftBridge.column(LshBucketsExpr(
+      GraftBridge.expression(col("v")), 5, 7, 16,
+      Lsh.planesFor(5, 7, 32).toIndexedSeq))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(wrong).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("lsh_buckets"))
+    // the correctly-sized matrix still evaluates
+    assert(df.select(Lsh.buckets(col("v"), 5, 7, dim = 16))
+      .collect().head.getSeq[Long](0).size == 5)
+  }
+
   test("lshProbeMasks: all distinct masks within the Hamming radius, " +
     "weight-ascending") {
     val m1 = Similarity.lshProbeMasks(6, 1)
