@@ -195,6 +195,24 @@ object TrainingData {
     * (associative ⇒ exact under any partitioning, replayable in SQL). */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
                          lambda: Double = 0.9): DataFrame = {
+    // DICTIONARY-ENCODED shuffle keys: the surprisal is a pure
+    // function of the counts (c12, c1, cu, N), so any key encoding
+    // that is injective on the observed vocab yields bit-identical
+    // output to string keys. Both corpus-sized exchanges (the
+    // distinct-bigram aggregate and the position-stream score join)
+    // therefore carry 8-byte xxhash64 tokens — strings die in the
+    // map-side projection right after the explode, and the SMJ sorts
+    // compare longs, not UTF-8 bytes. The r10 string-keyed form spent
+    // most of the sf1 soak's 10.4 s sorting/shipping string pairs.
+    //
+    // Collision budget: a 64-bit collision between two DISTINCT
+    // observed tokens would merge their counts (bigram pairs hash as
+    // TWO longs, so only token-level collisions matter). Expected
+    // collisions ≈ V²/2^65 — ~5·10^-9 at a 1M-token vocab, ~0.5 at
+    // the ~4·10^9 vocab a 100 TB web corpus might reach, and a
+    // collision perturbs only the two merged tokens' surprisals. The
+    // string-keyed twin stays as [[bigramCrossEntropyStringKeyed]];
+    // TrainingDataSpec pins hashed ≡ string on real corpus data.
     import org.apache.spark.sql.types.DecimalType
     // NO corpus-sized pinning here: tokenize is a codegen'd regex
     // split, so re-deriving the token stream per consumer is cheaper
@@ -204,21 +222,22 @@ object TrainingData {
     // for cheap pure maps). The derivation wins below are free.
     val base = docs.select(col(idCol),
       TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    // bigram generation is a fused codegen kernel, NOT the
+    // transform/sequence/element_at HOF chain (CodegenFallback —
+    // interpreted with per-element boxing, and this stream derives
+    // twice); each token hashes once inside the kernel
     val bigrams = base
-      .select(col(idCol), explode(when(size(col("toks")) >= 2,
-        transform(sequence(lit(1), size(col("toks")) - 1), i =>
-          struct(element_at(col("toks"), i).as("w1"),
-            element_at(col("toks"), i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
-        .as("bg"))
-      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val cBigram = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .select(col(idCol),
+        explode(graft.functions.BigramHash.pairs(col("toks"))).as("bg"))
+      .select(col(idCol), col("bg.h1").as("h1"), col("bg.h2").as("h2"))
+    val cBigram = bigrams.groupBy("h1", "h2").agg(count(lit(1)).as("c12"))
     // c1 is the w2-marginal of c12 — aggregate the small distinct-
     // bigram table instead of shuffling the position stream a second
-    // time (saves one corpus-sized string-keyed shuffle)
-    val cContext = cBigram.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val cUni = base.select(explode(col("toks")).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("cu"))
+    // time (saves one corpus-sized shuffle)
+    val cContext = cBigram.groupBy("h1").agg(sum(col("c12")).as("c1"))
+    val cUni = base.select(explode(
+        graft.functions.BigramHash.tokenHashes(col("toks"))).as("h2"))
+      .groupBy("h2").agg(count(lit(1)).as("cu"))
     // total tokens = Σ cu — a one-row aggregate of the vocab table
     // instead of a second unigram corpus pass
     val total = cUni.agg(sum(col("cu")).as("n_total"))
@@ -232,6 +251,47 @@ object TrainingData {
     // position stream — the r9 first cut shuffled every position
     // through THREE sequential string-keyed joins (c12, c1, cu),
     // tripling the corpus-stream shuffle volume for identical output
+    val scored = cBigram
+      .join(cContext, Seq("h1"))
+      .join(cUni, Seq("h2"))
+      .crossJoin(broadcast(total))
+      .select(col("h1"), col("h2"), surprisal.as("surp"))
+    bigrams
+      .join(scored, Seq("h1", "h2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surp")).as("bits"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("bits").cast("double") / col("n_bigrams"), 6)
+          .as("bits_per_bigram"))
+  }
+
+  /** String-keyed twin of [[bigramCrossEntropy]] — the definitional
+    * form (every shuffle keyed by the literal tokens). Kept ONLY as
+    * the equality witness for the hashed production path; identical
+    * arithmetic term-for-term. */
+  private[graft] def bigramCrossEntropyStringKeyed(
+      docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.9): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs.select(col(idCol),
+      TextAnalysis.tokens(lower(col(textCol))).as("toks"))
+    val bigrams = base
+      .select(col(idCol), explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1), i =>
+          struct(element_at(col("toks"), i).as("w1"),
+            element_at(col("toks"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cBigram = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cContext = cBigram.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val cUni = base.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cu"))
+    val total = cUni.agg(sum(col("cu")).as("n_total"))
+    val prob =
+      lit(lambda) * col("c12").cast("double") / col("c1") +
+        lit(1.0 - lambda) * col("cu").cast("double") / col("n_total")
+    val surprisal = round(-log2(prob), 9).cast(DecimalType(18, 9))
     val scored = cBigram
       .join(cContext, Seq("w1"))
       .join(cUni.withColumnRenamed("term", "w2"), Seq("w2"))

@@ -255,6 +255,64 @@ class TrainingDataSpec extends SparkSpec {
     assert(got(1L)._2 < 2.0)
   }
 
+  test("BigramHash kernels match Spark's xxhash64 arithmetic exactly " +
+    "(pairs and token hashes, unicode included; n<2 folds to empty)") {
+    import graft.functions.BigramHash
+    val df = Seq(
+      (1L, Seq("the", "quick", "brown", "fox")),
+      (2L, Seq("héllo", "wörld", "héllo")),
+      (3L, Seq("single")),
+      (4L, Seq.empty[String])).toDF("id", "toks")
+    // pairs kernel vs per-element xxhash64 over the same positions
+    val kernelPairs = df.select(col("id"),
+      explode(BigramHash.pairs(col("toks"))).as("bg"))
+      .select(col("id"), col("bg.h1"), col("bg.h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hofPairs = df.filter(size(col("toks")) >= 2)
+      .select(col("id"), col("toks"), posexplode(expr(
+        "slice(toks, 1, size(toks) - 1)")))
+      .select(col("id"), xxhash64(col("col")).as("h1"),
+        xxhash64(expr("toks[pos + 1]")).as("h2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kernelPairs == hofPairs && kernelPairs.nonEmpty)
+    // docs with <2 tokens emit zero pair rows
+    assert(!kernelPairs.exists(p => p._1 == 3L || p._1 == 4L))
+    // token-hash kernel vs scalar xxhash64
+    val kernelToks = df.select(col("id"), explode(
+      BigramHash.tokenHashes(col("toks"))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scalarToks = df.select(col("id"), explode(col("toks")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kernelToks == scalarToks && kernelToks.nonEmpty)
+  }
+
+  test("bigram cross-entropy: hashed shuffle keys are bit-identical " +
+    "to the string-keyed definitional form on real corpus text") {
+    // the production path dictionary-encodes both corpus exchanges
+    // with xxhash64; output equality holds whenever the hash is
+    // injective on the observed vocab — witnessed here on the real
+    // sf0.001 documents table (natural-text vocab, not toy tokens)
+    val docs = graft.sources.Tables.load(spark,
+      "/root/testdata/sf0.001", "documents")
+    val hashed = TrainingData.bigramCrossEntropy(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val stringKeyed = TrainingData
+      .bigramCrossEntropyStringKeyed(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(hashed.nonEmpty && hashed.sameElements(stringKeyed))
+    // and the injectivity premise itself: distinct hashes == distinct
+    // tokens on this corpus
+    val toks = docs.select(explode(
+      graft.scaleops.TextAnalysis.tokens(lower(col("text")))).as("t"))
+    val counts = toks
+      .agg(countDistinct(col("t")), countDistinct(xxhash64(col("t"))))
+      .collect().head
+    assert(counts.getLong(0) == counts.getLong(1))
+  }
+
   test("shuffle shards: a dense, repartition-stable permutation") {
     import spark.implicits._
     val docs = (0L until 100L).toDF("doc_id")
