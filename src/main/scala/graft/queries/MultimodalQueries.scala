@@ -273,10 +273,104 @@ object MultimodalQueries {
       |  (SELECT COUNT(*) FROM kept WHERE id >= 10000000) = 0
       |    AS twins_all_dropped""".stripMargin
 
+  /** The deterministic audio corpus for the audio near-dup row: one
+    * 912-sample (57 frames × 16) 8-bit mono PCM WAV per doc — the
+    * same multiplicative-mix fabric as the image corpus so no two ids
+    * below 65521 share a wrap pattern — plus an ONSET-PERTURBED twin
+    * for every 10th id (deterministic sample edit confined to the
+    * first two frames, t < 32: a click/fade-style local edit). A
+    * local edit in frames 0–1 can flip only the two adjacent contour
+    * gradients (bits 0 and 1), so every twin sits within Hamming
+    * distance 2 ≤ maxDist BY CONSTRUCTION — the planted-recall
+    * witness is a guarantee, not a tuning. */
+  private def nearDupAudio(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val N = 912 // 57 frames × 16 samples
+    def samp(sampId: Long, patched: Boolean)(t: Int): Int =
+      ((((sampId + 1) * (t + 7919)) % 65521 % 256 +
+        (if (patched && t < 32) 60 else 0)) % 256).toInt
+    Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { i =>
+          val orig = Multimodal.MediaRow(i, "audio",
+            Multimodal.makeWav8(N, samp(i, patched = false)))
+          if (i % 10 == 0)
+            Iterator(orig, Multimodal.MediaRow(i + 10000000L, "audio",
+              Multimodal.makeWav8(N, samp(i, patched = true))))
+          else Iterator(orig)
+        }
+      }
+  }
+
+  /** Audio near-duplicate detection — the audio-modality counterpart
+    * of [[mediaNearDup]] (the r10 verdict's symmetric gap): REAL WAV
+    * chunk-walk decode → per-frame |s−128| loudness → 56-bit
+    * energy-contour fingerprint ([[Multimodal.audioFingerprint56]])
+    * → the SAME Hamming-band LSH operator with the pigeonhole
+    * exactness guarantee (4 bands of 14 bits, bands = maxDist+1 ⇒
+    * banding loses nothing; the engine's pair set is the exact
+    * distance-≤3 set). The oracle replays fingerprints from the
+    * sample formula (frame sums + LEAD gradients) and truth via the
+    * all-pairs bit_count — oracle-side only; the engine never goes
+    * all-pairs. */
+  def mediaAudioNearDup(s: SparkSession, d: String): DataFrame = {
+    val maxDist = 3
+    val hashes = Multimodal.audioFingerprints(nearDupAudio(s, d))
+      .localCheckpoint(eager = false)
+    val pairs = Multimodal.nearDupByPHash(hashes, maxDist = maxDist)
+      .localCheckpoint(eager = false)
+    val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    hashes.agg(count(lit(1)).as("n_clips"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(max(col("dist")), lit(-1)).as("max_found_dist")))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted_found")))
+      .select(col("n_clips"), col("n_pairs"), col("max_found_dist"),
+        col("n_planted_found"),
+        lit(maxDist + 1).as("n_bands"),
+        lit(56 / (maxDist + 1)).as("band_bits"),
+        lit(maxDist).as("max_dist"))
+  }
+
+  val mediaAudioNearDupOracle: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |auds AS (
+      |  SELECT id, id AS samp_id, FALSE AS patched FROM ids
+      |  UNION ALL
+      |  SELECT id + 10000000, id, TRUE FROM ids WHERE id % 10 = 0),
+      |fe AS (
+      |  SELECT a.id, g.t // 16 AS f,
+      |    SUM(ABS((((a.samp_id + 1) * (g.t + 7919)) % 65521 % 256
+      |      + CASE WHEN a.patched AND g.t < 32 THEN 60 ELSE 0 END) % 256
+      |      - 128)) AS e
+      |  FROM auds a, generate_series(0, 911) AS g(t)
+      |  GROUP BY 1, 2),
+      |grad AS (
+      |  SELECT id, f, e, LEAD(e) OVER (PARTITION BY id ORDER BY f) AS e_next
+      |  FROM fe),
+      |hashes AS (
+      |  SELECT id, CAST(SUM(CASE WHEN e_next > e
+      |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
+      |      ELSE 0 END) AS BIGINT) AS h
+      |  FROM grad WHERE f < 56 GROUP BY id),
+      |pairs AS (
+      |  SELECT a.id AS a, b.id AS b, bit_count(xor(a.h, b.h)) AS dist
+      |  FROM hashes a JOIN hashes b ON a.id < b.id
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3)
+      |SELECT (SELECT COUNT(*) FROM auds) AS n_clips,
+      |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
+      |  (SELECT COALESCE(MAX(dist), -1) FROM pairs) AS max_found_dist,
+      |  (SELECT COUNT(*) FROM pairs WHERE b = a + 10000000)
+      |    AS n_planted_found,
+      |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_bytes", mediaBytes, Some(mediaBytesOracle)),
     Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)),
     Q("multimodal_decode", mediaDecode, Some(mediaDecodeOracle)),
     Q("multimodal_neardup", mediaNearDup, Some(mediaNearDupOracle)),
-    Q("multimodal_neardup_keep", mediaNearDupKeep, Some(mediaNearDupKeepOracle)))
+    Q("multimodal_neardup_keep", mediaNearDupKeep, Some(mediaNearDupKeepOracle)),
+    Q("multimodal_audio_neardup", mediaAudioNearDup,
+      Some(mediaAudioNearDupOracle)))
 }

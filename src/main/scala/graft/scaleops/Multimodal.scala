@@ -378,6 +378,131 @@ object Multimodal {
       .distinct()
   }
 
+  // ---- audio near-dup (energy-contour fingerprint) -----------------------
+
+  /** Locate the raw sample bytes of an 8-bit MONO PCM WAV — the
+    * REAL RIFF chunk walk (same traversal as [[parseWav]], but
+    * returning the data-chunk offset and validating the sample
+    * format). Returns (dataOff, nSamples); None for any other
+    * format/bit depth (compressed audio stays behind the documented
+    * codec stub). */
+  private[graft] def wavPcm8Mono(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p.length < 44) return None
+    if (!(p.startsWith("RIFF".getBytes) &&
+        new String(p.slice(8, 12)) == "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (i + 8 <= p.length) {
+      val id = new String(p.slice(i, i + 4))
+      val size = le32(p, i + 4).toInt
+      if (id == "fmt " && i + 24 <= p.length) {
+        val audioFormat = le16(p, i + 8)
+        val channels = le16(p, i + 10)
+        val bits = le16(p, i + 22)
+        fmtOk = audioFormat == 1 && channels == 1 && bits == 8
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size + (size & 1)
+    }
+    if (!fmtOk || dataOff < 0 || dataOff + dataLen > p.length ||
+      dataLen <= 0) None
+    else Some((dataOff, dataLen))
+  }
+
+  /** Per-frame loudness of an 8-bit mono PCM WAV: the samples split
+    * into `frames` even spans (frame f covers sample indices
+    * [f·n/frames, (f+1)·n/frames)) and each frame sums |s − 128| —
+    * exact integer arithmetic end to end, so every downstream
+    * comparison is replayable in SQL. */
+  private[graft] def wavFrameEnergies(p: Array[Byte], frames: Int = 57)
+      : Option[Array[Long]] =
+    wavPcm8Mono(p).flatMap { case (off, n) =>
+      if (n < frames) None
+      else {
+        val e = new Array[Long](frames)
+        var f = 0
+        while (f < frames) {
+          val start = (n.toLong * f / frames).toInt
+          val end = (n.toLong * (f + 1) / frames).toInt
+          var t = start
+          while (t < end) {
+            e(f) += math.abs((p(off + t) & 0xFF) - 128)
+            t += 1
+          }
+          f += 1
+        }
+        Some(e)
+      }
+    }
+
+  /** 56-bit audio fingerprint — the ENERGY-CONTOUR hash, the audio
+    * counterpart of [[dHash56]]: 57 frame loudnesses give 56 temporal
+    * gradients, bit f set iff e(f+1) > e(f). Exact integer
+    * comparisons; 56 bits keeps all band arithmetic inside a
+    * non-negative BIGINT in both engines, and reuses
+    * [[nearDupByPHash]]'s Hamming-band machinery (and its pigeonhole
+    * exactness guarantee) unchanged. Invariance properties a contour
+    * hash buys: per-clip gain that doesn't clip preserves every
+    * gradient sign (energy ordering is scale-invariant), and a
+    * localized edit (fade-in, click, onset patch) touches only the
+    * gradients adjacent to the edited frames. */
+  private[graft] def audioFingerprint56(p: Array[Byte]): Option[Long] =
+    wavFrameEnergies(p).map { e =>
+      var hash = 0L
+      var f = 0
+      while (f < 56) {
+        if (e(f + 1) > e(f)) hash |= 1L << f
+        f += 1
+      }
+      hash
+    }
+
+  /** Energy-contour fingerprints of every decodable 8-bit mono PCM
+    * clip — (media_id, phash), column-compatible with
+    * [[nearDupByPHash]] so the audio near-dup pass IS the image
+    * near-dup operator over a different fingerprint. */
+  def audioFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => audioFingerprint56(m.payload).map(h => (m.media_id, h)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Deterministic 8-bit mono PCM WAV with REAL layout — RIFF/WAVE
+    * header, fmt chunk (format 1, 1 channel, 8 kHz, 8-bit), data
+    * chunk; sample t = `sample(t)` (values 0..255). A decoder that
+    * mis-walks the chunk list or misreads the data offset shifts
+    * every frame energy and fails the oracle. */
+  private[graft] def makeWav8(nSamples: Int, sample: Int => Int)
+      : Array[Byte] = {
+    val out = new Array[Byte](44 + nSamples)
+    def putLe32(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+      out(i + 2) = ((v >> 16) & 0xFF).toByte; out(i + 3) = ((v >> 24) & 0xFF).toByte
+    }
+    def putLe16(i: Int, v: Int): Unit = {
+      out(i) = (v & 0xFF).toByte; out(i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    def putAscii(i: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach { case (b, j) => out(i + j) = b }
+    putAscii(0, "RIFF"); putLe32(4, 36 + nSamples); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16)
+    putLe16(20, 1) // PCM
+    putLe16(22, 1) // mono
+    putLe32(24, 8000) // sample rate
+    putLe32(28, 8000) // byte rate (rate·channels·bytes/sample)
+    putLe16(32, 1) // block align
+    putLe16(34, 8) // bits per sample
+    putAscii(36, "data"); putLe32(40, nSamples)
+    var t = 0
+    while (t < nSamples) { out(44 + t) = sample(t).toByte; t += 1 }
+    out
+  }
+
   /** Deterministic binary PGM (P5): pixel (x,y) = (id·31 + y·w + x)
     * mod 256 — the fabric the decode-certification query rebuilds
     * arithmetically in SQL. */

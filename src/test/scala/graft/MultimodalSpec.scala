@@ -245,4 +245,68 @@ class MultimodalSpec extends SparkSpec {
       .map(i => (i, i + 1000L)).toSet
     assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
   }
+
+  test("makeWav8 round-trips through the real chunk walk; frame " +
+    "energies are the exact |s-128| sums") {
+    val wav = Multimodal.makeWav8(912, t => (t * 7) % 256)
+    // the general header parser sees mono / 8 kHz / 912 frames
+    assert(Multimodal.parseWav(wav).contains((1, 8000, 912)))
+    // the PCM locator finds the data chunk exactly
+    assert(Multimodal.wavPcm8Mono(wav).contains((44, 912)))
+    // frame energies match a direct recompute from the sample formula
+    val e = Multimodal.wavFrameEnergies(wav).get
+    assert(e.length == 57)
+    val expect = (0 until 57).map(f =>
+      (f * 16 until (f + 1) * 16).map(t => math.abs((t * 7) % 256 - 128))
+        .sum.toLong)
+    assert(e.toSeq == expect)
+    // non-PCM / non-mono / 16-bit payloads refuse (codec stub surface)
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + 8).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+      .putInt(44100).putInt(44100 * 4).putShort(4).putShort(16)
+    bb.put("data".getBytes).putInt(8).put(Array.fill[Byte](8)(0))
+    assert(Multimodal.wavPcm8Mono(bb.array()).isEmpty)
+  }
+
+  test("audio energy-contour fingerprint: gain-invariant without " +
+    "clipping; onset edit flips at most the two adjacent bits; " +
+    "banded near-dup equals brute on planted clips") {
+    def samp(seed: Long, patched: Boolean)(t: Int): Int =
+      ((((seed + 1) * (t + 7919)) % 65521 % 256 +
+        (if (patched && t < 32) 60 else 0)) % 256).toInt
+    val base = Multimodal.makeWav8(912, samp(5L, patched = false))
+    val h = Multimodal.audioFingerprint56(base).get
+    // gain without clipping preserves every gradient sign: halve the
+    // deviation from the midpoint (integer floor of a positive scale)
+    val gained = Multimodal.makeWav8(912,
+      t => 128 + (samp(5L, patched = false)(t) - 128) / 2)
+    assert(Multimodal.audioFingerprint56(gained).contains(h))
+    // the onset edit (frames 0-1 only) flips <= 2 contour bits
+    val edited = Multimodal.makeWav8(912, samp(5L, patched = true))
+    val hEdit = Multimodal.audioFingerprint56(edited).get
+    assert(java.lang.Long.bitCount(hEdit ^ h) <= 2)
+    // banded pass over planted fixtures == brute over the fingerprints
+    val rows = (0L until 40L).flatMap { i =>
+      val orig = Multimodal.MediaRow(i, "audio",
+        Multimodal.makeWav8(912, samp(i, patched = false)))
+      if (i % 10 == 0)
+        Seq(orig, Multimodal.MediaRow(i + 1000L, "audio",
+          Multimodal.makeWav8(912, samp(i, patched = true))))
+      else Seq(orig)
+    }
+    val hashes = Multimodal.audioFingerprints(rows.toDS())
+    val got = Multimodal.nearDupByPHash(hashes, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      if java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, "banded pair set must equal the exact set")
+    val planted = hs.map(_._1).filter(i => i % 10 == 0 && i < 1000)
+      .map(i => (i, i + 1000L)).toSet
+    assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
+  }
 }
