@@ -597,21 +597,28 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
   }
 
   /** Cost-routed DEFAULT k-NN ([[Similarity.knnAuto]]) certified in
-    * BOTH routing regimes at once: a one-shot call (reuse=1) must
-    * route to exact brute — witnessed row-identical against the brute
-    * twin (`one_exact_ok`) — because at the recall-0.9-mandated probe
-    * fraction a single small batch can never repay an index build;
-    * an amortized call (reuse=100 query batches over the index
-    * lifetime) must route to the derived-IVF tier and hold recall
-    * ≥ 0.9 (floor raised above the 0.75 of the explicit-tier rows —
-    * a DEFAULT must be safe; IvfProbeFracSweep measured 0.96-1.00 at
-    * probeFrac 0.6 across all four SFs). Both routing booleans are
-    * emitted and the oracle REPLAYS the cost model from COUNT(*)
-    * ([[Similarity.knnIvfWorthIt]] — plain IEEE doubles both
-    * engines), so a formula drift flips the hash. LSH is absent from
-    * the default path by design: its table count grows with n to
-    * hold recall (10.6× wall-clock for 10× data at the sf1 soak,
-    * structural) while the IVF tier re-sizes as √n (≤ 1.4×
+    * both reuse regimes of the THREE-WAY router at once: a one-shot
+    * call (reuse=1) must route to exact brute — witnessed
+    * row-identical against the brute twin (`one_exact_ok`) — because
+    * at the recall-0.9-mandated probe fraction a single small batch
+    * can never repay an index build; an amortized call (reuse=100
+    * query batches over the index lifetime) routes to whichever
+    * indexed tier the BYTES-SCANNED model
+    * ([[Similarity.knnRouteCosts]]) prices cheaper — derived-IVF
+    * where the corpus is small enough that float scans win (the PQ
+    * LUT overhead prices it out), IVF-PQ once the float scan
+    * dominates (the production serving tier at 100 TB: the probed
+    * scan reads 8-byte codes, 64× under dim-64 floats) — and must
+    * hold recall ≥ 0.9 in WHICHEVER regime this SF lands (floor
+    * above the 0.75 of the explicit-tier rows — a DEFAULT must be
+    * safe; probeFrac 0.6 measured 0.96-1.00 across all four SFs).
+    * Both route codes (0=brute, 1=ivf, 2=ivfpq) are emitted and the
+    * oracle REPLAYS the full three-way inequality from COUNT(*) and
+    * the stored vector length (plain IEEE doubles in matching operand
+    * order both engines), so a formula drift flips the hash. LSH is
+    * absent from the default path by design: its table count grows
+    * with n to hold recall (10.6× wall-clock for 10× data at the sf1
+    * soak, structural) while the IVF tier re-sizes as √n (≤ 1.4×
     * measured); [[Similarity.knnLshDerived]] remains the certified
     * explicit fallback (`knn_lsh`). */
   def knnAutoQ(s: SparkSession, d: String): DataFrame = {
@@ -631,8 +638,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       .crossJoin(oneCommon.agg(count(lit(1)).as("n_one_common")))
       .select(col("n_queries"), col("k"), col("n_exact"),
         lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
-        lit(Similarity.knnRoutedOf(one).get).as("route_one_ivf"),
-        lit(Similarity.knnRoutedOf(many).get).as("route_many_ivf"),
+        lit(Similarity.knnRouteOf(one).get).as("route_one"),
+        lit(Similarity.knnRouteOf(many).get).as("route_many"),
         (col("n_one_common") === col("n_exact")).as("one_exact_ok"),
         col("recall_ok"), col("ranks_dense"))
   }
@@ -641,6 +648,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     s"""$knnExactTopkCte,
        |sz AS (SELECT COUNT(*) AS n FROM embeddings),
        |nq AS (SELECT COUNT(*) AS m FROM embeddings WHERE vec_id < 10),
+       |dm AS (SELECT CAST(MAX(len(embedding)) AS DOUBLE) AS d
+       |       FROM (SELECT embedding FROM embeddings LIMIT 1)),
        |pp AS (
        |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
        |  FROM sz),
@@ -649,28 +658,46 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
        |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
        |  FROM pp),
        |cost AS (
-       |  SELECT n, nlist, nprobe,
+       |  SELECT n, nlist, nprobe, CAST(8.0 AS DOUBLE) * d AS fb,
        |    CASE WHEN nlist <= 64 THEN CAST(nlist AS DOUBLE)
        |      ELSE CEIL(SQRT(CAST(nlist AS DOUBLE)))
        |        + CAST(3.0 AS DOUBLE) * nlist / CEIL(SQRT(CAST(nlist AS DOUBLE)))
-       |    END AS assign
-       |  FROM p2),
-       |dec AS (
+       |    END AS assign,
+       |    CAST(nprobe AS DOUBLE) * n / nlist AS probed,
+       |    GREATEST(CAST(16 AS DOUBLE),
+       |      CEIL(SQRT(CAST(nprobe AS DOUBLE) * n / nlist))) AS refine,
+       |    d
+       |  FROM p2, dm),
+       |tier AS (
        |  SELECT nlist, nprobe,
-       |    ((CAST(n AS DOUBLE) * assign + CAST(1 AS DOUBLE) * m
-       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
-       |      * CAST(1.2 AS DOUBLE) <= CAST(1 AS DOUBLE) * m * n) AS route_one_ivf,
-       |    ((CAST(n AS DOUBLE) * assign + CAST(100 AS DOUBLE) * m
-       |        * (assign + CAST(nprobe AS DOUBLE) * n / nlist))
-       |      * CAST(1.2 AS DOUBLE) <= CAST(100 AS DOUBLE) * m * n) AS route_many_ivf
-       |  FROM cost, nq)
+       |    CAST(re.r AS DOUBLE) * m * n * fb AS brute,
+       |    CAST(n AS DOUBLE) * assign * fb + CAST(re.r AS DOUBLE) * m
+       |      * (assign * fb + probed * fb) AS ivf,
+       |    CAST(n AS DOUBLE) * assign * fb + CAST(n AS DOUBLE) * fb
+       |      + CAST(re.r AS DOUBLE) * m
+       |      * (assign * fb + d * CAST(256.0 AS DOUBLE) * CAST(8.0 AS DOUBLE)
+       |         + probed * CAST(8.0 AS DOUBLE) + refine * fb) AS pq,
+       |    re.r AS reuse
+       |  FROM cost, nq, (VALUES (1), (100)) AS re(r)),
+       |dec AS (
+       |  SELECT nlist, nprobe, reuse,
+       |    CASE WHEN LEAST(ivf, pq) * CAST(1.2 AS DOUBLE) > brute THEN 0
+       |      WHEN pq * CAST(1.2 AS DOUBLE) <= ivf THEN 2
+       |      ELSE 1 END AS route
+       |  FROM tier),
+       |routes AS (
+       |  SELECT MAX(CASE WHEN reuse = 1 THEN route END) AS route_one,
+       |    MAX(CASE WHEN reuse = 100 THEN route END) AS route_many,
+       |    MAX(nlist) AS nlist, MAX(nprobe) AS nprobe
+       |  FROM dec)
        |SELECT COUNT(DISTINCT query_id) AS n_queries,
        |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
        |  nlist AS n_list, nprobe AS n_probe,
-       |  route_one_ivf, route_many_ivf,
+       |  CAST(route_one AS INT) AS route_one,
+       |  CAST(route_many AS INT) AS route_many,
        |  TRUE AS one_exact_ok, TRUE AS recall_ok, TRUE AS ranks_dense
-       |FROM topk, dec
-       |GROUP BY nlist, nprobe, route_one_ivf, route_many_ivf""".stripMargin
+       |FROM topk, routes
+       |GROUP BY nlist, nprobe, route_one, route_many""".stripMargin
 
   /** Incremental IVF maintenance ([[Similarity.ivfAddBatch]]): a base
     * index fitted on the old corpus absorbs today's batch by frozen-

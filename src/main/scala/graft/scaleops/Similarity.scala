@@ -957,6 +957,70 @@ object Similarity {
     ivf * minAdvantage <= brute
   }
 
+  /** Route codes of the three-regime knn router. */
+  val KnnRouteBrute = 0
+  val KnnRouteIvf = 1
+  val KnnRouteIvfPq = 2
+
+  /** BYTES-SCANNED cost model of the knn router's three regimes —
+    * the 100 TB extension of [[knnIvfWorthIt]]'s dot counts. At
+    * corpus scale the binding constraint is IO/memory bandwidth, not
+    * multiplies: a float64 dot reads 8·dim bytes of corpus data while
+    * a PQ distance reads `m` code bytes (32-64× less), which is why
+    * IVF-PQ is the production serving tier. Terms (all per the
+    * documented plan shapes):
+    *   - brute: every query batch scans all n float vectors;
+    *   - IVF: one build pass assigns n vectors (assign routing dots ×
+    *     float bytes), then each query reads its routing dots plus
+    *     the probed fraction of the corpus in FLOATS;
+    *   - IVF-PQ: the build additionally reads the corpus once to
+    *     encode; each query adds the ks-entry/subspace LUT build
+    *     (dim·ks float muls), scans the probed fraction in CODE BYTES
+    *     (m per vector), and exact-re-ranks a [[pqDerivedRefine]]
+    *     pool in floats.
+    * Plain IEEE doubles in fixed operand order so the SQL oracle
+    * replays every comparison bit-for-bit. */
+  def knnRouteCosts(n: Long, nQueries: Long, reuse: Long, p: IvfParams,
+                    dim: Int, m: Int = 8, ks: Int = 256)
+      : (Double, Double, Double) = {
+    val fb = 8.0 * dim.toDouble
+    val assign =
+      if (p.nList <= twoLevelCellThreshold) p.nList.toDouble
+      else {
+        val ck = math.ceil(math.sqrt(p.nList.toDouble))
+        ck + 3.0 * p.nList.toDouble / ck
+      }
+    val q = reuse.toDouble * nQueries.toDouble
+    val probed = p.nProbe.toDouble * n.toDouble / p.nList.toDouble
+    val refine = pqDerivedRefine(n, p).toDouble
+    val brute = q * n.toDouble * fb
+    val ivf = n.toDouble * assign * fb + q * (assign * fb + probed * fb)
+    val pq = n.toDouble * assign * fb + n.toDouble * fb +
+      q * (assign * fb + dim.toDouble * ks.toDouble * 8.0 +
+        probed * m.toDouble + refine * fb)
+    (brute, ivf, pq)
+  }
+
+  /** The three-way routing decision: an index tier must predict
+    * ≥ `minAdvantage`× fewer bytes than brute to leave the exact
+    * path, and IVF-PQ must beat plain IVF by the same factor to take
+    * the quantized tier (when the corpus is small enough that floats
+    * scan fine, the simpler index wins ties). Consequences the specs
+    * pin: one-shot small batches route brute at every corpus size;
+    * amortized serving routes IVF at small n or small dim (the LUT
+    * overhead prices PQ out) and IVF-PQ once the float scan dominates
+    * — at dim 64 the crossover sits near n ≈ 1-2k corpus vectors with
+    * reuse 100, and EVERY large-n amortized corpus routes PQ (the
+    * 32-64× scan-byte gap only widens). */
+  def knnAutoRoute(n: Long, nQueries: Long, reuse: Long, p: IvfParams,
+                   dim: Int, minAdvantage: Double = 1.2): Int = {
+    val (brute, ivf, pq) = knnRouteCosts(n, nQueries, reuse, p, dim)
+    val bestIndexed = math.min(ivf, pq)
+    if (bestIndexed * minAdvantage > brute) KnnRouteBrute
+    else if (pq * minAdvantage <= ivf) KnnRouteIvfPq
+    else KnnRouteIvf
+  }
+
   /** Cost-routed DEFAULT k-NN — the entry point a caller should use
     * without picking an ANN tier by hand ([[nearDupPairsAuto]]'s
     * discipline applied to search). Routes between exact brute and
@@ -976,25 +1040,45 @@ object Similarity {
               seed: Long = 42L): DataFrame = {
     val n = emb.count()
     val nQ = queries.count()
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
-    val useIvf = knnIvfWorthIt(n, nQ, reuse, p)
-    val res =
-      if (useIvf)
+    val route = knnAutoRoute(n, nQ, reuse, p, dim)
+    val res = route match {
+      case KnnRouteBrute => knnBrute(emb, idCol, vecCol, queries, k)
+      case KnnRouteIvf =>
         ivfSearch(ivfBuild(emb, idCol, vecCol, p.nList, seed,
           knownN = Some(n)), idCol, vecCol, queries, k, p.nProbe)
-      else knnBrute(emb, idCol, vecCol, queries, k)
+      case KnnRouteIvfPq =>
+        // the router's probeFrac (0.6, recall-floor-mandated) and its
+        // derived refine pool — NOT knnIvfPq's standalone 0.35 sizing
+        val index = ivfBuild(emb, idCol, vecCol, p.nList, seed,
+          knownN = Some(n))
+        val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
+        knnIvfPqIndexed(index, pqCodes(index, cb, 8, 256), cb, idCol,
+          vecCol, queries, k, 8, 256, p.nProbe, pqDerivedRefine(n, p))
+    }
     val m = new org.apache.spark.sql.types.MetadataBuilder()
       .putLong("ivf_nlist", p.nList.toLong)
       .putLong("ivf_nprobe", p.nProbe.toLong)
-      .putBoolean("knn_ivf_routed", useIvf).build()
+      .putLong("knn_route", route.toLong)
+      .putBoolean("knn_ivf_routed", route != KnnRouteBrute).build()
     res.withColumn("cos", col("cos").as("cos", m))
   }
 
-  /** The routing decision recorded by [[knnAuto]], or None for
-    * frames from other entry points. */
+  /** The routing decision recorded by [[knnAuto]] (true = any indexed
+    * tier), or None for frames from other entry points. */
   def knnRoutedOf(df: DataFrame): Option[Boolean] = {
     val m = df.schema(df.schema.fieldIndex("cos")).metadata
     if (m.contains("knn_ivf_routed")) Some(m.getBoolean("knn_ivf_routed"))
+    else None
+  }
+
+  /** The three-way route code recorded by [[knnAuto]]
+    * ([[KnnRouteBrute]]/[[KnnRouteIvf]]/[[KnnRouteIvfPq]]), or None
+    * for frames from other entry points. */
+  def knnRouteOf(df: DataFrame): Option[Int] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("knn_route")) Some(m.getLong("knn_route").toInt)
     else None
   }
 

@@ -422,6 +422,33 @@ class SimilaritySpec extends SparkSpec {
       assert(knnIvfWorthIt(n, 10L, reuse, p),
         s"reuse=$reuse stayed brute at n=$n")
     }
+    // three-way bytes-scanned law: one-shot stays brute at every
+    // (n, dim); amortized serving takes plain IVF where the float
+    // scan is cheap (small n or small dim — the per-query LUT prices
+    // PQ out) and IVF-PQ once the float scan dominates; the 100 TB
+    // regimes (n ≥ millions, dim ≥ 64) ALL land PQ
+    import Similarity.{knnAutoRoute, KnnRouteBrute, KnnRouteIvf, KnnRouteIvfPq}
+    for ((n, dim) <- Seq((500L, 64), (20000L, 64), (1000000L, 768))) {
+      val p = ivfDerivedParams(n, knnAutoProbeFrac)
+      assert(knnAutoRoute(n, 10L, 1L, p, dim) == KnnRouteBrute,
+        s"one-shot left brute at n=$n dim=$dim")
+    }
+    assert(knnAutoRoute(500L, 10L, 100L,
+      ivfDerivedParams(500L, knnAutoProbeFrac), 64) == KnnRouteIvf)
+    assert(knnAutoRoute(400L, 5L, 100L,
+      ivfDerivedParams(400L, knnAutoProbeFrac), 8) == KnnRouteIvf)
+    for (n <- Seq(2000L, 20000L, 1000000L, 1000000000L)) {
+      val p = ivfDerivedParams(n, knnAutoProbeFrac)
+      assert(knnAutoRoute(n, 10L, 100L, p, 64) == KnnRouteIvfPq,
+        s"amortized n=$n dim=64 did not route PQ")
+    }
+    // the byte model agrees with the dot model on the brute-vs-IVF
+    // boundary (every term scales by the same float-bytes factor)
+    for ((n, reuse) <- Seq((500L, 1L), (500L, 100L), (20000L, 100L))) {
+      val p = ivfDerivedParams(n, knnAutoProbeFrac)
+      val (brute, ivf, _) = Similarity.knnRouteCosts(n, 10L, reuse, p, 64)
+      assert((ivf * 1.2 <= brute) == knnIvfWorthIt(n, 10L, reuse, p))
+    }
     // end-to-end: the routed frames carry the decision, the brute
     // route is row-identical to knnBrute, the IVF route holds recall
     val rnd = new scala.util.Random(5L)
