@@ -462,6 +462,79 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
       |  TRUE AS drop_sound, TRUE AS partition_ok
       |FROM p WHERE cos >= 0.4""".stripMargin
 
+  /** INCREMENTAL SemDeDup ([[Similarity.semDedupPairsIncremental]])
+    * — the daily-increment production path: the base corpus
+    * (vec_id % 5 ≠ 4, the [[dedupIncremental]] split) carries a
+    * frozen KMeans cell index (disk-memoized like the other prebuilt
+    * rows); today's batch (% 5 = 4) is assigned to the frozen
+    * centroids and only batch-touching pairs are searched — the
+    * quadratic stage is batch-bounded. Certified like
+    * [[dedupSemantic]] on the deterministic id-hash sample, with the
+    * exact twin RESTRICTED to batch-touching pairs (the
+    * dedup_incremental pattern): `subset_ok` — every sampled
+    * incremental pair is an exact pair with identical rounded cosine;
+    * `recall_ok` — ≥ 0.8 of the sampled exact batch-touching pairs
+    * found (zero-guarded); `no_old_old` — the restriction semantics
+    * themselves, witnessed FULL-corpus (no base-base pair ever
+    * emitted). Exact restriction-equality vs the full frozen-centroid
+    * run is spec-pinned (SimilaritySpec), not re-paid at the gate. */
+  def dedupSemanticIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    val nBase = base.count()
+    val k = Similarity.semDedupDerivedK(nBase)
+    val baseIndex = ivfLoadOrBuild(s, "target/ivf_index_sem_incr", d,
+      tag = s"k=$k")(
+      Similarity.ivfBuild(base, "vec_id", "embedding", k,
+        knownN = Some(nBase)))
+    val incrPairs = Similarity.semDedupPairsIncremental(baseIndex, batch,
+      "vec_id", "embedding", threshold = 0.4, assignProbes = 3)
+      .localCheckpoint(eager = false) // feeds 3 certification consumers
+    val n = emb.count()
+    val (sampled, permille) = embSample(emb, n)
+    val exactS = Similarity.nearDupPairs(sampled, "vec_id", "embedding",
+      threshold = 0.4)
+      .filter(col("a") % 5 === 4 || col("b") % 5 === 4)
+      .localCheckpoint(eager = false) // twin feeds 2 consumers
+    val keepFrac = lit(permille.toDouble / 1000.0)
+    val incrS = incrPairs
+      .filter(graft.scaleops.TrainingData.mixtureKeep(col("a"), keepFrac) &&
+        graft.scaleops.TrainingData.mixtureKeep(col("b"), keepFrac))
+    val notInExact = incrS.join(exactS, Seq("a", "b", "cos"), "left_anti")
+    val common = incrS.select("a", "b")
+      .join(exactS.select("a", "b"), Seq("a", "b"))
+    val oldOld = incrPairs.filter(col("a") % 5 =!= 4 && col("b") % 5 =!= 4)
+    emb.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(base.agg(count(lit(1)).as("n_base")))
+      .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(exactS.agg(count(lit(1)).as("n_exact_sampled")))
+      .crossJoin(notInExact.agg(count(lit(1)).as("n_bad")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .crossJoin(oldOld.agg(count(lit(1)).as("n_old_old")))
+      .select(col("n_docs"), col("n_base"), col("n_batch"),
+        col("n_exact_sampled"),
+        (col("n_bad") === 0).as("subset_ok"),
+        (col("n_exact_sampled") === 0 ||
+          col("n_common").cast("double") / col("n_exact_sampled") >= 0.8)
+          .as("recall_ok"),
+        (col("n_old_old") === 0).as("no_old_old"))
+  }
+
+  val dedupSemanticIncrementalOracle: String =
+    s"""WITH $embSampleCte,
+      |p AS (
+      |  SELECT a.vec_id AS a, b.vec_id AS b,
+      |    ROUND(list_dot_product(a.v, b.v) /
+      |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+      |SELECT (SELECT COUNT(*) FROM embeddings) AS n_docs,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 4) AS n_base,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 4) AS n_batch,
+      |  COUNT(*) AS n_exact_sampled, TRUE AS subset_ok, TRUE AS recall_ok,
+      |  TRUE AS no_old_old
+      |FROM p WHERE cos >= 0.4 AND (a % 5 = 4 OR b % 5 = 4)""".stripMargin
+
   /** Per-label embedding centroids, one row per (label, dimension) —
     * class prototypes for nearest-centroid search / IVF seeding.
     * posexplode + one groupBy: scan count independent of dimension;

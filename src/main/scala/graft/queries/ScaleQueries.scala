@@ -1054,6 +1054,8 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("dedup_embedding_planted", dedupEmbeddingPlanted,
       Some(dedupEmbeddingPlantedOracle)),
     Q("dedup_semantic", dedupSemantic, Some(dedupSemanticOracle)),
+    Q("dedup_semantic_incremental", dedupSemanticIncremental,
+      Some(dedupSemanticIncrementalOracle)),
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),

@@ -1600,6 +1600,75 @@ object Similarity {
       semDedupPairs(emb, idCol, vecCol, threshold, nClusters, assignProbes,
         seed))
 
+  /** INCREMENTAL SemDeDup — the daily-increment production path for
+    * embedding dedup, composing the two existing primitives exactly
+    * as [[Dedup.exactJaccardPairsIncremental]] composes the text
+    * ones: the base corpus's FROZEN cluster index ([[ivfAddBatch]]'s
+    * ingest discipline — no refit per batch) prunes the pair search,
+    * and only pairs TOUCHING the batch are emitted. Returns the
+    * (a < b, cos) pairs of [[semDedupPairsIndexed]] run over
+    * base ∪ batch with the same frozen centroids, RESTRICTED to pairs
+    * with ≥ 1 batch endpoint — exact restriction equality, because
+    * cell assignment is a pure function of (model, vector) and the
+    * min-shared-cell emission rule is symmetric per pair
+    * (SimilaritySpec pins the equality).
+    *
+    * Scale shape: the linear passes (batch assignment; the corpus
+    * side's cell-set lookup) are unavoidable state maintenance, but
+    * the QUADRATIC stage is batch-bounded — the a-side of the cell
+    * self-join holds batch rows only, so candidate fan-out is
+    * |batch| · occupancy · probes², never corpus². A re-ingested id
+    * present in both base and batch takes the batch version (the
+    * stale base row drops — same guard as the text operator). */
+  def semDedupPairsIncremental(baseIndex: IvfIndex, batch: DataFrame,
+                               idCol: String, vecCol: String,
+                               threshold: Double,
+                               assignProbes: Int = 2): DataFrame = {
+    val batchP = prepped(batch, idCol, vecCol, "neighbor")
+    val baseClean = baseIndex.indexed
+      .select(col("neighbor_id"), col("neighborv"), col("neighbornorm"))
+      .join(batchP.select(col("neighbor_id")), Seq("neighbor_id"),
+        "left_anti")
+    val all = baseClean.withColumn("is_new", lit(false))
+      .unionByName(batchP
+        .select(col("neighbor_id"), col("neighborv"), col("neighbornorm"))
+        .withColumn("is_new", lit(true)))
+      .localCheckpoint(eager = false) // feeds assignment + both join sides
+    val assigned = probedCells(baseIndex,
+      all.select(col("neighbor_id").as("query_id"),
+        col("neighborv").as("queryv"), col("neighbornorm").as("querynorm")),
+      nProbe = assignProbes)
+      .select(col("cell"), col("query_id").as("id"))
+      .localCheckpoint(eager = false) // feeds cell-sets + the join rows
+    val cellSets = assigned.groupBy("id")
+      .agg(sort_array(collect_list(col("cell"))).as("cells"))
+    val withVecs = assigned.join(cellSets, "id")
+      .join(all.select(col("neighbor_id").as("id"), col("is_new"),
+        col("neighborv"), col("neighbornorm")), "id")
+      .localCheckpoint(eager = false) // feeds both sides of the join
+    // a-side: BATCH rows only — the join's key set is therefore
+    // exactly the batch-touched cells, which bounds the b-side fan-in
+    // without an explicit semi-join
+    val aSide = withVecs.filter(col("is_new"))
+      .select(col("cell"), col("id").as("a_id"), col("cells").as("a_cells"),
+        col("neighborv").as("av"), col("neighbornorm").as("anorm"))
+    val bSide = withVecs.select(col("cell"), col("id").as("b_id"),
+      col("is_new").as("b_new"), col("cells").as("b_cells"),
+      col("neighborv").as("bv"), col("neighbornorm").as("bnorm"))
+    aSide.join(bSide, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      // batch-batch pairs appear in both orientations — emit once;
+      // batch-base pairs appear once (a = the batch side) regardless
+      // of id order
+      .filter(!col("b_new") || col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos("a", "b"))
+      .filter(col("cos") >= threshold &&
+        col("cell") === array_min(array_intersect(col("a_cells"),
+          col("b_cells"))))
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"), col("cos"))
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: a neighbor is a
     * candidate if ANY of `numTables` independent plane sets buckets
     * it with the query (single-table recall at moderate cosine is

@@ -620,6 +620,59 @@ class SimilaritySpec extends SparkSpec {
       s"high-τ fine-cell recall collapsed: $found/$nPlanted")
   }
 
+  test("incremental semDedup: exact restriction equality vs the full " +
+    "frozen-centroid run; batch-touching pairs only; re-ingest takes " +
+    "the batch version") {
+    val rnd = new scala.util.Random(13L)
+    def vec() = Array.fill(16)(rnd.nextGaussian())
+    // base 0..59 with planted twins inside base (4,5); batch 100..119
+    // with twins batch-batch (100,101) and batch-base (110 ~ 7)
+    val b4 = vec(); val b7 = vec(); val t100 = vec()
+    def near(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.02)
+    val baseRows = (0 until 60).map {
+      case 4 => 4L -> b4
+      case 5 => 5L -> near(b4)
+      case 7 => 7L -> b7
+      case i => i.toLong -> vec()
+    }
+    val batchRows = (100 until 120).map {
+      case 100 => 100L -> t100
+      case 101 => 101L -> near(t100)
+      case 110 => 110L -> near(b7)
+      case i => i.toLong -> vec()
+    }
+    val base = baseRows.toDF("vec_id", "v")
+    val batch = batchRows.toDF("vec_id", "v")
+    val tau = 0.9
+    val baseIndex = Similarity.ivfBuild(base, "vec_id", "v", nList = 4)
+    val incr = Similarity.semDedupPairsIncremental(baseIndex, batch,
+      "vec_id", "v", tau, assignProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // the full frozen-centroid run over base ∪ batch, restricted
+    val full = Similarity.semDedupPairsIndexed(
+      Similarity.ivfAddBatch(baseIndex, batch, "vec_id", "v"),
+      tau, assignProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batchIds = batchRows.map(_._1).toSet
+    val restricted = full.filter(p =>
+      batchIds.contains(p._1) || batchIds.contains(p._2))
+    assert(incr == restricted, s"incr=$incr vs restricted=$restricted")
+    // the planted batch-batch and batch-base twins are found; the
+    // base-base twin is NOT re-emitted
+    assert(incr.exists(p => p._1 == 100L && p._2 == 101L))
+    assert(incr.exists(p => p._1 == 7L && p._2 == 110L))
+    assert(!incr.exists(p => p._1 == 4L && p._2 == 5L))
+    // re-ingest guard: shipping id 4 in the batch with a NEW vector
+    // far from 5 removes the stale (4,5) duplication — no pair out
+    val reBatch = Seq(4L -> vec()).toDF("vec_id", "v")
+    val rePairs = Similarity.semDedupPairsIncremental(baseIndex, reBatch,
+      "vec_id", "v", tau, assignProbes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!rePairs.contains((4L, 5L)))
+  }
+
   test("semDedup keeps exactly one representative per duplicate group") {
     import spark.implicits._
     // two tight duplicate groups along axes 0 and 1, plus two isolated
