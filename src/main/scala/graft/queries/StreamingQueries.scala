@@ -123,6 +123,56 @@ object StreamingQueries {
       |  COUNT(DISTINCT event_id) AS n_distinct
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Streaming NEAR-dup-on-arrival ([[EventsStream.neardupStream]]),
+    * witnessed end-to-end: the doc stream is the documents source
+    * unioned with a RE-CRAWL of itself — every doc re-delivered 10
+    * minutes later under a new id with reversed word order and
+    * uppercased text (different bytes, same content — the scenario
+    * exact dedup misses and the fingerprint key exists for) — then
+    * fingerprint-deduped within the watermark. Exactly one arrival
+    * per content fingerprint survives, so the batch twin is one
+    * DISTINCT over the md5 fingerprints of the single documents
+    * table: count, min and max of the surviving fingerprint SET are
+    * all pinned (md5 hex strings compare identically in both
+    * engines). A broken near-dup key doubles the count; a dropped
+    * original flips min/max. */
+  def streamNeardup(s: SparkSession, d: String): DataFrame = {
+    val sch = graft.sources.Tables.load(s, d, "documents").schema
+    // single-file table → parent dir + pathGlobFilter (the streaming
+    // file source only accepts directories — readEvents' discipline)
+    def src() = s.readStream.schema(sch)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("doc_id").cast("long")))
+    val recrawl = src()
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text",
+        upper(concat_ws(" ", reverse(split(trim(col("text")), "\\s+")))))
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+    val deduped = EventsStream
+      .neardupStream(src().unionByName(recrawl), "text", "ts")
+      .select("fp")
+    // state keys = distinct content fingerprints within the watermark
+    val keys = approxKeys(graft.sources.Tables.load(s, d, "documents"),
+      graft.scaleops.TextAnalysis.fingerprint(col("text")))
+    awaitWithStatePartitions(s, statePartitionsFor(s, keys))(
+      deduped.writeStream.format("memory").queryName("st_neardup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start())
+    s.table("st_neardup")
+      .agg(count(lit(1)).as("n_survivors"),
+        countDistinct(col("fp")).as("n_distinct_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+  }
+
+  val streamNeardupOracle: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(trim(lower(text)), '\s+'))), ' ')) AS fp
+      |  FROM documents)
+      |SELECT COUNT(*) AS n_survivors, COUNT(*) AS n_distinct_fp,
+      |  MIN(fp) AS min_fp, MAX(fp) AS max_fp
+      |FROM fp""".stripMargin
+
   /** Stream-stream interval join (purchases × preceding-hour clicks,
     * dual watermarks) under bounded replay, aggregated per purchase —
     * the streaming twin of `range_join_clicks`' pair semantics,
@@ -356,6 +406,7 @@ object StreamingQueries {
     Q("stream_cusum", streamCusum, Some(streamCusumOracle)),
     Q("stream_tumbling_window", streamTumbling, Some(streamTumblingOracle)),
     Q("stream_dedup_counts", streamDedup, Some(streamDedupOracle)),
+    Q("stream_neardup_counts", streamNeardup, Some(streamNeardupOracle)),
     Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)),
     Q("stream_quantile_sketch", streamQuantile, Some(streamQuantileOracle)),
     Q("stream_tws_sessions", streamTwsSessions, Some(streamTwsSessionsOracle)))

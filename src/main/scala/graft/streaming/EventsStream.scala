@@ -296,6 +296,25 @@ object EventsStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming NEAR-dup-on-arrival over a document stream — the
+    * curation-pipeline ingest gate ([[dedupStream]] catches exact
+    * redeliveries; this catches re-crawls whose bytes changed but
+    * whose content didn't): each arriving doc is keyed by its
+    * order/case/multiplicity-insensitive content fingerprint
+    * ([[graft.scaleops.TextAnalysis.fingerprint]] — md5 of sorted
+    * distinct lowercased tokens, a pure map computed in-stream), and
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * fingerprint, evicting state once the watermark passes — bounded
+    * state however long the stream runs. The emitted rows carry the
+    * `fp` column so downstream stages can group survivors without
+    * re-tokenizing. */
+  def neardupStream(docs: DataFrame, textCol: String, tsCol: String,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.scaleops.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks from the preceding hour — the streaming form of
     * `operators.RangeJoin`'s batch query. Both sides carry

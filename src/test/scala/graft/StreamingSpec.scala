@@ -85,6 +85,53 @@ class StreamingSpec extends SparkSpec {
     assert(distinctIds == batchRows)
   }
 
+  test("streaming near-dup drops a re-crawled batch of docs (changed " +
+    "bytes, same content) and keeps one arrival per fingerprint") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // landing zone: originals, then a re-crawl with reversed word
+    // order + different case + new ids — near-dups, not byte dups
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup")
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "hello world again"),
+      (3L, "hello world again"), // natural in-batch duplicate of 2
+      (4L, "something else entirely")).toDF("doc_id", "text")
+    // the file source lists FLAT files — stage each delivery as a
+    // single parquet file (coalesced write, part file moved up)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-neardup-w")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      val it = new scala.collection.Iterator[java.nio.file.Path] {
+        def hasNext = part.hasNext; def next() = part.next()
+      }
+      val pf = it.find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(pf, dir.resolve(name))
+    }
+    stage(docs, "a.parquet")
+    stage(docs.select((col("doc_id") + 100).as("doc_id"),
+      upper(concat_ws(" ", reverse(split(col("text"), " ")))).as("text")),
+      "b.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val q = EventsStream.startMemorySink(
+      EventsStream.neardupStream(stream, "text", "ts"),
+      "neardup_out", "append")
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("neardup_out")
+    // 3 distinct fingerprints survive (docs 2/3 share one; the whole
+    // re-crawl and the in-batch duplicate all drop)
+    assert(out.count() == 3)
+    assert(out.select(countDistinct(col("fp"))).head().getLong(0) == 3)
+    // every surviving fp equals the batch fingerprint of the originals
+    val batchFps = docs.select(
+      graft.scaleops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .distinct().as[String].collect().toSet
+    assert(out.select("fp").as[String].collect().toSet == batchFps)
+  }
+
   test("AvailableNow: stream to a parquet sink with checkpoint, then read back") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-sink-out")
     val stream = EventsStream.readEvents(spark, streamDir)
