@@ -441,11 +441,37 @@ object OperatorQueries {
       |  l_returnflag, epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
       |FROM lineitem WHERE l_orderkey < 100""".stripMargin
 
+  /** Avro round-trip ingest through the self-contained
+    * [[graft.sources.Avro]] container source/sink (the external
+    * `spark-avro` module is offline-unavailable; the core avro
+    * library on Spark's classpath is enough — the Xlsx discipline).
+    * A lineitem slice with longs, doubles, strings and a
+    * timestamp-micros logical-type column round-trips through
+    * multi-file deflate-coded containers written executor-parallel;
+    * the oracle replays the same rows from parquet, so type fidelity
+    * (exact double bits, microsecond timestamps, nullable unions) is
+    * hash-pinned end to end. */
+  def avroIngest(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.load(s, d, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        col("l_shipdate").cast("timestamp").as("l_shipdate"))
+    val dir = s"target/avro_fixture/${new java.io.File(d).getName}"
+    graft.sources.Avro.write(src.repartition(4), dir)
+    graft.sources.Avro.read(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"),
+        unix_micros(col("l_shipdate")).as("ship_us"))
+  }
+
+  val avroIngestOracle: String = orcIngestOracle
+
   val all: Seq[Q] = Seq(
     Q("q_merge_upsert", mergeUpsert, Some(mergeUpsertOracle)),
     Q("xlsx_ingest", xlsxIngest, Some(xlsxIngestOracle)),
     Q("jsonl_ingest", jsonlIngest, Some(jsonlIngestOracle)),
     Q("orc_ingest", orcIngest, Some(orcIngestOracle)),
+    Q("avro_ingest", avroIngest, Some(avroIngestOracle)),
     Q("fuzzy_join_parts", fuzzyParts, Some(fuzzyPartsOracle)),
     Q("fuzzy_join_capped", fuzzyPartsCapped, Some(fuzzyPartsCappedOracle)),
     Q("zorder_layout", zorderLayout, Some(zorderLayoutOracle)),
