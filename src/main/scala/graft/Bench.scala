@@ -75,6 +75,16 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"), line.getBytes("UTF-8"))
     println(line)
+    // stop BEFORE the final print: SparkContext shutdown logs dozens
+    // of INFO lines, and a JSON line printed earlier scrolls out of
+    // the tail window a caller captures — the r9/r10 driver artifacts
+    // carried "parsed": null for exactly this reason. The LAST stdout
+    // of this main is the one clean JSON line (flushed), with a
+    // sentinel prefix so a line-grepping caller can also find it
+    // unambiguously however much logging surrounds it.
     spark.stop()
+    println(s"BENCH_JSON $line")
+    println(line)
+    System.out.flush()
   }
 }

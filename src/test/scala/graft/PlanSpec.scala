@@ -352,6 +352,35 @@ class PlanSpec extends SparkSpec {
         s"prescore codes leaked past the join stage: $cols"))
   }
 
+  test("bigram LM: every shuffle carries dictionary keys, never token " +
+    "strings; the pair stream comes from the fused kernel") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.types.StringType
+    val docs = graft.sources.Tables.load(spark, sf, "documents")
+    val df = graft.scaleops.TrainingData
+      .bigramCrossEntropy(docs, "doc_id", "text")
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    val s = root.toString
+    assert(s.contains("bigram_hash_pairs"),
+      s"fused bigram kernel missing from the plan:\n$s")
+    assert(s.contains("token_hashes"),
+      s"unigram token-hash kernel missing from the plan:\n$s")
+    // the r10 shape shuffled the corpus-sized position stream on
+    // string-pair keys; now no exchange anywhere in the LM may carry
+    // a string column (strings die in the map-side projections)
+    val shuffles = root.collectWithSubqueries {
+      case e: ShuffleExchangeLike => e.output.map(a => (a.name, a.dataType))
+    }
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols =>
+      assert(!cols.exists(_._2 == StringType),
+        s"token strings leaked into an exchange: ${cols.map(_._1)}"))
+  }
+
   test("clean pipeline scoring: the text splits exactly twice per row " +
     "(raw + lowered) — shared by quality, langid and fingerprint") {
     import org.apache.spark.sql.functions._
