@@ -235,6 +235,11 @@ object TrainingData {
     // bigram table instead of shuffling the position stream a second
     // time (saves one corpus-sized shuffle)
     val cContext = cBigram.groupBy("h1").agg(sum(col("c12")).as("c1"))
+    // (An r11 A/B DERIVED cu from cContext + a last-token term —
+    // cu(w) = c1(w) + #docs ending in w — to delete this third corpus
+    // aggregate; it measured level-to-worse: the derivation chain
+    // recomputes cContext per consumer and the vocab outer-join eats
+    // the explode savings. The direct kernel aggregate stays.)
     val cUni = base.select(explode(
         graft.functions.BigramHash.tokenHashes(col("toks"))).as("h2"))
       .groupBy("h2").agg(count(lit(1)).as("cu"))
