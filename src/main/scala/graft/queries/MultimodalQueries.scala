@@ -365,6 +365,108 @@ object MultimodalQueries {
       |    AS n_planted_found,
       |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist""".stripMargin
 
+  /** The deterministic video corpus: one 4-frame clip of 32×32
+    * concatenated binary PGMs per doc (per-frame phase mix so frames
+    * differ), plus a FRAME-0-PATCHED twin for every 10th id — the
+    * re-encoded-with-a-changed-title-card scenario. The patch is the
+    * image fabric's own p<8 brightness edit (affects blocks
+    * (0,0)/(0,1) only ⇒ ≤ 3 dHash bits), so the twin matches on all
+    * 4 aligned frames BY CONSTRUCTION (3 identical + 1 within the
+    * radius) and planted recall is a guarantee. */
+  private def nearDupVideo(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    val W = 32
+    val H = 32
+    val F = 4
+    def pix(pixId: Long, patched: Boolean)(f: Int, p: Int): Int =
+      ((((pixId + 1) * (p + 7919 + f * 4099)) % 65521 % 256 +
+        (if (patched && f == 0 && p < 8) 60 else 0)) % 256).toInt
+    Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { i =>
+          val orig = Multimodal.MediaRow(i, "video",
+            Multimodal.makeMultiPgm(F, W, H, pix(i, patched = false)))
+          if (i % 10 == 0)
+            Iterator(orig, Multimodal.MediaRow(i + 10000000L, "video",
+              Multimodal.makeMultiPgm(F, W, H, pix(i, patched = true))))
+          else Iterator(orig)
+        }
+      }
+  }
+
+  /** Video near-duplicate detection — the third modality of the
+    * near-dup family ([[mediaNearDup]] images, [[mediaAudioNearDup]]
+    * audio): a REAL sequential container walk decodes each clip's
+    * concatenated PGM frames ([[Multimodal.multiPgmFrameHashes]] —
+    * every frame self-describes via its header), per-frame 56-bit
+    * dHashes feed a (frame_idx, band, bval)-keyed Hamming-band LSH
+    * with the per-frame pigeonhole guarantee, and two clips pair when
+    * ≥ 3 of 4 aligned frame positions agree within distance 3 — the
+    * per-(pair, frame) match relation is exact, so the matched-frame
+    * counts and the clip pair set are exact. The oracle replays
+    * per-frame hashes from the pixel formula (block sums + LEAD
+    * gradients over (id, frame)) and clip truth via the all-pairs
+    * aligned-frame count — oracle-side only. */
+  def mediaVideoNearDup(s: SparkSession, d: String): DataFrame = {
+    val maxDist = 3
+    val minMatch = 3
+    val hashes = Multimodal.videoFrameHashes(nearDupVideo(s, d))
+      .localCheckpoint(eager = false) // feeds both sides + counts
+    val pairs = Multimodal.nearDupByFrameHashes(hashes, maxDist, minMatch)
+      .localCheckpoint(eager = false)
+    val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    hashes.agg(countDistinct(col("media_id")).as("n_clips"),
+        count(lit(1)).as("n_frames"))
+      .crossJoin(pairs.agg(count(lit(1)).as("n_pairs"),
+        coalesce(min(col("n_matched_frames")), lit(-1)).as("min_matched")))
+      .crossJoin(planted.agg(count(lit(1)).as("n_planted_found")))
+      .select(col("n_clips"), col("n_frames"), col("n_pairs"),
+        col("min_matched"), col("n_planted_found"),
+        lit(maxDist + 1).as("n_bands"),
+        lit(56 / (maxDist + 1)).as("band_bits"),
+        lit(maxDist).as("max_dist"), lit(minMatch).as("min_match"))
+  }
+
+  val mediaVideoNearDupOracle: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |clips AS (
+      |  SELECT id, id AS pix_id, FALSE AS patched FROM ids
+      |  UNION ALL
+      |  SELECT id + 10000000, id, TRUE FROM ids WHERE id % 10 = 0),
+      |bs AS (
+      |  SELECT c.id, gf.f, (gp.p // 32) // 4 AS br, (gp.p % 32) // 4 AS bc,
+      |    SUM((((c.pix_id + 1) * (gp.p + 7919 + gf.f * 4099)) % 65521 % 256
+      |      + CASE WHEN c.patched AND gf.f = 0 AND gp.p < 8
+      |        THEN 60 ELSE 0 END) % 256) AS s
+      |  FROM clips c, generate_series(0, 3) AS gf(f),
+      |    generate_series(0, 1023) AS gp(p)
+      |  GROUP BY 1, 2, 3, 4),
+      |grad AS (
+      |  SELECT id, f, br, bc, s,
+      |    LEAD(s) OVER (PARTITION BY id, f, br ORDER BY bc) AS s_next
+      |  FROM bs),
+      |hashes AS (
+      |  SELECT id, f, CAST(SUM(CASE WHEN s_next > s
+      |      THEN (CAST(1 AS BIGINT) << CAST(br * 7 + bc AS INT))
+      |      ELSE 0 END) AS BIGINT) AS h
+      |  FROM grad WHERE bc < 7 GROUP BY id, f),
+      |fmatch AS (
+      |  SELECT a.id AS a, b.id AS b, a.f
+      |  FROM hashes a JOIN hashes b ON a.id < b.id AND a.f = b.f
+      |  WHERE bit_count(xor(a.h, b.h)) <= 3),
+      |pairs AS (
+      |  SELECT a, b, COUNT(*) AS nm FROM fmatch
+      |  GROUP BY a, b HAVING COUNT(*) >= 3)
+      |SELECT (SELECT COUNT(*) FROM clips) AS n_clips,
+      |  (SELECT COUNT(*) FROM hashes) AS n_frames,
+      |  (SELECT COUNT(*) FROM pairs) AS n_pairs,
+      |  (SELECT COALESCE(MIN(nm), -1) FROM pairs) AS min_matched,
+      |  (SELECT COUNT(*) FROM pairs WHERE b = a + 10000000)
+      |    AS n_planted_found,
+      |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist, 3 AS min_match""".stripMargin
+
   val all: Seq[Q] = Seq(
     Q("multimodal_bytes", mediaBytes, Some(mediaBytesOracle)),
     Q("multimodal_pipeline", mediaPipeline, Some(mediaPipelineOracle)),
@@ -372,5 +474,7 @@ object MultimodalQueries {
     Q("multimodal_neardup", mediaNearDup, Some(mediaNearDupOracle)),
     Q("multimodal_neardup_keep", mediaNearDupKeep, Some(mediaNearDupKeepOracle)),
     Q("multimodal_audio_neardup", mediaAudioNearDup,
-      Some(mediaAudioNearDupOracle)))
+      Some(mediaAudioNearDupOracle)),
+    Q("multimodal_video_neardup", mediaVideoNearDup,
+      Some(mediaVideoNearDupOracle)))
 }

@@ -378,6 +378,98 @@ object Multimodal {
       .distinct()
   }
 
+  // ---- video near-dup (per-frame perceptual hashes) -----------------------
+
+  /** Frame-wise perceptual hashes of a multi-frame clip stored as
+    * CONCATENATED binary PGMs (each frame self-describes its size via
+    * its header, so the walk is a real sequential container decode —
+    * the raw-frame-stream layout a frame sampler emits; entropy-coded
+    * video codecs stay behind the documented stub). Emits one
+    * (frame_idx, dHash56) per decodable block-divisible frame; stops
+    * at the first byte that is not a PGM header. */
+  private[graft] def multiPgmFrameHashes(p: Array[Byte]): Seq[(Int, Long)] = {
+    val out = Seq.newBuilder[(Int, Long)]
+    var off = 0
+    var idx = 0
+    var ok = true
+    while (ok && off < p.length) {
+      val slice = java.util.Arrays.copyOfRange(p, off, p.length)
+      pnmHeader(slice) match {
+        case Some((rgb, w, h, maxval, dataOff)) if maxval <= 255 =>
+          val ch = if (rgb) 3 else 1
+          val frameLen = dataOff + w * h * ch
+          if (off + frameLen > p.length) ok = false
+          else {
+            val frame = java.util.Arrays.copyOfRange(p, off, off + frameLen)
+            dHash56(frame).foreach(h => out += ((idx, h)))
+            idx += 1
+            off += frameLen
+          }
+        case _ => ok = false
+      }
+    }
+    out.result()
+  }
+
+  /** (media_id, frame_idx, phash) rows of every clip — the corpus
+    * side of the video near-dup pass. */
+  def videoFrameHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => multiPgmFrameHashes(m.payload)
+        .map { case (f, h) => (m.media_id, f, h) })
+    }.toDF("media_id", "frame_idx", "phash")
+  }
+
+  /** Near-duplicate CLIP pairs from frame hashes: two clips match
+    * when ≥ `minMatch` frame POSITIONS agree within Hamming
+    * `maxDist` (aligned-frame semantics — production clips are
+    * frame-sampled to a common grid first, [[sampleFrames]]'s job).
+    * Candidate generation is the per-frame Hamming-band LSH keyed by
+    * (frame_idx, band, bval) with the SAME pigeonhole guarantee as
+    * [[nearDupByPHash]] — within `maxDist` a frame pair must agree on
+    * ≥ 1 whole band, so the per-(pair, frame) match relation is
+    * EXACT, and therefore the matched-frame count and the clip pair
+    * set are exact too. The only corpus-sized shuffle is the banded
+    * self-join; clip scoring is a count over the (already tiny)
+    * matched-frame rows. */
+  def nearDupByFrameHashes(frameHashes: DataFrame, maxDist: Int = 3,
+                           minMatch: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 6, s"maxDist=$maxDist outside [0,6]")
+    val bands = maxDist + 1
+    val bandBits = 56 / bands
+    val mask = (1L << bandBits) - 1
+    val banded = frameHashes.select(col("media_id"), col("frame_idx"),
+      col("phash"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("phash"), i * bandBits).bitwiseAND(lit(mask))): _*)))
+      .toDF("media_id", "frame_idx", "phash", "band", "bval")
+    val matchedFrames = banded
+      .join(banded.select(col("frame_idx"), col("band"), col("bval"),
+        col("media_id").as("b_id"), col("phash").as("b_phash")),
+        Seq("frame_idx", "band", "bval"))
+      .filter(col("media_id") < col("b_id"))
+      .filter(bit_count(col("phash").bitwiseXOR(col("b_phash"))) <= maxDist)
+      .select(col("media_id").as("a"), col("b_id").as("b"), col("frame_idx"))
+      .distinct()
+    matchedFrames.groupBy("a", "b")
+      .agg(count(lit(1)).as("n_matched_frames"))
+      .filter(col("n_matched_frames") >= minMatch)
+  }
+
+  /** Deterministic multi-frame clip: `frames` concatenated binary
+    * PGMs of `w`×`h`, pixel p of frame f = `pixel(f, p)`. */
+  private[graft] def makeMultiPgm(frames: Int, w: Int, h: Int,
+                                  pixel: (Int, Int) => Int): Array[Byte] = {
+    val parts = (0 until frames).map(f => makeGrayPgm(w, h, p => pixel(f, p)))
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { b =>
+      System.arraycopy(b, 0, out, off, b.length); off += b.length
+    }
+    out
+  }
+
   // ---- audio near-dup (energy-contour fingerprint) -----------------------
 
   /** Locate the raw sample bytes of an 8-bit MONO PCM WAV — the

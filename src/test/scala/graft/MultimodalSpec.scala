@@ -309,4 +309,55 @@ class MultimodalSpec extends SparkSpec {
       .map(i => (i, i + 1000L)).toSet
     assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
   }
+
+  test("multi-PGM container walk: frame count, per-frame hashes equal " +
+    "single-image hashes; truncated tail stops cleanly") {
+    def pix(f: Int, p: Int): Int = ((f * 7919 + p * 31) % 256 + 256) % 256
+    val clip = Multimodal.makeMultiPgm(3, 16, 16, pix)
+    val hashes = Multimodal.multiPgmFrameHashes(clip)
+    assert(hashes.map(_._1) == Seq(0, 1, 2))
+    // each frame hashes exactly as the standalone image would
+    (0 until 3).foreach { f =>
+      val single = Multimodal.dHash56(
+        Multimodal.makeGrayPgm(16, 16, p => pix(f, p))).get
+      assert(hashes(f)._2 == single, s"frame $f hash mismatch")
+    }
+    // a truncated final frame is ignored, earlier frames kept
+    val cut = java.util.Arrays.copyOfRange(clip, 0, clip.length - 10)
+    assert(Multimodal.multiPgmFrameHashes(cut).map(_._1) == Seq(0, 1))
+  }
+
+  test("video near-dup: banded aligned-frame pairs equal brute; " +
+    "frame-0-patched twins match on all frames") {
+    def pix(seed: Long, patched: Boolean)(f: Int, p: Int): Int =
+      ((((seed + 1) * (p + 7919 + f * 4099)) % 65521 % 256 +
+        (if (patched && f == 0 && p < 8) 60 else 0)) % 256).toInt
+    val rows = (0L until 40L).flatMap { i =>
+      val orig = Multimodal.MediaRow(i, "video",
+        Multimodal.makeMultiPgm(4, 32, 32, pix(i, patched = false)))
+      if (i % 10 == 0)
+        Seq(orig, Multimodal.MediaRow(i + 1000L, "video",
+          Multimodal.makeMultiPgm(4, 32, 32, pix(i, patched = true))))
+      else Seq(orig)
+    }
+    val fh = Multimodal.videoFrameHashes(rows.toDS())
+    val got = Multimodal.nearDupByFrameHashes(fh, maxDist = 3, minMatch = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute twin over collected frame hashes
+    val hs = fh.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val clips = hs.keys.map(_._1).toSeq.distinct.sorted
+    val brute = (for {
+      a <- clips; b <- clips if a < b
+      nm = (0 until 4).count(f =>
+        java.lang.Long.bitCount(hs((a, f)) ^ hs((b, f))) <= 3)
+      if nm >= 3
+    } yield (a, b) -> nm.toLong).toMap
+    assert(got == brute, "banded clip pair set must equal the exact set")
+    // every planted twin pairs with all 4 frames matched (3 identical
+    // + frame 0 within the radius by construction)
+    clips.filter(i => i % 10 == 0 && i < 1000).foreach { i =>
+      assert(got.get((i, i + 1000L)).contains(4L), s"twin of $i")
+    }
+  }
 }
