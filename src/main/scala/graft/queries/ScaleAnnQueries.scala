@@ -628,8 +628,12 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
     val one = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
       reuse = 1L)
+    // reuse=100 declares an index lifetime of many batches — the
+    // serving cache makes that real (warm reps pay routing + search
+    // only, exactly what the cost model's amortization says)
     val many = Similarity.knnAuto(emb, "vec_id", "embedding", q, k = 5,
-      reuse = 100L)
+      reuse = 100L,
+      indexDir = Some(ivfMemoDir("target/knn_auto_index", d)))
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", q, k = 5)
       .localCheckpoint(eager = false) // twin feeds 2 certifications
     val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")

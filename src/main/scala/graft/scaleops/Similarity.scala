@@ -1037,24 +1037,68 @@ object Similarity {
     * plan ran. */
   def knnAuto(emb: DataFrame, idCol: String, vecCol: String,
               queries: DataFrame, k: Int, reuse: Long = 1L,
-              seed: Long = 42L): DataFrame = {
+              seed: Long = 42L, indexDir: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
     val n = emb.count()
     val nQ = queries.count()
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val route = knnAutoRoute(n, nQ, reuse, p, dim)
+    // `reuse` > 1 MEANS the index outlives this call — `indexDir` is
+    // that statement made real (a serving router always sits on an
+    // index cache; without one every batch would re-pay the build the
+    // cost model amortized away). The stamp ties the cache to
+    // (n, params, seed); the CALLER owns content-level invalidation —
+    // point a new corpus at a new dir (the gate adds a data
+    // fingerprint on top, ScaleAnnQueries.ivfLoadOrBuild).
+    val tag = s"n=$n dim=$dim nList=${p.nList} seed=$seed"
+    def cachedIndex(): IvfIndex = indexDir match {
+      case None =>
+        ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
+      case Some(dir) =>
+        val stamp = new java.io.File(s"$dir/stamp")
+        if (stamp.exists &&
+          java.nio.file.Files.readString(stamp.toPath) == tag)
+          ivfLoad(spark, dir)
+        else {
+          val idx = ivfBuild(emb, idCol, vecCol, p.nList, seed,
+            knownN = Some(n))
+          new java.io.File(dir).mkdirs()
+          ivfSave(idx, dir)
+          java.nio.file.Files.writeString(stamp.toPath, tag)
+          ivfLoad(spark, dir)
+        }
+    }
     val res = route match {
       case KnnRouteBrute => knnBrute(emb, idCol, vecCol, queries, k)
       case KnnRouteIvf =>
-        ivfSearch(ivfBuild(emb, idCol, vecCol, p.nList, seed,
-          knownN = Some(n)), idCol, vecCol, queries, k, p.nProbe)
+        ivfSearch(cachedIndex(), idCol, vecCol, queries, k, p.nProbe)
       case KnnRouteIvfPq =>
         // the router's probeFrac (0.6, recall-floor-mandated) and its
         // derived refine pool — NOT knnIvfPq's standalone 0.35 sizing
-        val index = ivfBuild(emb, idCol, vecCol, p.nList, seed,
-          knownN = Some(n))
-        val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
-        knnIvfPqIndexed(index, pqCodes(index, cb, 8, 256), cb, idCol,
+        val index = cachedIndex()
+        val (cb, codes) = indexDir match {
+          case None =>
+            val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
+            (cb, pqCodes(index, cb, 8, 256))
+          case Some(dir) =>
+            import spark.implicits._
+            val cbPath = s"$dir/pq_cb"
+            if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
+              val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
+              cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+                .toDF("i", "v")
+                .coalesce(1).write.mode("overwrite").parquet(cbPath)
+            }
+            val cb = spark.read.parquet(cbPath).orderBy("i").collect()
+              .map(_.getDouble(1))
+            val codesPath = s"$dir/pq_codes"
+            if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+              pqCodes(index, cb, 8, 256).write.mode("overwrite")
+                .parquet(codesPath)
+            (cb, spark.read.parquet(codesPath))
+        }
+        knnIvfPqIndexed(index, codes, cb, idCol,
           vecCol, queries, k, 8, 256, p.nProbe, pqDerivedRefine(n, p))
     }
     val m = new org.apache.spark.sql.types.MetadataBuilder()
