@@ -238,6 +238,51 @@ object TrainingDataQueries {
        |GROUP BY source""".stripMargin
   }
 
+  /** Temperature mixture sampling
+    * ([[TrainingData.temperatureSample]], α = 0.5, budget = half the
+    * corpus): per-source targets derive from √n_s — the whole
+    * derivation (micro-quantized roots, integer-div targets and
+    * permilles, the id-hash keep rule) replays in the oracle from
+    * COUNT(*), and the kept SET is pinned per source (count, char
+    * sum, min/max id), not just its size. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val (kept, plan) = TrainingData.temperatureSample(
+      docs(s, d), "doc_id", "source")
+    kept.groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .join(plan.select(col("source"), col("n_s"), col("t_target"),
+        col("permille")), Seq("source"))
+  }
+
+  val temperatureMixOracle: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n_s,
+      |    CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5)
+      |      AS BIGINT) AS sq_micros
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total,
+      |  CAST(SUM(sq_micros) AS BIGINT) AS sum_sq FROM c),
+      |plan AS (
+      |  SELECT source, n_s, sq_micros,
+      |    ((n_total // 2) * 1 * sq_micros) // sum_sq AS t_target,
+      |    LEAST(1000, (1000 * (((n_total // 2) * 1 * sq_micros) // sum_sq))
+      |      // n_s) AS permille
+      |  FROM c, t),
+      |kept AS (
+      |  SELECT d.source, d.doc_id, d.n_chars
+      |  FROM documents d JOIN plan p USING (source)
+      |  WHERE ((((d.doc_id % 1000003) + 1000003) % 1000003) * 2654435761)
+      |    % 1000 < p.permille)
+      |SELECT k.source, COUNT(*) AS n_kept,
+      |  CAST(SUM(k.n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(k.doc_id) AS min_id, MAX(k.doc_id) AS max_id,
+      |  p.n_s, p.t_target, CAST(p.permille AS BIGINT) AS permille
+      |FROM kept k JOIN plan p USING (source)
+      |GROUP BY k.source, p.n_s, p.t_target, p.permille""".stripMargin
+
   // ---- duplicated spans ---------------------------------------------------
 
   /** Per-doc duplicated-span coverage (k=8 windows, ≥2 occurrences
@@ -783,6 +828,7 @@ object TrainingDataQueries {
     Q("events_psi_drift", psiDrift, Some(psiDriftOracle)),
     Q("docs_quality_gate", qualityGate, Some(qualityGateOracle)),
     Q("docs_mixture_sample", mixtureSample, Some(mixtureSampleOracle)),
+    Q("docs_temperature_mix", temperatureMix, Some(temperatureMixOracle)),
     Q("docs_shuffle_shards", shuffleShards, Some(shuffleShardsOracle)),
     Q("docs_oov_rate", oovRate, Some(oovRateOracle)),
     Q("docs_weighted_sample", weightedSample, Some(weightedSampleOracle)),

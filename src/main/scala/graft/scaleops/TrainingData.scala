@@ -412,6 +412,48 @@ object TrainingData {
     docs.filter(mixtureKeep(col(idCol), frac))
   }
 
+  /** TEMPERATURE mixture sampling — the multilingual/multi-source
+    * rebalancing step (mT5 §3.1, CCNet): instead of fixed per-source
+    * fractions, each source's target share is DERIVED from its size,
+    * flattened toward uniform — target count t_s ∝ √n_s (temperature
+    * α = 0.5), scaled to an overall budget of `targetNum/targetDen`
+    * of the corpus. Big sources downsample hard, small sources keep
+    * ~everything; the classic fix for web-scale source skew.
+    *
+    * Every derived quantity is INTEGER arithmetic so the SQL oracle
+    * replays the whole derivation bit-for-bit: √n_s floor-quantizes
+    * to micros immediately (sqrt is correctly rounded in both
+    * engines; the product is exact below 2⁵³, i.e. to n_s ≈ 8·10¹³
+    * rows per source), target counts and keep permilles are integer
+    * div, and the row-level keep is the [[mixtureKeep]] id-hash rule
+    * at permille/1000. One tiny aggregate + a broadcast join + a
+    * pure map filter — no corpus shuffle at any scale. Returns
+    * (kept docs, per-source plan) — the plan is the audit artifact
+    * (n_s, sq_micros, target, permille). */
+  def temperatureSample(docs: DataFrame, idCol: String, groupCol: String,
+                        targetNum: Long = 1L, targetDen: Long = 2L)
+      : (DataFrame, DataFrame) = {
+    require(targetNum >= 0 && targetDen > 0)
+    val counts = docs.groupBy(groupCol).agg(count(lit(1)).as("n_s"))
+    val sq = counts.withColumn("sq_micros",
+      floor(sqrt(col("n_s").cast("double")) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val tot = sq.agg(sum(col("n_s")).as("n_total"),
+      sum(col("sq_micros")).as("sum_sq"))
+    val plan = sq.crossJoin(broadcast(tot))
+      .withColumn("t_target", expr(
+        s"(n_total div $targetDen) * $targetNum * sq_micros div sum_sq"))
+      .withColumn("permille",
+        least(lit(1000L), expr("1000 * t_target div n_s")))
+      .select(col(groupCol), col("n_s"), col("sq_micros"),
+        col("t_target"), col("permille"))
+    val kept = docs.join(broadcast(plan.select(col(groupCol),
+        col("permille"))), Seq(groupCol))
+      .filter(mixtureKeep(col(idCol), col("permille") / lit(1000.0)))
+      .drop("permille")
+    (kept, plan)
+  }
+
   // ---- duplicated-span detection ------------------------------------------
 
   /** Exact repeated-span detection — the primitive behind

@@ -313,6 +313,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(counts.getLong(0) == counts.getLong(1))
   }
 
+  test("temperature sampling: sqrt-flattened shares — big sources " +
+    "downsample hard, small keep ~everything; budget respected; " +
+    "repartition-stable") {
+    import spark.implicits._
+    // 9000-row web source vs 100-row rare source (90:1 skew)
+    val docs = ((0L until 9000L).map(i => (i, "web")) ++
+      (10000L until 10100L).map(i => (i, "rare")))
+      .toDF("doc_id", "source")
+    val (kept, plan) = TrainingData.temperatureSample(
+      docs, "doc_id", "source")
+    val p = plan.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    // sqrt flattening: targets ∝ sqrt(n) → web target / rare target
+    // ≈ sqrt(90) ≈ 9.5, NOT 90
+    val (webN, webT, webP) = p("web")
+    val (rareN, rareT, rareP) = p("rare")
+    assert(webN == 9000L && rareN == 100L)
+    assert(webT.toDouble / rareT > 8 && webT.toDouble / rareT < 11)
+    // budget: Σ targets ≈ half the corpus (integer-div slack only)
+    assert(webT + rareT <= 4550 && webT + rareT >= 4500)
+    // rare keeps everything (permille capped at 1000), web ~47%
+    assert(rareP == 1000L)
+    assert(webP > 400 && webP < 550)
+    // kept counts track the permilles under the id-hash rule
+    val counts = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("rare") == 100L)
+    assert(math.abs(counts("web") - 9000.0 * webP / 1000) < 300)
+    // deterministic: repartitioned input keeps the SAME ids
+    val ids1 = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TrainingData.temperatureSample(
+      docs.repartition(7), "doc_id", "source")._1
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 == ids2)
+  }
+
   test("shuffle shards: a dense, repartition-stable permutation") {
     import spark.implicits._
     val docs = (0L until 100L).toDF("doc_id")
