@@ -158,5 +158,37 @@ object GraftExtensions {
             s"word_shingles: k must be an integer literal, got $other")
         }
         WordShingles(children.head, k)
+      })),
+    ((
+      FunctionIdentifier("bigram_hash_pairs"),
+      new ExpressionInfo(classOf[graft.functions.BigramHashPairsExpr].getName,
+        "bigram_hash_pairs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          "bigram_hash_pairs(tokens) takes 1 argument")
+        graft.functions.BigramHashPairsExpr(children.head)
+      })),
+    ((
+      FunctionIdentifier("token_hashes"),
+      new ExpressionInfo(classOf[graft.functions.TokenHashesExpr].getName,
+        "token_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "token_hashes(tokens) takes 1 argument")
+        graft.functions.TokenHashesExpr(children.head)
+      })),
+    ((
+      FunctionIdentifier("lsh_buckets"),
+      new ExpressionInfo(classOf[graft.functions.LshBucketsExpr].getName,
+        "lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4 || children.length == 5,
+          "lsh_buckets(vec, tables, planes, dim[, seed])")
+        val t = intLit(children(1), "lsh_buckets", "tables").toInt
+        val p = intLit(children(2), "lsh_buckets", "planes").toInt
+        val d = intLit(children(3), "lsh_buckets", "dim").toInt
+        val seed = if (children.length == 5)
+          intLit(children(4), "lsh_buckets", "seed") else 42L
+        graft.functions.LshBucketsExpr(children.head, t, p, d,
+          graft.functions.Lsh.planesFor(t, p, d, seed).toIndexedSeq)
       })))
 }

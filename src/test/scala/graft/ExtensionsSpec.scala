@@ -187,4 +187,31 @@ class ExtensionsSpec extends AnyFunSuite {
     val firstHalf = s.count(_ <= 1000L)
     assert(firstHalf > 40 && firstHalf < 160, s"firstHalf=$firstHalf")
   }
+
+  test("bigram_hash_pairs / token_hashes / lsh_buckets callable from SQL; " +
+    "agree with the Scala column APIs") {
+    val r = spark.sql(
+      """SELECT bigram_hash_pairs(array('a', 'b', 'c')) AS bg,
+        |       token_hashes(array('a', 'b', 'c')) AS th,
+        |       lsh_buckets(array(0.5d, -0.25d), 3, 4, 2) AS lb,
+        |       xxhash64('a') AS ha, xxhash64('b') AS hb,
+        |       xxhash64('c') AS hc""".stripMargin).head()
+    val bg = r.getSeq[org.apache.spark.sql.Row](0)
+    val th = r.getSeq[Long](1)
+    val (ha, hb, hc) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(bg.map(x => (x.getLong(0), x.getLong(1))) ==
+      Seq((ha, hb), (hb, hc)))
+    assert(th == Seq(ha, hb, hc))
+    // SQL lsh_buckets == the Scala column API (same seeded planes)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val viaApi = Seq(Tuple1(Array(0.5, -0.25))).toDF("v")
+      .select(graft.functions.Lsh.buckets(col("v"), 3, 4, dim = 2))
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](2) == viaApi)
+    // wrong dim literal fails analysis loudly (the exact-length check)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_buckets(array(0.5d), 3, 4, 0)").collect()
+    }
+  }
 }
