@@ -41,6 +41,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      // TypedImperativeAggregate (KLL/CMS/HLL/reservoir/top-k) runs
+      // in ObjectHashAggregateExec, whose in-memory group cap
+      // defaults to 128 — the 129th distinct key per partition
+      // degrades the whole aggregate to sort-based, paying the full
+      // per-partition sort the aggregate exists to avoid (measured:
+      // the knn-graph top-k agg over 20k groups ran SLOWER than the
+      // window it replaced). 256k groups × the O(k)-bounded buffers
+      // these aggs keep (≤ ~400 B) is ~100 MB per task — well inside
+      // executor budget; beyond that the sort fallback is the
+      // memory-safe behavior and stays enabled.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (256 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
