@@ -748,4 +748,41 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
        |  TRUE AS union_ok, TRUE AS recall_ok, TRUE AS ranks_dense
        |FROM topk""".stripMargin
 
+  /** Corpus-wide kNN GRAPH, cost-routed
+    * ([[Similarity.knnGraphAuto]]): every vector's top-5 cosine
+    * neighbors. Below the [[Similarity.knnGraphRouteBrute]] boundary
+    * (brute n² vs descent ~2786·n dots, 1.2× hurdle — all harness
+    * SFs land here) the graph is EXACT and the oracle replays every
+    * row plus the routing decision from COUNT(*); above it the
+    * IVF-seeded NN-Descent tier takes over (linear candidate work —
+    * recall is data-dependent there by contract, pinned ≥ 0.9 on
+    * SimilaritySpec's planted-cluster fixture and documented as
+    * decaying on this harness's near-uniform synthetic vectors,
+    * where no linear-candidate method has locality to exploit). */
+  def knnGraphQ(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 5)
+  }
+
+  val knnGraphOracle: String =
+    """WITH sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |route AS (
+      |  SELECT CASE WHEN CAST(n AS DOUBLE) * CAST(n AS DOUBLE) <=
+      |      1.2 * (CAST(n AS DOUBLE) * (3.0 * 512.0 + 2.0 * 25.0 * 25.0))
+      |    THEN 'brute' ELSE 'descent' END AS route FROM sz),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))), 6) AS cos
+      |  FROM e q, e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cos, route
+      |FROM r, route WHERE rank <= 5""".stripMargin
+
 }

@@ -648,4 +648,58 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
       |    AS silhouette
       |FROM sil GROUP BY label""".stripMargin
 
+  /** Mutual-kNN clustering — the robust graph-clustering
+    * construction (an edge survives only if BOTH endpoints rank each
+    * other in their top-k, which strips the asymmetric hub edges
+    * that chain unrelated items through a "celebrity" vector):
+    * [[Similarity.knnGraphAuto]] top-4 graph → mutual-edge
+    * intersection → the shared connected-components operator →
+    * per-cluster report. At gate SFs the routed graph is EXACT, so
+    * the oracle replays the whole pipeline (top-4 per vertex, mutual
+    * filter, recursive closure) from the vectors; at scale the
+    * descent tier feeds the same mutual/CC stages (k-bounded edges —
+    * the mutual join and CC cost n·k rows regardless of route). */
+  def embMutualKnnClusters(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val fwd = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 4)
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    val mutual = fwd.filter(col("a") < col("b"))
+      .join(fwd.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
+    val comps = graft.operators.ConnectedComponents.components(mutual, "a", "b")
+    comps.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), min("id").as("min_vec"),
+        max("id").as("max_vec"))
+      .select(col("comp").as("cluster"), col("n_members"),
+        col("min_vec"), col("max_vec"))
+  }
+
+  val embMutualKnnClustersOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))), 6) AS cos
+      |  FROM e q, e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM s),
+      |fwd AS (SELECT query_id AS a, neighbor_id AS b FROM r WHERE rank <= 4),
+      |mutual AS (
+      |  SELECT f.a, f.b FROM fwd f
+      |  JOIN fwd g ON g.a = f.b AND g.b = f.a
+      |  WHERE f.a < f.b),
+      |edges AS (
+      |  SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual),
+      |reach(id, comp) AS (
+      |  SELECT a, a FROM edges
+      |  UNION
+      |  SELECT e2.a, r2.comp FROM edges e2 JOIN reach r2 ON e2.b = r2.id),
+      |comps AS (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id)
+      |SELECT comp AS cluster, COUNT(*) AS n_members,
+      |  MIN(id) AS min_vec, MAX(id) AS max_vec
+      |FROM comps GROUP BY comp""".stripMargin
+
 }

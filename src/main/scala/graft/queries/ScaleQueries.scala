@@ -1073,6 +1073,7 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("knn_ivf_full", knnIvfFull, Some(knnBruteOracle)),
     Q("knn_ivf_prebuilt", knnIvfPrebuilt, Some(knnIvfOracle)),
     Q("knn_ivf_incremental", knnIvfIncremental, Some(knnIvfIncrementalOracle)),
+    Q("knn_graph", knnGraphQ, Some(knnGraphOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_containment", textContainment, Some(textContainmentOracle)),
@@ -1080,6 +1081,8 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("dedup_survivorship", dedupSurvivorship, Some(dedupSurvivorshipOracle)),
     Q("dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle), bench = true),
     Q("text_vocabulary", textVocabulary, Some(textVocabularyOracle)),
+    Q("emb_mutual_knn_clusters", embMutualKnnClusters,
+      Some(embMutualKnnClustersOracle)),
     Q("emb_centroids", embCentroids, Some(embCentroidsOracle)),
     Q("emb_silhouette", embSilhouette, Some(embSilhouetteOracle)),
     Q("text_tfidf_cosine", tfidfCosinePairs, Some(tfidfCosineOracle)),

@@ -667,6 +667,13 @@ object Similarity {
     * definition so a routing fix can never diverge the paths. Input
     * must carry `query_id`/`queryv` (from [[prepped]]); all of the
     * input's columns pass through. */
+  /** Test-only alias of [[probedCells]] (PlanSpec builds the seed
+    * fragment outside this object). */
+  private[graft] def probedCellsForTest(index: IvfIndex,
+                                        preppedQueries: DataFrame,
+                                        nProbe: Int): DataFrame =
+    probedCells(index, preppedQueries, nProbe)
+
   private def probedCells(index: IvfIndex, preppedQueries: DataFrame,
                           nProbe: Int): DataFrame =
     probedCellsFromCenters(index.indexed.sparkSession,
@@ -928,6 +935,262 @@ object Similarity {
     * sf0.001/0.01/0.1/sf1 — 0.6 holds the floor with ≥ 0.06 margin
     * at every measured scale. */
   val knnAutoProbeFrac = 0.6
+
+  // ---- kNN graph (corpus-vs-corpus top-k) --------------------------------
+
+  /** Sizing for GRAPH mode, where the query side IS the corpus.
+    * The serving rules above probe a fixed FRACTION of the cells
+    * (recall lives on a |Q|-bounded side), but with |Q| = n a
+    * fractional probe is Θ(n²) candidate work. Graph mode instead
+    * pins cell OCCUPANCY to a constant (512 — the same target the
+    * LSH family sizes to) and probes a constant cell count:
+    * candidates per query ≈ nProbe·512 regardless of corpus size,
+    * so TOTAL candidate work is Θ(n) — the only shape that survives
+    * a 100 TB corpus-wide kNN-graph build. The seed graph this
+    * produces is deliberately cheap (its recall decays as the cell
+    * count leaves the floor — measured 0.45 at the sf1 soak);
+    * [[knnGraph]]'s NN-Descent rounds buy the recall back at
+    * k-bounded linear cost instead of paying for it with probes.
+    * Plain IEEE ceil/max so the DuckDB oracle replays both knobs
+    * from COUNT(*). */
+  def knnGraphParams(n: Long): IvfParams = {
+    val nList = math.max(8L, math.ceil(n.toDouble / 512.0).toLong)
+      .min(Int.MaxValue.toLong).toInt
+    IvfParams(nList, math.min(3, nList))
+  }
+
+  /** NN-Descent refinement rounds for [[knnGraph]] — fixed (never
+    * data-dependent: deterministic plans, oracle-replayable cost)
+    * because convergence is geometric (Dong et al., WWW'11: each
+    * round roughly squares the miss rate) and two rounds measured
+    * recall 0.45 → 0.99 at the sf1 soak. */
+  val knnGraphDescentRounds = 2
+
+  /** In-degree cap (as a multiple of k) on NN-Descent candidate
+    * propagation: a join of in-edges with out-edges through a shared
+    * vertex b generates in(b)·k pairs, and in(b) is unbounded (a
+    * "celebrity" vector near many others can sit in everyone's
+    * top-k, making one join key quadratic — the classic skew bomb).
+    * Keeping only each vertex's 4k best in-edges bounds every
+    * round at 4k²·n candidate pairs while losing almost nothing:
+    * propagation through a hub's 21st-best in-edge is exactly the
+    * low-signal path NN-Descent's sampling drops anyway. */
+  val knnGraphInDegreeCap = 4
+
+  /** Routing boundary for [[knnGraphAuto]], derived like
+    * [[knnAutoRoute]]'s: brute graph work is n² dot products,
+    * descent work ≈ (nProbe·512 seed + rounds·(5k)² descent)·n =
+    * 2786·n dots at k = 5 — descent must predict ≥ 1.2× fewer dots
+    * to win, so brute holds while n ≤ 1.2·2786 ≈ 3343 (evaluated as
+    * the IEEE-exact inequality below, never pre-solved, so the
+    * DuckDB oracle replays the same expression from COUNT(*)).
+    * The honest consequence (same shape as the knn router's
+    * one-shot-routes-brute finding): small corpora get the EXACT
+    * graph — approximation only ever buys something once n clears
+    * the seed's constant factor. */
+  def knnGraphRouteBrute(n: Long, k: Int): Boolean = {
+    val brute = n.toDouble * n.toDouble
+    val descent = n.toDouble * (3.0 * 512.0 +
+      knnGraphDescentRounds.toDouble * (5.0 * k).toDouble * (5.0 * k).toDouble)
+    brute <= 1.2 * descent
+  }
+
+  /** Exact corpus-wide kNN graph — the brute tier of
+    * [[knnGraphAuto]]: every vector against every other through the
+    * broadcast-queries nested loop of [[knnBrute]] (the corpus IS
+    * the query set; at the route boundary that broadcast is ≤ ~3k
+    * vectors — megabytes). */
+  def knnGraphBrute(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame =
+    knnBrute(emb, idCol, vecCol, emb, k)
+
+  /** Cost-routed corpus-wide kNN graph: the exact brute tier below
+    * [[knnGraphRouteBrute]]'s boundary, the IVF-seeded NN-Descent
+    * tier ([[knnGraph]]) above it. Output schema is identical in
+    * both regimes; a `route` column records the decision so the
+    * gate oracle can replay it from COUNT(*). */
+  def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                   seed: Long = 42L): DataFrame = {
+    val n = emb.count()
+    if (knnGraphRouteBrute(n, k))
+      knnGraphBrute(emb, idCol, vecCol, k).withColumn("route", lit("brute"))
+    else
+      knnGraph(emb, idCol, vecCol, k, seed).withColumn("route", lit("descent"))
+  }
+
+  /** Corpus-wide approximate kNN graph: every vector's top-k cosine
+    * neighbors — the operator behind graph-based clustering,
+    * mutual-kNN dedup, and hard-negative mining. Unlike the knn_*
+    * serving paths ([[ivfSearch]] broadcasts its query cells), BOTH
+    * sides here are corpus-sized, so nothing broadcasts; every stage
+    * is a shuffle join with per-key bounds.
+    *
+    * RECALL IS DATA-DEPENDENT — this tier's contract is linear cost,
+    * not a recall floor. On clustered embeddings (the production
+    * case: real text/image encoders put related items at cos ≥ 0.7
+    * in tight cells) the seed catches co-clustered neighbors and
+    * descent converges geometrically — SimilaritySpec pins recall
+    * ≥ 0.9 on a planted-cluster fixture. On the harness's SYNTHETIC
+    * fabric the vectors are near-uniform in 64 dims (measured mean
+    * top-1 cos ≈ 0.45 against a 0.0 random baseline — KnnGraphProbe)
+    * and there is provably no locality for ANY linear-candidate
+    * method to exploit: measured top-5 recall decays 0.85 → 0.37 as
+    * n grows 2k → 20k, rounds lifting the seed 0.29 → 0.37 at 20k.
+    * That decay is a property of unstructured data, not of the plan
+    * — which is why [[knnGraphAuto]] routes small corpora to the
+    * exact tier and this tier is the explicit
+    * approximate-by-contract scale path.
+    *
+    * Shape: IVF-SEEDED NN-DESCENT.
+    *  1. SEED — probed-cell shuffle join at [[knnGraphParams]]'s
+    *     constant-occupancy sizing: candidates per query ≈
+    *     nProbe·512, total Θ(n). The seed alone decays with corpus
+    *     size (constant probes over a growing cell count — 0.85 at
+    *     2k vectors, 0.45 at 20k), which is why no probe knob is
+    *     offered: buying recall with probes is the Θ(n²) direction.
+    *  2. DESCEND ([[knnGraphDescentRounds]] rounds) — neighbors of
+    *     neighbors: join the graph's in-edges (capped at
+    *     [[knnGraphInDegreeCap]]·k per vertex — see the skew note
+    *     there) with its out-edges through the shared vertex,
+    *     exact-score the ≤ 4k²·n new pairs, emit BOTH directions
+    *     (score once — reverse propagation is what lets a vertex the
+    *     seed stranded get found by its neighbors), and keep each
+    *     vertex's top-k of old ∪ new. Every round is k-bounded
+    *     linear work — recall is bought where it's cheap.
+    *
+    * All returned scores are exact cosines (the index and the
+    * descent only select candidates), ranks are dense per vertex,
+    * ties break on (cos desc, neighbor_id asc) everywhere.
+    *
+    * Degenerate corpora (a vector whose probed cells hold no other
+    * vector) would drop that vertex from the seed and the descent
+    * can't resurrect what has no edge at all; with 512-occupancy
+    * cells and the own-cell probe guarantee (a vector's nearest
+    * centroid is its own cell's) this requires a 3-cell-wide
+    * singleton island — certified per-run by the gate row's
+    * `vertices_ok` witness rather than assumed. */
+  /** per-group bounded top-k as a MERGEABLE AGGREGATE, never a
+    * window: the candidate fan-out is 1536 rows per vertex and a
+    * window must locally sort all of them (measured: the sorts, not
+    * the dot products, dominated this tier) — the aggregate keeps
+    * O(k) per group, combines map-side, and shuffles k rows/vertex */
+  private def graphTopK(df: DataFrame, scoreCol: String, kk: Int): DataFrame =
+    df.groupBy("query_id")
+      .agg(graft.functions.TopKByScore(col(scoreCol),
+        col("neighbor_id"), kk).as("top"))
+
+  /** The seed stage of [[knnGraph]], exposed un-checkpointed so
+    * PlanSpec can pin its shape (sq8-coded scoring, aggregate top-k,
+    * no window, no broadcast). `vt` is the narrow vertex table the
+    * exact re-rank joins on. */
+  private[graft] def knnGraphSeed(index: IvfIndex, qCells: DataFrame,
+                                  vt: DataFrame, k: Int): DataFrame = {
+    // SEED: shuffle join on cell — the neighbor side carries each
+    // vector once (its assigned cell), the query side nProbe times,
+    // so a directed pair appears at most once. The candidate scan
+    // runs on SQ8 CODES, not floats: 64 B int8 dots through the join
+    // and the top-4k selection (narrow rows, 4× cheaper scoring —
+    // the knnSq8 refine pattern, whose re-rank restores exact
+    // scores; sq8 top-20-of-1500 candidate selection measured
+    // recall-neutral at every SF).
+    import graft.functions.Sq8
+    val nCoded = index.indexed
+      .withColumn("nq", Sq8.encodeMaxAbs(col("neighborv")))
+      .withColumn("nqn", sqrt(Sq8.intDot(col("nq"), col("nq")).cast("double")))
+      .select("cell", "neighbor_id", "nq", "nqn")
+    val qCoded = qCells
+      .withColumn("qq", Sq8.encodeMaxAbs(col("queryv")))
+      .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
+      .select("cell", "query_id", "qq", "qqn")
+    val seedCand = graphTopK(
+      nCoded.join(qCoded, "cell")
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("qcos",
+          Sq8.intDot(col("qq"), col("nq")).cast("double") /
+            (col("qqn") * col("nqn"))),
+      "qcos", 4 * k)
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
+    graphTopK(
+      seedCand
+        .join(vt.select(col("vid").as("query_id"), col("vv").as("queryv"),
+          col("vn").as("querynorm")), "query_id")
+        .join(vt.select(col("vid").as("neighbor_id"), col("vv").as("neighborv"),
+          col("vn").as("neighbornorm")), "neighbor_id")
+        .withColumn("cos", pairCos("query", "neighbor")),
+      "cos", k)
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+        col("e.score").as("cos"))
+  }
+
+  def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+               seed: Long = 42L,
+               rounds: Int = knnGraphDescentRounds): DataFrame = {
+    val n = emb.count()
+    val p = knnGraphParams(n)
+    val index = ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
+    val q = prepped(emb, idCol, vecCol, "query")
+    val qCells = probedCells(index, q, p.nProbe)
+      .select("query_id", "queryv", "querynorm", "cell")
+    // vertex table for exact re-scoring (narrow: id, vector, norm —
+    // joined on 8-byte ids by the seed re-rank and every descent
+    // round)
+    val vt = q.select(col("query_id").as("vid"), col("queryv").as("vv"),
+      col("querynorm").as("vn")).localCheckpoint()
+    def topK(df: DataFrame, scoreCol: String, kk: Int): DataFrame =
+      graphTopK(df, scoreCol, kk)
+    // localCheckpoint: each descent round re-reads the graph twice
+    // (in-edge and out-edge sides) and the final select once more.
+    var g = knnGraphSeed(index, qCells, vt, k).localCheckpoint()
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy("neighbor_id")
+      .orderBy(col("cos").desc, col("query_id").asc)
+    (1 to rounds).foreach { _ =>
+      val inEdges = g
+        .withColumn("irank", row_number().over(capW))
+        .filter(col("irank") <= knnGraphInDegreeCap * k)
+        .select(col("query_id").as("src"), col("neighbor_id").as("via"))
+      val outEdges = g.select(col("query_id").as("via"),
+        col("neighbor_id").as("dst"))
+      // adjacency THROUGH each shared vertex, both orientations:
+      // path pairs (src→via→dst) AND co-neighbor pairs (src→via←dst
+      // — two vertices sharing an out-neighbor are usually near each
+      // other; in clustered corpora this is the highest-signal set,
+      // and NN-Descent's B[v] join covers it). in-edges are
+      // hub-capped, out-edges are k-bounded, so each via key emits
+      // ≤ (4k+k)² pairs — still Θ(n) per round.
+      val adj = inEdges.unionByName(
+        outEdges.select(col("dst").as("src"), col("via")))
+      val cand = adj.join(adj.select(col("src").as("dst"), col("via")), "via")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      val scored = cand
+        .join(vt.select(col("vid").as("src"), col("vv").as("srcv"),
+          col("vn").as("srcnorm")), "src")
+        .join(vt.select(col("vid").as("dst"), col("vv").as("dstv"),
+          col("vn").as("dstnorm")), "dst")
+        .withColumn("cos", pairCos("src", "dst"))
+        .select(col("src"), col("dst"), col("cos"))
+      val both = scored.select(col("src").as("query_id"),
+          col("dst").as("neighbor_id"), col("cos"))
+        .unionByName(scored.select(col("dst").as("query_id"),
+          col("src").as("neighbor_id"), col("cos")))
+      // old ∪ new may repeat a pair (same exact cos on every copy):
+      // the aggregate's id-dedup collapses them, so no extra
+      // groupBy exchange
+      g = topK(g.unionByName(both), "cos", k)
+        .select(col("query_id"), explode(col("top")).as("e"))
+        .select(col("query_id"), col("e.id").as("neighbor_id"),
+          col("e.score").as("cos"))
+        .localCheckpoint()
+    }
+    // final dense ranks from the aggregate's sorted output positions
+    stampIvfParams(
+      topK(g, "cos", k)
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("neighbor_id"), col("e.score").as("cos")), p)
+  }
 
   /** The knn router's cost model, exposed so the gate oracle can
     * replay the decision from COUNT(*): predicted dot-products of

@@ -418,4 +418,56 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 1,
       "word-stats join must broadcast")
   }
+
+  test("knn graph descent tier: top-k is a hash aggregate with a " +
+    "map-side partial, never a window sort; sq8 codes score the seed; " +
+    "no forced broadcast") {
+    // pin the SEED fragment directly (the operator checkpoints
+    // between stages, which truncates the returned df's visible
+    // plan; the gate row also routes brute at harness sizes — this
+    // pin guards the 100 TB path)
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val S = graft.scaleops.Similarity
+    val n = emb.count()
+    val gp = S.knnGraphParams(n)
+    val index = S.ivfBuild(emb, "vec_id", "embedding", gp.nList, 42L,
+      knownN = Some(n))
+    val q = emb.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), x => x.cast("double")).as("queryv"))
+      .withColumn("querynorm",
+        sqrt(graft.functions.ArrayDot(col("queryv"), col("queryv"))))
+    val qCells = S.probedCellsForTest(index, q, gp.nProbe)
+      .select("query_id", "queryv", "querynorm", "cell")
+    val vt = q.select(col("query_id").as("vid"), col("queryv").as("vv"),
+      col("querynorm").as("vn"))
+    val df = S.knnGraphSeed(index, qCells, vt, k = 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ObjectHashAggregate"),
+      s"top-k must run as an object hash aggregate:\n$p")
+    assert(p.contains("partial_topkbyscore"),
+      "top-k must combine map-side (partial aggregate)")
+    // the CANDIDATE top-k cuts must be aggregates; the only window
+    // allowed is centroid routing's nProbe-of-nList cell rank (k-row
+    // input per query, WindowGroupLimit-pruned)
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("qcos")),
+      "candidate fan-out sorted under a window instead of aggregated")
+    assert(p.contains("sq8intdot") || p.contains("sq8_intdot"),
+      "seed candidates must score on sq8 codes")
+    // no FORCED broadcast of corpus-sized relations: the code must
+    // leave join strategy to size estimation (Spark legitimately
+    // auto-broadcasts at the harness's tiny SFs and switches to
+    // shuffle joins at scale; an explicit broadcast() would pin the
+    // non-scalable choice). The one allowed hint is centroid
+    // routing's LocalRelation (nList rows on the driver by
+    // construction).
+    val hintedOverCorpus = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+        if !h.child.collectLeaves().forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) => h
+    }
+    assert(hintedOverCorpus.isEmpty,
+      s"corpus-sized relation under a broadcast hint:\n$hintedOverCorpus")
+  }
 }

@@ -884,4 +884,65 @@ class SimilaritySpec extends SparkSpec {
     val r2 = (hits(2) & brute).size
     assert(r2 >= r1, s"depth-2 recall $r2 < depth-1 $r1")
   }
+
+  /** Planted-cluster fixture for the kNN-graph descent tier: 24
+    * well-separated clusters of 50 points in 16 dims (in-cluster
+    * cos ≈ 0.97, cross-cluster ≈ random). This is the CLUSTERED
+    * regime the descent tier contracts for — unlike the harness's
+    * near-uniform synthetic vectors (see the knnGraph Scaladoc). */
+  private def clusteredEmb() = {
+    val rnd = new scala.util.Random(7L)
+    val centers = Array.fill(24)(Array.fill(16)(rnd.nextGaussian()))
+    (0 until 24).flatMap { c =>
+      (0 until 50).map { i =>
+        val v = centers(c).map(x => (x + 0.15 * rnd.nextGaussian()).toFloat)
+        ((c * 50 + i).toLong, v)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knnGraph descent tier: recall >= 0.9 on planted clusters, " +
+    "all vertices covered, ranks dense, scores exact") {
+    val emb = clusteredEmb().localCheckpoint()
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+      .localCheckpoint()
+    val exact = Similarity.knnBrute(emb, "vec_id", "embedding", emb, k = 5)
+      .localCheckpoint()
+    val nExact = exact.count()
+    val common = g.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id")).count()
+    val recall = common.toDouble / nExact
+    assert(recall >= 0.9, s"clustered-regime recall $recall < 0.9")
+    assert(g.select("query_id").distinct().count() == 1200L)
+    val ranks = g.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"),
+        count(lit(1)).as("c"))
+      .agg(min(col("mn") === 1 && col("mx") === col("c")))
+      .head().getBoolean(0)
+    assert(ranks, "per-vertex ranks not dense from 1")
+    // descent scores are exact cosines: every returned edge matches
+    // the brute edge set's score for the same pair
+    val mismatch = g.join(exact.withColumnRenamed("cos", "bcos")
+        .select("query_id", "neighbor_id", "bcos"),
+      Seq("query_id", "neighbor_id"))
+      .filter(col("cos") =!= col("bcos")).count()
+    assert(mismatch == 0L, s"$mismatch edges with non-exact scores")
+  }
+
+  test("knnGraphAuto: brute route below the dot-model boundary, " +
+    "row-identical to the exact graph; boundary replays the 1.2x hurdle") {
+    assert(Similarity.knnGraphRouteBrute(500L, 5))
+    assert(Similarity.knnGraphRouteBrute(2000L, 5))
+    assert(Similarity.knnGraphRouteBrute(3343L, 5)) // 1.2*2786 = 3343.2
+    assert(!Similarity.knnGraphRouteBrute(3344L, 5))
+    assert(!Similarity.knnGraphRouteBrute(20000L, 5))
+    val df = emb()
+    val auto = Similarity.knnGraphAuto(df, "vec_id", "embedding", k = 2)
+    assert(auto.select("route").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("brute"))
+    val exact = Similarity.knnGraphBrute(df, "vec_id", "embedding", k = 2)
+    assert(auto.drop("route").except(exact).isEmpty &&
+      exact.except(auto.drop("route")).isEmpty)
+  }
 }
