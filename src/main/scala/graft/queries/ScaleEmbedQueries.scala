@@ -464,11 +464,13 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
 
   /** INCREMENTAL SemDeDup ([[Similarity.semDedupPairsIncremental]])
     * — the daily-increment production path: the base corpus
-    * (vec_id % 5 ≠ 4, the [[dedupIncremental]] split) carries a
-    * frozen KMeans cell index (disk-memoized like the other prebuilt
-    * rows); today's batch (% 5 = 4) is assigned to the frozen
-    * centroids and only batch-touching pairs are searched — the
-    * quadratic stage is batch-bounded. Certified like
+    * (vec_id % bMod ≠ 4; bMod = max(5, n/500) keeps the batch a
+    * BOUNDED ~500-row increment at every SF — inert at sf ≤ 0.1,
+    * replayed from COUNT(*)) carries a frozen KMeans cell index
+    * (disk-memoized like the other prebuilt rows); today's batch
+    * (% bMod = 4) is assigned to the frozen centroids and only
+    * batch-touching pairs are searched — the quadratic stage is
+    * batch-bounded. Certified like
     * [[dedupSemantic]] on the deterministic id-hash sample, with the
     * exact twin RESTRICTED to batch-touching pairs (the
     * dedup_incremental pattern): `subset_ok` — every sampled
@@ -480,12 +482,22 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
     * run is spec-pinned (SimilaritySpec), not re-paid at the gate. */
   def dedupSemanticIncremental(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val base = emb.filter(col("vec_id") % 5 =!= 4)
-    val batch = emb.filter(col("vec_id") % 5 === 4)
+    // SF-INVARIANT batch (the m3 modulus pattern): a production
+    // increment is a bounded daily batch, not a corpus share — a
+    // %5 split made the "increment" 20% of the corpus, so the row's
+    // fan-out (|batch|·probes·occupancy) grew with n² across SFs
+    // (15.9 s at the sf1 soak). bMod = max(5, n/500) keeps the batch
+    // ≈ 500 rows at any scale, is inert at sf ≤ 0.1 (n ≤ 2000 ⇒
+    // bMod = 5, the old split exactly), and the oracle replays it
+    // from COUNT(*).
+    val nAll = emb.count()
+    val bMod = math.max(5L, nAll / 500L)
+    val base = emb.filter(col("vec_id") % bMod =!= 4)
+    val batch = emb.filter(col("vec_id") % bMod === 4)
     val nBase = base.count()
     val k = Similarity.semDedupDerivedK(nBase)
     val baseIndex = ivfLoadOrBuild(s, "target/ivf_index_sem_incr", d,
-      tag = s"k=$k")(
+      tag = s"k=$k,bMod=$bMod")(
       Similarity.ivfBuild(base, "vec_id", "embedding", k,
         knownN = Some(nBase)))
     val incrPairs = Similarity.semDedupPairsIncremental(baseIndex, batch,
@@ -495,7 +507,7 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
     val (sampled, permille) = embSample(emb, n)
     val exactS = Similarity.nearDupPairs(sampled, "vec_id", "embedding",
       threshold = 0.4)
-      .filter(col("a") % 5 === 4 || col("b") % 5 === 4)
+      .filter(col("a") % bMod === 4 || col("b") % bMod === 4)
       .localCheckpoint(eager = false) // twin feeds 2 consumers
     val keepFrac = lit(permille.toDouble / 1000.0)
     val incrS = incrPairs
@@ -504,7 +516,8 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
     val notInExact = incrS.join(exactS, Seq("a", "b", "cos"), "left_anti")
     val common = incrS.select("a", "b")
       .join(exactS.select("a", "b"), Seq("a", "b"))
-    val oldOld = incrPairs.filter(col("a") % 5 =!= 4 && col("b") % 5 =!= 4)
+    val oldOld = incrPairs.filter(col("a") % bMod =!= 4 &&
+      col("b") % bMod =!= 4)
     emb.agg(count(lit(1)).as("n_docs"))
       .crossJoin(base.agg(count(lit(1)).as("n_base")))
       .crossJoin(batch.agg(count(lit(1)).as("n_batch")))
@@ -523,17 +536,19 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
 
   val dedupSemanticIncrementalOracle: String =
     s"""WITH $embSampleCte,
+      |bm AS (
+      |  SELECT GREATEST(5, (SELECT COUNT(*) FROM embeddings) // 500) AS bmod),
       |p AS (
       |  SELECT a.vec_id AS a, b.vec_id AS b,
       |    ROUND(list_dot_product(a.v, b.v) /
       |      (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v))), 6) AS cos
       |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
       |SELECT (SELECT COUNT(*) FROM embeddings) AS n_docs,
-      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 <> 4) AS n_base,
-      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 4) AS n_batch,
+      |  (SELECT COUNT(*) FROM embeddings, bm WHERE vec_id % bmod <> 4) AS n_base,
+      |  (SELECT COUNT(*) FROM embeddings, bm WHERE vec_id % bmod = 4) AS n_batch,
       |  COUNT(*) AS n_exact_sampled, TRUE AS subset_ok, TRUE AS recall_ok,
       |  TRUE AS no_old_old
-      |FROM p WHERE cos >= 0.4 AND (a % 5 = 4 OR b % 5 = 4)""".stripMargin
+      |FROM p, bm WHERE cos >= 0.4 AND (a % bmod = 4 OR b % bmod = 4)""".stripMargin
 
   /** Per-label embedding centroids, one row per (label, dimension) —
     * class prototypes for nearest-centroid search / IVF seeding.

@@ -996,13 +996,29 @@ object Similarity {
   }
 
   /** Exact corpus-wide kNN graph — the brute tier of
-    * [[knnGraphAuto]]: every vector against every other through the
-    * broadcast-queries nested loop of [[knnBrute]] (the corpus IS
-    * the query set; at the route boundary that broadcast is ≤ ~3k
-    * vectors — megabytes). */
+    * [[knnGraphAuto]]: every vector against every other through a
+    * broadcast-queries nested loop (the corpus IS the query set; at
+    * the route boundary that broadcast is ≤ ~3k vectors —
+    * megabytes). Unlike [[knnBrute]] (|Q| ≤ tens, window cost
+    * negligible) the n² pair set here is millions of rows, so the
+    * scored pairs are PROJECTED NARROW before the top-k cut and the
+    * cut is the [[graphTopK]] aggregate — the window form dragged
+    * both 512-byte vector arrays through a 4M-row sort (measured
+    * 9 s at n = 2000; this shape ~1 s, output row-identical). */
   def knnGraphBrute(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame =
-    knnBrute(emb, idCol, vecCol, emb, k)
+                    k: Int): DataFrame = {
+    val q = broadcast(prepped(emb, idCol, vecCol, "query"))
+    val n = prepped(emb, idCol, vecCol, "neighbor")
+      .repartition(col("neighbor_id"))
+    val scored = n.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos("query", "neighbor").as("cos"))
+    graphTopK(scored, "cos", k)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
+  }
 
   /** Cost-routed corpus-wide kNN graph: the exact brute tier below
     * [[knnGraphRouteBrute]]'s boundary, the IVF-seeded NN-Descent
