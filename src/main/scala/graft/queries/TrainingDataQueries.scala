@@ -267,9 +267,10 @@ object TrainingDataQueries {
       |  CAST(SUM(sq_micros) AS BIGINT) AS sum_sq FROM c),
       |plan AS (
       |  SELECT source, n_s, sq_micros,
-      |    ((n_total // 2) * 1 * sq_micros) // sum_sq AS t_target,
-      |    LEAST(1000, (1000 * (((n_total // 2) * 1 * sq_micros) // sum_sq))
-      |      // n_s) AS permille
+      |    CAST(((CAST(n_total AS HUGEINT) // 2) * 1 * sq_micros) // sum_sq
+      |      AS BIGINT) AS t_target,
+      |    CAST(LEAST(1000, (1000 * (((CAST(n_total AS HUGEINT) // 2) * 1
+      |      * sq_micros) // sum_sq)) // n_s) AS BIGINT) AS permille
       |  FROM c, t),
       |kept AS (
       |  SELECT d.source, d.doc_id, d.n_chars

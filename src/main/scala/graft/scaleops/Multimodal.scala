@@ -133,12 +133,17 @@ object Multimodal {
     * whitespace/`#`-comment-separated width, height, maxval, then ONE
     * whitespace byte before the raw samples. Returns
     * (isRgb, w, h, maxval, dataOffset). */
-  private[graft] def pnmHeader(p: Array[Byte])
+  /** Parse a binary-PNM header starting at `off` (an offset
+    * parameter, not a sliced copy — the multi-frame walk probes a
+    * header per frame and slicing the whole remainder each time is
+    * O(frames²) bytes of memcpy). The returned data offset is
+    * RELATIVE to `off`. */
+  private[graft] def pnmHeader(p: Array[Byte], off: Int = 0)
       : Option[(Boolean, Int, Int, Int, Int)] = {
-    if (p.length < 7 || p(0) != 'P'.toByte ||
-      (p(1) != '5'.toByte && p(1) != '6'.toByte)) return None
+    if (p.length - off < 7 || p(off) != 'P'.toByte ||
+      (p(off + 1) != '5'.toByte && p(off + 1) != '6'.toByte)) return None
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
-    var i = 2
+    var i = off + 2
     val vals = new Array[Int](3)
     var vi = 0
     while (vi < 3) {
@@ -158,7 +163,7 @@ object Multimodal {
     }
     if (i >= p.length || !isWs(p(i))) return None // single ws before data
     if (vals(0) <= 0 || vals(1) <= 0 || vals(2) <= 0) return None
-    Some((p(1) == '6'.toByte, vals(0), vals(1), vals(2), i + 1))
+    Some((p(off + 1) == '6'.toByte, vals(0), vals(1), vals(2), i + 1 - off))
   }
 
   private[graft] def parsePnm(p: Array[Byte]): Option[(Int, Int, Int)] =
@@ -393,17 +398,21 @@ object Multimodal {
     var idx = 0
     var ok = true
     while (ok && off < p.length) {
-      val slice = java.util.Arrays.copyOfRange(p, off, p.length)
-      pnmHeader(slice) match {
+      // header probed in place (offset parse, no remainder copy) and
+      // frame length computed in LONG: a corrupt header claiming
+      // w·h·ch ≥ 2³¹ would wrap an Int negative, slip past the bounds
+      // guard, and crash copyOfRange instead of stopping the walk
+      pnmHeader(p, off) match {
         case Some((rgb, w, h, maxval, dataOff)) if maxval <= 255 =>
           val ch = if (rgb) 3 else 1
-          val frameLen = dataOff + w * h * ch
+          val frameLen = dataOff.toLong + w.toLong * h.toLong * ch
           if (off + frameLen > p.length) ok = false
           else {
-            val frame = java.util.Arrays.copyOfRange(p, off, off + frameLen)
+            val frame = java.util.Arrays.copyOfRange(p, off,
+              off + frameLen.toInt)
             dHash56(frame).foreach(h => out += ((idx, h)))
             idx += 1
-            off += frameLen
+            off += frameLen.toInt
           }
         case _ => ok = false
       }
@@ -488,17 +497,28 @@ object Multimodal {
     var dataLen = 0
     while (i + 8 <= p.length) {
       val id = new String(p.slice(i, i + 4))
-      val size = le32(p, i + 4).toInt
-      if (id == "fmt " && i + 24 <= p.length) {
-        val audioFormat = le16(p, i + 8)
-        val channels = le16(p, i + 10)
-        val bits = le16(p, i + 22)
-        fmtOk = audioFormat == 1 && channels == 1 && bits == 8
-      } else if (id == "data") {
-        dataOff = i + 8
-        dataLen = size
+      // chunk size is UNSIGNED 32-bit: keep it Long — a corrupt size
+      // in [2^31, 2^32) cast to Int goes negative and the walk's
+      // step `8 + size + pad` becomes ≤ 0, re-reading the same chunk
+      // forever (one bad clip would wedge the executor task). A size
+      // that can't fit in the remaining payload is equally corrupt:
+      // stop the walk, the validity checks below reject the file.
+      val size = le32(p, i + 4)
+      if (size > p.length.toLong - i - 8) {
+        i = p.length // corrupt chunk: terminate the walk
+      } else {
+        val sz = size.toInt
+        if (id == "fmt " && i + 24 <= p.length) {
+          val audioFormat = le16(p, i + 8)
+          val channels = le16(p, i + 10)
+          val bits = le16(p, i + 22)
+          fmtOk = audioFormat == 1 && channels == 1 && bits == 8
+        } else if (id == "data") {
+          dataOff = i + 8
+          dataLen = sz
+        }
+        i += 8 + sz + (sz & 1)
       }
-      i += 8 + size + (size & 1)
     }
     if (!fmtOk || dataOff < 0 || dataOff + dataLen > p.length ||
       dataLen <= 0) None

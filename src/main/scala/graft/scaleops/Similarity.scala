@@ -1031,7 +1031,8 @@ object Similarity {
     if (knnGraphRouteBrute(n, k))
       knnGraphBrute(emb, idCol, vecCol, k).withColumn("route", lit("brute"))
     else
-      knnGraph(emb, idCol, vecCol, k, seed).withColumn("route", lit("descent"))
+      knnGraph(emb, idCol, vecCol, k, seed, knownN = Some(n))
+        .withColumn("route", lit("descent"))
   }
 
   /** Corpus-wide approximate kNN graph: every vector's top-k cosine
@@ -1141,8 +1142,10 @@ object Similarity {
 
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                seed: Long = 42L,
-               rounds: Int = knnGraphDescentRounds): DataFrame = {
-    val n = emb.count()
+               rounds: Int = knnGraphDescentRounds,
+               knownN: Option[Long] = None): DataFrame = {
+    // routed callers already counted the corpus — don't re-scan it
+    val n = knownN.getOrElse(emb.count())
     val p = knnGraphParams(n)
     val index = ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
     val q = prepped(emb, idCol, vecCol, "query")
@@ -1320,7 +1323,12 @@ object Similarity {
     val spark = emb.sparkSession
     val n = emb.count()
     val nQ = queries.count()
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    // empty corpus: nothing to route over — head() on the dim probe
+    // would throw; brute over an empty corpus returns the correctly-
+    // shaped empty result below (knnAutoRoute(0,…) is brute: 0 ≤ 1.2·0)
+    val dim =
+      if (n == 0) 0
+      else emb.select(size(col(vecCol))).head().getInt(0)
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val route = knnAutoRoute(n, nQ, reuse, p, dim)
     // `reuse` > 1 MEANS the index outlives this call — `indexDir` is
@@ -1340,6 +1348,22 @@ object Similarity {
           java.nio.file.Files.readString(stamp.toPath) == tag)
           ivfLoad(spark, dir)
         else {
+          // the PQ artifacts are pure functions of (index, corpus):
+          // a rebuilt index MUST invalidate them with it, or the
+          // _SUCCESS-only checks below would happily feed a stale
+          // codebook/codes from the old corpus to the new index
+          // (same sibling-invalidation rule as the gate's
+          // ivfLoadOrBuild)
+          for (name <- Seq("pq_cb", "pq_codes")) {
+            val f = new java.io.File(s"$dir/$name")
+            if (f.exists) {
+              def rm(x: java.io.File): Unit = {
+                if (x.isDirectory) x.listFiles.foreach(rm)
+                x.delete(); ()
+              }
+              rm(f)
+            }
+          }
           val idx = ivfBuild(emb, idCol, vecCol, p.nList, seed,
             knownN = Some(n))
           new java.io.File(dir).mkdirs()

@@ -423,10 +423,12 @@ object TrainingData {
     * Every derived quantity is INTEGER arithmetic so the SQL oracle
     * replays the whole derivation bit-for-bit: √n_s floor-quantizes
     * to micros immediately (sqrt is correctly rounded in both
-    * engines; the product is exact below 2⁵³, i.e. to n_s ≈ 8·10¹³
-    * rows per source), target counts and keep permilles are integer
-    * div, and the row-level keep is the [[mixtureKeep]] id-hash rule
-    * at permille/1000. One tiny aggregate + a broadcast join + a
+    * engines; the double product feeding the floor is exact below
+    * 2⁵³, i.e. to n_s ≈ 8·10¹³ rows per source), the target product
+    * runs in DECIMAL(38,0) / HUGEINT (≈ 5·10⁵·n^1.5 — BIGINT alone
+    * overflows once a dominant source passes ~7·10⁸ rows), keep
+    * permilles are integer div, and the row-level keep is the
+    * [[mixtureKeep]] id-hash rule at permille/1000. One tiny aggregate + a broadcast join + a
     * pure map filter — no corpus shuffle at any scale. Returns
     * (kept docs, per-source plan) — the plan is the audit artifact
     * (n_s, sq_micros, target, permille). */
@@ -440,11 +442,21 @@ object TrainingData {
         .cast("long"))
     val tot = sq.agg(sum(col("n_s")).as("n_total"),
       sum(col("sq_micros")).as("sum_sq"))
+    // the (n_total/den)·num·sq_micros product overflows BIGINT once a
+    // dominant source passes ~7·10⁸ rows (sq_micros ≈ 10⁶·√n_s) —
+    // exactly the scale this operator exists for. Route the product
+    // through DECIMAL(38,0): exact integer arithmetic to 10³⁸
+    // (≈ 5·10⁵·n^1.5 stays under that beyond 10¹² docs), identical
+    // values wherever BIGINT didn't overflow, and `div` on decimals
+    // returns BIGINT. The oracle replays the same widening in
+    // HUGEINT.
     val plan = sq.crossJoin(broadcast(tot))
       .withColumn("t_target", expr(
-        s"(n_total div $targetDen) * $targetNum * sq_micros div sum_sq"))
+        s"(cast(n_total div $targetDen as decimal(38,0)) * $targetNum" +
+          ") * sq_micros div sum_sq"))
       .withColumn("permille",
-        least(lit(1000L), expr("1000 * t_target div n_s")))
+        least(lit(1000L),
+          expr("1000 * cast(t_target as decimal(38,0)) div n_s")))
       .select(col(groupCol), col("n_s"), col("sq_micros"),
         col("t_target"), col("permille"))
     val kept = docs.join(broadcast(plan.select(col(groupCol),

@@ -94,10 +94,11 @@ object Avro {
     val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dPath)) fs.delete(dPath, true)
     fs.mkdirs(dPath)
+    val confEntries = hadoopConfEntries(spark)
     val n = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       val schema = new Schema.Parser().parse(schemaJson)
       val part = new Path(s"$dir/part-$idx.avro")
-      val pfs = part.getFileSystem(new Configuration())
+      val pfs = part.getFileSystem(confFrom(confEntries))
       val out = pfs.create(part, true)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
@@ -138,7 +139,8 @@ object Avro {
     val files = fs.listStatus(dPath).map(_.getPath)
       .filter(_.getName.endsWith(".avro")).map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")
-    val header = openReader(files.head)
+    val confEntries = hadoopConfEntries(spark)
+    val header = openReader(files.head, confFrom(confEntries))
     val avroSchema = header.getSchema
     header.close()
     val st = structFor(avroSchema)
@@ -148,9 +150,19 @@ object Avro {
       .parallelize(files.toSeq, files.length)
       .flatMap { f =>
         val expected = new Schema.Parser().parse(schemaJson)
-        val reader = openReader(f, expected)
+        val reader = openReader(f, confFrom(confEntries), expected)
+        // close exactly once, whether the iterator drains (hasNext
+        // false), the consumer stops early (LIMIT — the task
+        // completion listener fires), or both; a re-polled hasNext
+        // after exhaustion must return false, not touch a closed
+        // stream
+        var closed = false
+        def safeClose(): Unit = if (!closed) { closed = true; reader.close() }
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => safeClose())
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def hasNext: Boolean =
+            !closed && { val h = reader.hasNext; if (!h) safeClose(); h }
           def next(): Row = {
             val rec = reader.next()
             Row.fromSeq(fieldTypes.indices.map { i =>
@@ -172,10 +184,28 @@ object Avro {
     spark.createDataFrame(rdd, st)
   }
 
-  private def openReader(path: String, expected: Schema = null)
+  /** The session's Hadoop configuration as a serializable entry list
+    * — executor tasks must see the SAME conf the driver listed files
+    * with (credentials, custom schemes); a bare `new Configuration()`
+    * on the executor would silently drop every session setting. */
+  private def hadoopConfEntries(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.result()
+  }
+
+  private def confFrom(entries: Array[(String, String)]): Configuration = {
+    val c = new Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def openReader(path: String, conf: Configuration,
+                         expected: Schema = null)
       : DataFileReader[GenericRecord] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val status = fs.getFileStatus(p)
     val in = fs.open(p)
     val seekable = new org.apache.avro.file.SeekableInput {

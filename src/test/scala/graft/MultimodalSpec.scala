@@ -327,6 +327,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.multiPgmFrameHashes(cut).map(_._1) == Seq(0, 1))
   }
 
+  test("corrupt containers terminate, never hang or crash: WAV chunk " +
+    "size past the payload, PGM dims overflowing Int") {
+    // WAV whose first chunk claims an unsigned size in [2^31, 2^32):
+    // the old Int cast made the walk's step <= 0 (infinite loop)
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    bb.put("junk".getBytes).putInt(0xFFFFFFF7) // unsigned 4294967287
+    assert(Multimodal.wavPcm8Mono(bb.array()).isEmpty) // returns, no hang
+    // PGM header claiming w*h ~ 2.1e9 (wraps Int negative): the walk
+    // must stop cleanly, not throw from copyOfRange
+    val evil = "P5 46341 46341 255\n".getBytes ++ Array.fill[Byte](64)(7)
+    assert(Multimodal.multiPgmFrameHashes(evil).isEmpty)
+    // and a valid frame BEFORE the corrupt one is still returned
+    def pix(p: Int): Int = (p * 31) % 256
+    val good = Multimodal.makeGrayPgm(16, 16, pix)
+    assert(Multimodal.multiPgmFrameHashes(good ++ evil).map(_._1) == Seq(0))
+  }
+
   test("video near-dup: banded aligned-frame pairs equal brute; " +
     "frame-0-patched twins match on all frames") {
     def pix(seed: Long, patched: Boolean)(f: Int, p: Int): Int =
