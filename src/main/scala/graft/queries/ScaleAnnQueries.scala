@@ -574,6 +574,32 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     loaded
   }
 
+  /** Disk memo for a derived DataFrame (the [[ivfLoadOrBuild]]
+    * discipline for plain parquet artifacts, e.g. the standing kNN
+    * graph an incremental update extends): same source-fingerprint +
+    * tag staleness rule, rebuild on mismatch. */
+  protected def dfLoadOrBuild(s: SparkSession, baseDir: String, d: String,
+                              tag: String = "")
+                             (build: => DataFrame): DataFrame = {
+    val dir = ivfMemoDir(baseDir, d)
+    val src = new java.io.File(s"$d/embeddings.parquet")
+    val srcFiles =
+      if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
+    val fingerprint = (srcFiles
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}") :+ tag)
+      .mkString("\n")
+    val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
+    val fresh = new java.io.File(s"$dir/df/_SUCCESS").exists &&
+      stampFile.exists &&
+      java.nio.file.Files.readString(stampFile.toPath) == fingerprint
+    if (!fresh) {
+      build.write.mode("overwrite").parquet(s"$dir/df")
+      new java.io.File(dir).mkdirs()
+      java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
+    }
+    s.read.parquet(s"$dir/df")
+  }
+
   def knnIvfPrebuilt(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
@@ -763,6 +789,63 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     val emb = t(s, d, "embeddings")
     Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 5)
   }
+
+  /** INCREMENTAL kNN-graph maintenance
+    * ([[Similarity.knnGraphAddBatch]]): the standing graph over the
+    * base corpus (vec_id % bMod ≠ 4, bMod = max(5, n/500) — the
+    * bounded-increment modulus of [[dedupSemanticIncremental]];
+    * disk-memoized like the other prebuilt rows) is extended by
+    * today's batch without a corpus-wide rebuild. The update is
+    * exact by construction, so with the base graph on its brute
+    * route (all gate SFs) the output EQUALS the full exact graph
+    * over base ∪ batch — the oracle replays every row of it plus
+    * both derivations from COUNT(*). */
+  def knnGraphIncremental(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val n = emb.count()
+    val bMod = math.max(5L, n / 500L)
+    val base = emb.filter(col("vec_id") % bMod =!= 4)
+    val batch = emb.filter(col("vec_id") % bMod === 4)
+    val baseGraph = dfLoadOrBuild(s, "target/knn_graph_base", d,
+      tag = s"bMod=$bMod,k=5")(
+      Similarity.knnGraphAuto(base, "vec_id", "embedding", k = 5)
+        .select("query_id", "neighbor_id", "cos"))
+    val nBase = n - batch.count()
+    val baseRoute =
+      if (Similarity.knnGraphRouteBrute(nBase, 5)) "brute" else "descent"
+    Similarity.knnGraphAddBatch(baseGraph, base, batch,
+      "vec_id", "embedding", k = 5)
+      .withColumn("base_route", lit(baseRoute))
+      .withColumn("batch_mod", lit(bMod))
+  }
+
+  val knnGraphIncrementalOracle: String =
+    """WITH sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |bm2 AS (SELECT GREATEST(5, n // 500) AS bmod, n FROM sz),
+      |nb AS (
+      |  SELECT bmod,
+      |    (SELECT COUNT(*) FROM embeddings, bm2 WHERE vec_id % bmod <> 4)
+      |      AS n_base
+      |  FROM bm2),
+      |route AS (
+      |  SELECT bmod, CASE WHEN CAST(n_base AS DOUBLE) * CAST(n_base AS DOUBLE)
+      |      <= 1.2 * (CAST(n_base AS DOUBLE) * (3.0 * 512.0 + 2.0 * 25.0 * 25.0))
+      |    THEN 'brute' ELSE 'descent' END AS base_route FROM nb),
+      |e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(q.v, e.v) /
+      |      (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(e.v, e.v))), 6) AS cos
+      |  FROM e q, e WHERE e.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, neighbor_id, cos, base_route,
+      |  CAST(bmod AS BIGINT) AS batch_mod
+      |FROM r, route WHERE rank <= 5""".stripMargin
 
   val knnGraphOracle: String =
     """WITH sz AS (SELECT COUNT(*) AS n FROM embeddings),

@@ -1074,6 +1074,8 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("knn_ivf_prebuilt", knnIvfPrebuilt, Some(knnIvfOracle)),
     Q("knn_ivf_incremental", knnIvfIncremental, Some(knnIvfIncrementalOracle)),
     Q("knn_graph", knnGraphQ, Some(knnGraphOracle)),
+    Q("knn_graph_incremental", knnGraphIncremental,
+      Some(knnGraphIncrementalOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_containment", textContainment, Some(textContainmentOracle)),

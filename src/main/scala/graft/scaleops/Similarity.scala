@@ -1025,6 +1025,58 @@ object Similarity {
     * tier ([[knnGraph]]) above it. Output schema is identical in
     * both regimes; a `route` column records the decision so the
     * gate oracle can replay it from COUNT(*). */
+  /** Incremental kNN-graph maintenance — the daily-increment path of
+    * [[knnGraphAuto]] (the [[ivfAddBatch]] discipline applied to the
+    * graph): given the standing graph over the base corpus and a
+    * BOUNDED batch of new vectors, produce the updated graph over
+    * base ∪ batch without re-running the corpus-wide build.
+    *
+    * The update is EXACT BY CONSTRUCTION relative to its inputs:
+    *  - a batch vertex's top-k is scored exhaustively against
+    *    base ∪ batch (the batch side broadcasts — it is bounded by
+    *    contract, kilobytes of vectors; the corpus side streams);
+    *  - a base vertex's top-k can only change through batch vectors
+    *    (the rest of the corpus didn't move), and every (base, batch)
+    *    pair is in the same exhaustive cross — merging those reversed
+    *    edges into the vertex's standing edges and re-cutting top-k
+    *    considers every possible displacement.
+    * Hence: exact base graph in ⇒ exact updated graph out (≡ the
+    * brute graph over base ∪ batch, spec-pinned); descent-tier base
+    * graph in ⇒ the update preserves the base tier's approximation
+    * and adds NO new approximation. Cost is |batch|·(n+|batch|) dots
+    * — linear in the corpus for a bounded batch, cheaper than even
+    * one descent rebuild (2786·n) whenever |batch| < ~2786. */
+  def knnGraphAddBatch(baseGraph: DataFrame, base: DataFrame,
+                       batch: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val bQ = prepped(batch, idCol, vecCol, "query")
+    val allN = prepped(base, idCol, vecCol, "neighbor")
+      .unionByName(prepped(batch, idCol, vecCol, "neighbor"))
+    // exhaustive batch-vs-everything scoring, projected narrow;
+    // checkpointed because it feeds both the new-vertex top-k and
+    // the reversed merge below
+    val cross = allN.crossJoin(broadcast(bQ))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        pairCos("query", "neighbor").as("cos"))
+      .localCheckpoint()
+    val newV = graphTopK(cross, "cos", k)
+    // reversed edges give base vertices their batch candidates; a
+    // reversed row whose query is itself a batch vector is already
+    // covered exhaustively above — drop it
+    val rev = cross.select(col("neighbor_id").as("query_id"),
+        col("query_id").as("neighbor_id"), col("cos"))
+      .join(broadcast(bQ.select(col("query_id"))), Seq("query_id"),
+        "left_anti")
+    val updated = graphTopK(
+      baseGraph.select("query_id", "neighbor_id", "cos").unionByName(rev),
+      "cos", k)
+    newV.unionByName(updated)
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cos"))
+  }
+
   def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                    seed: Long = 42L): DataFrame = {
     val n = emb.count()

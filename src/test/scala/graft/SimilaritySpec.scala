@@ -930,6 +930,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0L, s"$mismatch edges with non-exact scores")
   }
 
+  test("knnGraphAddBatch: exact base graph in => updated graph equals " +
+    "the brute graph over base ∪ batch; empty batch is identity") {
+    val rnd = new scala.util.Random(31L)
+    val all = (0L until 300L)
+      .map(i => (i, Array.fill(12)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val base = all.filter(col("vec_id") % 5 =!= 4).localCheckpoint()
+    val batch = all.filter(col("vec_id") % 5 === 4).localCheckpoint()
+    val baseGraph = Similarity.knnGraphBrute(base, "vec_id", "embedding", 4)
+      .select("query_id", "neighbor_id", "cos")
+    val incr = Similarity.knnGraphAddBatch(baseGraph, base, batch,
+      "vec_id", "embedding", 4)
+    val full = Similarity.knnGraphBrute(all, "vec_id", "embedding", 4)
+    assert(incr.except(full).isEmpty && full.except(incr).isEmpty,
+      "incremental update must equal the full exact graph")
+    // empty batch: the update degenerates to the base graph
+    val empty = batch.limit(0)
+    val same = Similarity.knnGraphAddBatch(baseGraph, base, empty,
+      "vec_id", "embedding", 4).select("query_id", "neighbor_id", "cos")
+    assert(same.except(baseGraph).isEmpty && baseGraph.except(same).isEmpty)
+  }
+
   test("knnGraphAuto: brute route below the dot-model boundary, " +
     "row-identical to the exact graph; boundary replays the 1.2x hurdle") {
     assert(Similarity.knnGraphRouteBrute(500L, 5))
