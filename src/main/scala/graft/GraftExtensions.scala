@@ -160,6 +160,18 @@ object GraftExtensions {
         WordShingles(children.head, k)
       })),
     ((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[graft.functions.TopKByScore].getName,
+        "topk_by_score"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "topk_by_score(score, id, k) takes 3 arguments")
+        val k = intLit(children(2), "topk_by_score", "k")
+        require(k > 0 && k <= 1024, s"topk_by_score: bad k $k")
+        graft.functions.TopKByScore(children(0), children(1), k.toInt)
+          .toAggregateExpression()
+      })),
+    ((
       FunctionIdentifier("bigram_hash_pairs"),
       new ExpressionInfo(classOf[graft.functions.BigramHashPairsExpr].getName,
         "bigram_hash_pairs"),

@@ -214,4 +214,17 @@ class ExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT lsh_buckets(array(0.5d), 3, 4, 0)").collect()
     }
   }
+
+  test("topk_by_score callable from SQL as a grouped aggregate") {
+    val rows = spark.sql(
+      """SELECT g, topk_by_score(s, id, 2) AS top FROM VALUES
+        |  (1, 10L, 0.5d), (1, 11L, 0.9d), (1, 12L, 0.7d),
+        |  (2, 20L, 0.1d)
+        |AS t(g, id, s) GROUP BY g ORDER BY g""".stripMargin).collect()
+    val g1 = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(e => (e.getLong(0), e.getDouble(1)))
+    assert(g1 == Seq((11L, 0.9), (12L, 0.7)))
+    assert(rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(_.getLong(0)) == Seq(20L))
+  }
 }
