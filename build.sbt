@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// No "[success] Total time: …" trailer after a runMain: the bench
+// driver parses the LAST stdout line as JSON, and sbt's success line
+// displaced it in r9-r11 (exit codes are unaffected by this setting).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Forked runMain output goes STRAIGHT to stdout instead of through
+// sbt's logger — no "[info] " prefix on the bench JSON line.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

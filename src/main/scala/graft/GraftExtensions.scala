@@ -168,7 +168,14 @@ object GraftExtensions {
           "topk_by_score(score, id, k) takes 3 arguments")
         val k = intLit(children(2), "topk_by_score", "k")
         require(k > 0 && k <= 1024, s"topk_by_score: bad k $k")
-        graft.functions.TopKByScore(children(0), children(1), k.toInt)
+        // coerce like the Scala Column apply (which casts both args):
+        // update() reads the buffer as (Double, Long), so an uncast
+        // INT id or FLOAT/DECIMAL score from SQL would CCE mid-job
+        graft.functions.TopKByScore(
+          org.apache.spark.sql.catalyst.expressions.Cast(children(0),
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(children(1),
+            org.apache.spark.sql.types.LongType), k.toInt)
           .toAggregateExpression()
       })),
     ((

@@ -51,6 +51,12 @@ object Sessions {
       // these aggs keep (≤ ~400 B) is ~100 MB per task — well inside
       // executor budget; beyond that the sort fallback is the
       // memory-safe behavior and stays enabled.
+      // CONSTRAINT (session-global setting): the ~400 B sizing holds
+      // for top-k/sketch buffers but NOT for reservoir_sample with a
+      // large k grouped by a high-cardinality key (k·16 B per group ×
+      // 256k groups can exceed task memory before the sort fallback
+      // engages). Grouped reservoir use keeps k ≤ ~1k or lowers this
+      // threshold per-query via .config on a derived session.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (256 * 1024).toString)
       .getOrCreate()

@@ -127,19 +127,31 @@ object TopKByScore {
     }
 
     def insert(s: Double, id: Long, k: Int): Unit = {
-      // find insertion point; bail on duplicate id (same id ⇒ same
-      // score for every caller — dedup is lossless)
+      // find insertion point; a duplicate id ordering BEFORE the new
+      // entry carries a ≥ score — keep it (same id ⇒ same score for
+      // every caller, so this dedup is lossless under the contract)
       var i = 0
       while (i < size && before(scores(i), ids(i), s, id)) {
         if (ids(i) == id) return
         i += 1
       }
       if (i >= k) return
-      // duplicate may also sit at/after the insertion point
+      // a duplicate at/after the insertion point orders AFTER the new
+      // entry (< score): REPLACE-IF-BETTER — remove the stale copy and
+      // fall through to the insert. Under the equal-score contract
+      // this is a no-op-equivalent; under a contract violation it
+      // makes the result order-independent (max score survives)
+      // instead of silently depending on partial-merge order.
       var j = i
       while (j < size) {
-        if (ids(j) == id) return
-        j += 1
+        if (ids(j) == id) {
+          var m = j
+          while (m + 1 < size) {
+            scores(m) = scores(m + 1); ids(m) = ids(m + 1); m += 1
+          }
+          size -= 1
+          j = size
+        } else j += 1
       }
       val last = math.min(size, k - 1)
       var m = last

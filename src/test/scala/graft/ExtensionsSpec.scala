@@ -227,4 +227,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).getSeq[org.apache.spark.sql.Row](1)
       .map(_.getLong(0)) == Seq(20L))
   }
+
+  test("topk_by_score SQL surface coerces int ids and float/decimal " +
+    "scores (no mid-job ClassCastException)") {
+    val got = spark.sql(
+      """SELECT topk_by_score(s, id, 2) AS top FROM VALUES
+        |  (CAST(0.5 AS FLOAT), 1), (CAST(0.9 AS DECIMAL(3,2)), 2),
+        |  (CAST(0.7 AS FLOAT), 3) AS t(s, id)""".stripMargin)
+      .selectExpr("explode(top.id)").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L))
+  }
 }

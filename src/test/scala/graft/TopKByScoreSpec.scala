@@ -59,6 +59,23 @@ class TopKByScoreSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L, 1L))
   }
 
+  test("contract violation (same id, different scores) resolves to max " +
+    "score regardless of arrival/merge order") {
+    // feed the raw aggregate WITHOUT the equal-score pre-collapse:
+    // replace-if-better must keep 0.9 for id 10 under every
+    // partitioning (arrival order varies with partition count)
+    val rows = Seq((1L, 10L, 0.2), (1L, 10L, 0.9), (1L, 10L, 0.5),
+      (1L, 11L, 0.7), (1L, 12L, 0.1))
+    for (parts <- Seq(1, 3, 5)) {
+      val got = rows.toDF("g", "id", "s").repartition(parts).groupBy("g")
+        .agg(TopKByScore(col("s"), col("id"), 2).as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.id"), col("e.score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == Seq((10L, 0.9), (11L, 0.7)), s"parts=$parts")
+    }
+  }
+
   test("k bound enforced") {
     intercept[IllegalArgumentException] {
       TopKByScore(lit(1.0), lit(1L), 0)
