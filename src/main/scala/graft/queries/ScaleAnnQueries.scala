@@ -593,6 +593,12 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       stampFile.exists &&
       java.nio.file.Files.readString(stampFile.toPath) == fingerprint
     if (!fresh) {
+      // stamp is written LAST, and any stale stamp is removed FIRST
+      // (the ivfLoadOrBuild invalidation rule): if the parquet
+      // overwrite succeeds but the process dies before the new stamp
+      // lands, an interleaved later run must see no-stamp → rebuild,
+      // never old-stamp + new _SUCCESS.
+      java.nio.file.Files.deleteIfExists(stampFile.toPath)
       build.write.mode("overwrite").parquet(s"$dir/df")
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
@@ -787,8 +793,29 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     * where no linear-candidate method has locality to exploit). */
   def knnGraphQ(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 5)
+    Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 5,
+      quantizer = Some(knnGraphQuantizer(s, d, emb)))
   }
+
+  /** THE per-dataset coarse quantizer of the kNN-graph descent tier,
+    * shared by every graph consumer (`knn_graph`,
+    * `emb_mutual_knn_clusters`, the descent-route recall witness):
+    * [[Similarity.knnGraphParams]] depends only on corpus size, so
+    * one fitted index keyed by (corpus fingerprint, nList) serves
+    * them all — each row otherwise re-fits the same KMeans (~4.7 s
+    * at the sf1 soak, ×3 redundant). Same [[ivfLoadOrBuild]]
+    * discipline as the serving caches: disk + resident memo, source-
+    * fingerprint staleness, sizing in the tag so a rule change
+    * invalidates. Lazy (only the descent route calls it). */
+  protected def knnGraphQuantizer(s: SparkSession, d: String,
+                                  emb: DataFrame): Long => Similarity.IvfIndex =
+    (n: Long) => {
+      val p = Similarity.knnGraphParams(n)
+      ivfLoadOrBuild(s, "target/knn_graph_quantizer", d,
+        tag = s"nList=${p.nList}")(
+        Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+          knownN = Some(n)))
+    }
 
   /** INCREMENTAL kNN-graph maintenance
     * ([[Similarity.knnGraphAddBatch]]): the standing graph over the
@@ -867,5 +894,211 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       |  FROM s)
       |SELECT query_id, rank, neighbor_id, cos, route
       |FROM r, route WHERE rank <= 5""".stripMargin
+
+  /** Gate certification of the kNN-graph DESCENT route — the tier
+    * every 100 TB corpus lands on, previously exercised only by
+    * SimilaritySpec's synthetic fixture. Every corpus vector gets 7
+    * deterministic perturbed twins (id + j·10⁷, v′ᵢ = vᵢ +
+    * 0.02·j·v₍ᵢ mod d₎₊₁, j = 1..7 — in-family cos ≥ 0.99), so the
+    * 8× corpus crosses the [[Similarity.knnGraphRouteBrute]]
+    * boundary at sf ≥ 0.01 and [[Similarity.knnGraphAuto]] runs the
+    * IVF-seeded NN-Descent path end-to-end at the gate SF. The
+    * 8-member families are the clustered regime the descent tier
+    * CONTRACTS for (real encoders put related items in tight cells)
+    * — the honest in-gate witness; the near-uniform fabric rows keep
+    * their documented routes. Witnesses: `route` replayed from
+    * 8·COUNT(*) through the exact dot-model inequality; `recall_ok`
+    * — the graph holds ≥ 0.9 of the EXACT top-5 edge set, whose
+    * truth is LINEAR to compute (family separation puts every true
+    * top-5 inside the family, so truth = per-family 8×8 cross);
+    * `vertices_ok` — every corpus vector has a graph row (the
+    * degenerate-island check); `ranks_dense`; `n_true` = 5·8n
+    * replayed. */
+  def knnGraphDescentPlanted(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.ArrayDot
+    val emb = t(s, d, "embeddings")
+    val e = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val twins = e
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(1), lit(7))).as("j"))
+      .select((col("vec_id") + col("j").cast("long") * lit(10000000L))
+        .as("vec_id"),
+        transform(sequence(lit(1), lit(64)), i =>
+          element_at(col("v"), i) +
+            lit(0.02) * col("j") *
+              element_at(col("v"), pmod(i, lit(64)) + lit(1)))
+          .as("v"))
+    val corpus = e.unionByName(twins).localCheckpoint(eager = false)
+    val g = Similarity.knnGraphAuto(corpus, "vec_id", "v", k = 5,
+      quantizer = Some((n: Long) => {
+        val p = Similarity.knnGraphParams(n)
+        ivfLoadOrBuild(s, "target/knn_graph_quantizer_planted", d,
+          tag = s"planted,nList=${p.nList}")(
+          Similarity.ivfBuild(corpus, "vec_id", "v", p.nList,
+            knownN = Some(n)))
+      }))
+      .localCheckpoint(eager = false) // feeds 3 witness consumers
+    // EXACT truth, linear: family separation (relative perturbation
+    // <= 0.14 keeps in-family cos >= 0.99; the natural corpus has
+    // zero pairs above 0.8 at every SF — the dedup_embedding_planted
+    // measured fact) puts every vertex's true top-5 inside its
+    // 8-member family, so the GLOBAL exact graph equals the
+    // per-family exact graph: an 8x8 cross per family, Theta(n)
+    // total, never Theta(n^2).
+    def n2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sqrt(ArrayDot(c, c))
+    val fam = corpus.withColumn("family", pmod(col("vec_id"), lit(10000000L)))
+    val truth = fam
+      .select(col("family"), col("vec_id").as("query_id"), col("v").as("qv"))
+      .join(fam.select(col("family"), col("vec_id").as("neighbor_id"),
+        col("v").as("nv")), "family")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(
+        ArrayDot(col("qv"), col("nv")) / (n2(col("qv")) * n2(col("nv"))), 6))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("query_id", "neighbor_id")
+      .localCheckpoint(eager = false)
+    val common = g.select("query_id", "neighbor_id")
+      .join(truth, Seq("query_id", "neighbor_id"))
+    val ranks = g.groupBy("query_id")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
+      .agg(min(col("mn") === 1 && col("mx") === col("c")).as("ranks_dense"))
+    e.agg(count(lit(1)).as("n_planted"))
+      .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+      .crossJoin(common.agg(count(lit(1)).as("n_found")))
+      .crossJoin(g.agg(countDistinct("query_id").as("n_vertices"),
+        max("route").as("route")))
+      .crossJoin(ranks)
+      .select(col("n_corpus"), col("n_planted"), col("n_true"),
+        col("route"),
+        (col("n_found").cast("double") / col("n_true") >= 0.9)
+          .as("recall_ok"),
+        (col("n_vertices") === col("n_corpus")).as("vertices_ok"),
+        col("ranks_dense"))
+  }
+
+  val knnGraphDescentPlantedOracle: String =
+    """WITH sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |c AS (SELECT 8 * n AS nc, n FROM sz),
+      |route AS (
+      |  SELECT nc, n,
+      |    CASE WHEN CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) <=
+      |        1.2 * (CAST(nc AS DOUBLE) * (3.0 * 512.0 + 2.0 * 25.0 * 25.0))
+      |      THEN 'brute' ELSE 'descent' END AS route
+      |  FROM c)
+      |SELECT nc AS n_corpus, n AS n_planted, 5 * nc AS n_true, route,
+      |  TRUE AS recall_ok, TRUE AS vertices_ok, TRUE AS ranks_dense
+      |FROM route""".stripMargin
+
+  /** FILTERED ANN at scale ([[Similarity.knnFilteredAuto]]) — closes
+    * the brute-only gap of `knn_filtered`: top-k neighbors WHERE
+    * label > 0, with the predicate pushed INTO the probed IVF cell
+    * scan (left-semi join against the filtered id set — the scan
+    * reads nProbe·n_filtered/nList expected rows, never scoring what
+    * the metadata excludes; strictly better than over-fetch-then-
+    * post-filter, which this engine never needs because the cell
+    * table composes relationally). Certified in both reuse regimes
+    * like `knn_auto`: one-shot routes brute-over-filtered (witnessed
+    * row-identical to the exact filtered twin), amortized (reuse=100)
+    * routes by [[Similarity.knnFilteredIvfWorthIt]] — the filter's
+    * SELECTIVITY, measured by COUNT(*), is the router input, and the
+    * oracle replays the full inequality from the two counts. Recall
+    * ≥ 0.9 against the exact filtered top-k in whichever regime this
+    * SF lands ([[Similarity.knnAutoProbeFrac]] sizing). */
+  def knnFilteredIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    // label > 0 is the BROAD-filter regime (90% selective), where the
+    // index tier wins under amortization; the selective regime (the
+    // existing knn_filtered row's label = 1, 10%) correctly routes
+    // brute-over-filtered at every SF — selectivity is the router
+    // input, and this row witnesses both decisions below
+    val filtered = emb.filter(col("label") > 0)
+    val nF = filtered.count()
+    val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
+    // the amortized regime sits on the SHARED serving-index memo: the
+    // full-corpus index is filter-agnostic (one build serves every
+    // predicate), keyed by the same (fingerprint, nList) as knn_auto's
+    val index = ivfLoadOrBuild(s, "target/knn_filtered_index", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(n)))
+    val one = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
+      col("label") > 0, q, k = 3, reuse = 1L, prebuilt = Some(index))
+    val many = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
+      col("label") > 0, q, k = 3, reuse = 100L, prebuilt = Some(index))
+    val brute = Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3)
+      .localCheckpoint(eager = false) // twin feeds 2 certifications
+    val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")
+      .join(brute, Seq("query_id", "rank", "neighbor_id", "cos"))
+    knnCertify(many, brute, minRecall = 0.9)
+      .crossJoin(oneCommon.agg(count(lit(1)).as("n_one_common")))
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(n).as("n_corpus"), lit(nF).as("n_filtered"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(Similarity.knnFilteredRouteOf(one).get).as("route_one"),
+        lit(Similarity.knnFilteredRouteOf(many).get).as("route_many"),
+        (col("n_one_common") === col("n_exact")).as("one_exact_ok"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnFilteredIvfOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id AND e.label > 0),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s),
+      |topk AS (SELECT query_id, rank, neighbor_id FROM r WHERE rank <= 3),
+      |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |fz AS (SELECT COUNT(*) AS nf FROM embeddings WHERE label > 0),
+      |nq AS (SELECT COUNT(*) AS m FROM embeddings WHERE vec_id < 10),
+      |pp AS (
+      |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+      |  FROM sz),
+      |p2 AS (
+      |  SELECT n, nlist, LEAST(nlist, GREATEST(3,
+      |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
+      |  FROM pp),
+      |cost AS (
+      |  SELECT n, nf, m, nlist, nprobe,
+      |    CASE WHEN nlist <= 64 THEN CAST(nlist AS DOUBLE)
+      |      ELSE CEIL(SQRT(CAST(nlist AS DOUBLE)))
+      |        + CAST(3.0 AS DOUBLE) * nlist / CEIL(SQRT(CAST(nlist AS DOUBLE)))
+      |    END AS assign
+      |  FROM p2, fz, nq),
+      |dec AS (
+      |  SELECT nlist, nprobe, re.r AS reuse,
+      |    CASE WHEN (CAST(n AS DOUBLE) * assign + CAST(re.r AS DOUBLE) * m
+      |        * (assign + CAST(nprobe AS DOUBLE) * nf / nlist))
+      |        * CAST(1.2 AS DOUBLE)
+      |      <= CAST(re.r AS DOUBLE) * m * nf
+      |      THEN 'ivf' ELSE 'brute' END AS route
+      |  FROM cost, (VALUES (1), (100)) AS re(r)),
+      |routes AS (
+      |  SELECT MAX(CASE WHEN reuse = 1 THEN route END) AS route_one,
+      |    MAX(CASE WHEN reuse = 100 THEN route END) AS route_many,
+      |    MAX(nlist) AS nlist, MAX(nprobe) AS nprobe
+      |  FROM dec)
+      |SELECT COUNT(DISTINCT query_id) AS n_queries,
+      |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+      |  (SELECT n FROM sz) AS n_corpus, (SELECT nf FROM fz) AS n_filtered,
+      |  nlist AS n_list, nprobe AS n_probe, route_one, route_many,
+      |  TRUE AS one_exact_ok, TRUE AS recall_ok, TRUE AS ranks_dense
+      |FROM topk, routes
+      |GROUP BY nlist, nprobe, route_one, route_many""".stripMargin
 
 }

@@ -676,7 +676,8 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
     * the mutual join and CC cost n·k rows regardless of route). */
   def embMutualKnnClusters(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val fwd = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 4)
+    val fwd = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 4,
+      quantizer = Some(knnGraphQuantizer(s, d, emb)))
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
     val mutual = fwd.filter(col("a") < col("b"))
       .join(fwd.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))

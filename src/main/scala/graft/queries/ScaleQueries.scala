@@ -1076,7 +1076,10 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("knn_graph", knnGraphQ, Some(knnGraphOracle)),
     Q("knn_graph_incremental", knnGraphIncremental,
       Some(knnGraphIncrementalOracle)),
+    Q("knn_graph_descent_planted", knnGraphDescentPlanted,
+      Some(knnGraphDescentPlantedOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
+    Q("knn_filtered_ivf", knnFilteredIvf, Some(knnFilteredIvfOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_containment", textContainment, Some(textContainmentOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),

@@ -862,6 +862,113 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** FILTERED ANN, index tier: [[ivfSearch]] with a metadata
+    * predicate PUSHED INTO the probed-cell scan — the first thing a
+    * real vector-search user hits at 100 TB ("nearest neighbors
+    * where lang = 'en'"). `allowedIds` is the id set passing the
+    * filter (produced by a predicate on the corpus table, where
+    * Catalyst pushes it to the parquet scan); the cell table
+    * left-semi-joins it BEFORE scoring, so the probed scan reads
+    * nProbe·n_filtered/nList expected rows — strictly cheaper than
+    * the classic over-fetch-k·m-then-post-filter shape, which scores
+    * probed non-matching rows only to discard them (over-fetch
+    * exists for opaque index structures; a cell table in a
+    * relational engine composes the filter natively). Catalyst
+    * broadcasts the filtered-id side when the filter is selective;
+    * recall characteristics match unfiltered IVF at the same probe
+    * fraction (the true filtered neighbor is missed only when its
+    * CELL goes unprobed — same event as unfiltered; certified ≥ 0.9
+    * by the gate row at [[knnAutoProbeFrac]]). */
+  def ivfSearchFiltered(index: IvfIndex, idCol: String, vecCol: String,
+                        queries: DataFrame, k: Int, nProbe: Int,
+                        allowedIds: DataFrame): DataFrame = {
+    val q = prepped(queries, idCol, vecCol, "query")
+    val qCells = probedCells(index, q, nProbe)
+      .select("query_id", "queryv", "querynorm", "cell")
+    val allowed = allowedIds.select(col(allowedIds.columns.head)
+      .as("neighbor_id"))
+    val scored = index.indexed
+      .join(allowed, Seq("neighbor_id"), "left_semi")
+      .join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Routing rule for filtered kNN, replayable from two COUNT(*)s:
+    * brute-over-filtered costs reuse·|Q|·n_filtered dots with no
+    * build; filter-pushed IVF pays one FULL-corpus build (amortized
+    * over `reuse` batches — the index serves every filter, so it is
+    * built on all n rows) plus per-query routing and a probed scan
+    * of the FILTERED rows only. The index must predict ≥
+    * `minAdvantage`× fewer dots to win, so highly selective filters
+    * route brute (scanning 200 matching vectors beats routing
+    * through √n centroids) and broad filters route IVF — selectivity
+    * IS the router's input, which is what "derived from the filter's
+    * selectivity via COUNT(*)" means operationally. Plain IEEE
+    * doubles in fixed operand order; DuckDB replays the boolean. */
+  def knnFilteredIvfWorthIt(n: Long, nFiltered: Long, nQueries: Long,
+                            reuse: Long, p: IvfParams,
+                            minAdvantage: Double = 1.2): Boolean = {
+    val brute = reuse.toDouble * nQueries.toDouble * nFiltered.toDouble
+    val assign =
+      if (p.nList <= twoLevelCellThreshold) p.nList.toDouble
+      else {
+        val ck = math.ceil(math.sqrt(p.nList.toDouble))
+        ck + 3.0 * p.nList.toDouble / ck
+      }
+    val ivf = n.toDouble * assign + reuse.toDouble * nQueries.toDouble *
+      (assign + p.nProbe.toDouble * nFiltered.toDouble / p.nList.toDouble)
+    ivf * minAdvantage <= brute
+  }
+
+  /** Cost-routed filtered kNN — the default entry point for
+    * "top-k nearest WHERE <pred>": routes between exact brute over
+    * the filtered subset and the filter-pushed IVF tier
+    * ([[ivfSearchFiltered]]) by [[knnFilteredIvfWorthIt]]. The
+    * `route` column records the decision for replay. */
+  def knnFilteredAuto(emb: DataFrame, idCol: String, vecCol: String,
+                      pred: Column, queries: DataFrame, k: Int,
+                      reuse: Long = 1L, seed: Long = 42L,
+                      prebuilt: Option[IvfIndex] = None): DataFrame = {
+    val filtered = emb.filter(pred)
+    val n = emb.count()
+    val nF = filtered.count()
+    val nQ = queries.count()
+    val p = ivfDerivedParams(n, knnAutoProbeFrac)
+    val (res, route) =
+      if (knnFilteredIvfWorthIt(n, nF, nQ, reuse, p)) {
+        val index = prebuilt.getOrElse(
+          ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
+        (ivfSearchFiltered(index, idCol, vecCol, queries, k, p.nProbe,
+          filtered.select(col(idCol))), "ivf")
+      } else
+        (knnBrute(filtered, idCol, vecCol, queries, k), "brute")
+    // provenance stamp (the knnAuto discipline): a consumer can PROVE
+    // which plan ran instead of re-deriving the decision — one
+    // combined metadata (a second .as() would replace the first)
+    val m = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("ivf_nlist", p.nList.toLong)
+      .putLong("ivf_nprobe", p.nProbe.toLong)
+      .putString("knn_filtered_route", route).build()
+    res.withColumn("cos", col("cos").as("cos", m))
+      .withColumn("route", lit(route))
+  }
+
+  /** The routing decision recorded by [[knnFilteredAuto]] ("brute" |
+    * "ivf"), or None for frames from other entry points. */
+  def knnFilteredRouteOf(df: DataFrame): Option[String] = {
+    val m = df.schema(df.schema.fieldIndex("cos")).metadata
+    if (m.contains("knn_filtered_route"))
+      Some(m.getString("knn_filtered_route"))
+    else None
+  }
+
   /** One-shot convenience: build + search. */
   def knnIvf(emb: DataFrame, idCol: String, vecCol: String,
              queries: DataFrame, k: Int, nList: Int = 16,
@@ -1077,13 +1184,29 @@ object Similarity {
         col("e.id").as("neighbor_id"), col("e.score").as("cos"))
   }
 
+  /** `quantizer`: optional per-corpus coarse-quantizer provider for
+    * the descent tier, called with the counted corpus size. The three
+    * graph consumers (knn_graph, mutual-kNN clustering, the
+    * incremental base build) otherwise each re-fit the SAME
+    * per-dataset KMeans (~4.7 s at the sf1 soak, ×3) —
+    * [[knnGraphParams]] depends only on n, so one fitted index keyed
+    * by (corpus fingerprint, nList) serves them all (the gate memo is
+    * ScaleAnnQueries.knnGraphQuantizer). Lazy: never invoked on the
+    * brute route, which needs no index. */
   def knnGraphAuto(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-                   seed: Long = 42L): DataFrame = {
+                   seed: Long = 42L,
+                   quantizer: Option[Long => IvfIndex] = None): DataFrame = {
+    // the descent seed cuts at 4·k through TopKByScore (hard cap
+    // 1024) — fail HERE, naming the public parameter, not three
+    // stages deep with a message about an internal 4k value
+    require(k >= 1 && k <= 256,
+      s"knnGraphAuto: k must be in [1, 256], got $k")
     val n = emb.count()
     if (knnGraphRouteBrute(n, k))
       knnGraphBrute(emb, idCol, vecCol, k).withColumn("route", lit("brute"))
     else
-      knnGraph(emb, idCol, vecCol, k, seed, knownN = Some(n))
+      knnGraph(emb, idCol, vecCol, k, seed, knownN = Some(n),
+        prebuilt = quantizer.map(f => f(n)))
         .withColumn("route", lit("descent"))
   }
 
@@ -1195,11 +1318,23 @@ object Similarity {
   def knnGraph(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                seed: Long = 42L,
                rounds: Int = knnGraphDescentRounds,
-               knownN: Option[Long] = None): DataFrame = {
+               knownN: Option[Long] = None,
+               prebuilt: Option[IvfIndex] = None): DataFrame = {
+    require(k >= 1 && k <= 256,
+      s"knnGraph: k must be in [1, 256], got $k (the seed cuts at 4·k " +
+        "through the 1024-capped top-k aggregate)")
     // routed callers already counted the corpus — don't re-scan it
     val n = knownN.getOrElse(emb.count())
     val p = knnGraphParams(n)
-    val index = ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
+    // a shared/prebuilt quantizer must match THIS corpus's derived
+    // sizing — a stale or foreign index would silently change seed
+    // recall, so mismatches fail loudly instead
+    prebuilt.foreach(idx => require(
+      idx.model.clusterCenters.length == p.nList,
+      s"knnGraph: prebuilt quantizer has ${idx.model.clusterCenters.length} " +
+        s"cells, corpus-derived sizing wants ${p.nList}"))
+    val index = prebuilt.getOrElse(
+      ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
     val q = prepped(emb, idCol, vecCol, "query")
     val qCells = probedCells(index, q, p.nProbe)
       .select("query_id", "queryv", "querynorm", "cell")

@@ -930,6 +930,28 @@ class SimilaritySpec extends SparkSpec {
     assert(mismatch == 0L, s"$mismatch edges with non-exact scores")
   }
 
+  test("knnGraph with a shared prebuilt quantizer is row-identical to " +
+    "the self-built graph; wrong-sized quantizer fails loudly") {
+    val emb = clusteredEmb().localCheckpoint()
+    val n = emb.count()
+    val p = Similarity.knnGraphParams(n)
+    val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+      knownN = Some(n))
+    val self = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5)
+    val shared = Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+      prebuilt = Some(idx))
+    assert(shared.except(self).isEmpty && self.except(shared).isEmpty,
+      "prebuilt-quantizer graph must be row-identical to the self-built one")
+    // sizing mismatch: a foreign/stale index must not silently run
+    val wrong = Similarity.ivfBuild(emb, "vec_id", "embedding",
+      p.nList + 3, knownN = Some(n))
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 5,
+        prebuilt = Some(wrong))
+    }
+    assert(ex.getMessage.contains("quantizer"))
+  }
+
   test("knnGraphAddBatch: exact base graph in => updated graph equals " +
     "the brute graph over base ∪ batch; empty batch is identity") {
     val rnd = new scala.util.Random(31L)
