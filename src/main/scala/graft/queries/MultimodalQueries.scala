@@ -77,9 +77,18 @@ object MultimodalQueries {
         ids.map { i =>
           val w = 4 + (i % 5).toInt
           val h = 3 + (i % 4).toInt
+          // doc_id mod 3 picks the container; the JPEG third goes
+          // through the real entropy codec (r12): constant 8×8
+          // blocks under a unit quantization table round-trip
+          // EXACTLY (DC-only spectra — see JpegCodec), so the oracle
+          // replays the decoded sums from the block formula just
+          // like the raw-byte formats
           val payload =
-            if (i % 2 == 0) Multimodal.makePgm(i, w, h)
-            else Multimodal.makeBmp(i, w, h)
+            if (i % 3 == 0) Multimodal.makePgm(i, w, h)
+            else if (i % 3 == 1) Multimodal.makeBmp(i, w, h)
+            else graft.scaleops.JpegCodec.encodeGrayBlocks(
+              8 * (1 + (i % 2)).toInt, 16,
+              b => ((i * 31 + b * 7) % 256).toInt)
           Multimodal.MediaRow(i, "image", payload)
         }
       }
@@ -90,8 +99,12 @@ object MultimodalQueries {
         sum(col("sum_r")).as("sum_gray"),
         min(col("sum_r") === col("sum_g") && col("sum_g") === col("sum_b"))
           .as("channels_equal"),
-        min(col("width") === lit(4) + pmod(col("media_id"), lit(5)) &&
-          col("height") === lit(3) + pmod(col("media_id"), lit(4)))
+        min(when(col("fmt") === "jpeg",
+          col("width") === lit(8) * (lit(1) + pmod(col("media_id"), lit(2))) &&
+            col("height") === lit(16))
+          .otherwise(
+            col("width") === lit(4) + pmod(col("media_id"), lit(5)) &&
+              col("height") === lit(3) + pmod(col("media_id"), lit(4))))
           .as("dims_match"))
   }
 
@@ -103,12 +116,25 @@ object MultimodalQueries {
       |  SELECT doc_id, w, h, w * h AS np,
       |    list_sum(list_transform(generate_series(0, w * h - 1),
       |      p -> (doc_id * 31 + p) % 256)) AS s
-      |  FROM d)
-      |SELECT CASE WHEN doc_id % 2 = 0 THEN 'pnm' ELSE 'bmp' END AS fmt,
+      |  FROM d WHERE doc_id % 3 < 2),
+      |jw AS (
+      |  SELECT doc_id, 8 * (1 + doc_id % 2) AS w, 16 AS h
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |jpx AS (
+      |  SELECT doc_id, w, h, w * h AS np,
+      |    64 * list_sum(list_transform(
+      |      generate_series(0, (w // 8) * (h // 8) - 1),
+      |      b -> (doc_id * 31 + b * 7) % 256)) AS s
+      |  FROM jw),
+      |allpx AS (
+      |  SELECT doc_id, np, s FROM px
+      |  UNION ALL SELECT doc_id, np, s FROM jpx)
+      |SELECT CASE WHEN doc_id % 3 = 0 THEN 'pnm'
+      |  WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
       |  COUNT(*) AS n, CAST(SUM(np) AS BIGINT) AS n_pixels,
       |  CAST(SUM(s) AS BIGINT) AS sum_gray,
       |  TRUE AS channels_equal, TRUE AS dims_match
-      |FROM px GROUP BY 1""".stripMargin
+      |FROM allpx GROUP BY 1""".stripMargin
 
   /** Perceptual-hash near-duplicate detection over the binary image
     * column — the image-modality counterpart of the text dedup stack

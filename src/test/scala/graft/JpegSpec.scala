@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.scaleops.JpegCodec
+
+/** Baseline JPEG codec pins.
+  *
+  * The fixture path (constant blocks, unit quantization) must be
+  * EXACT — that is what lets the gate oracle replay decoded sums
+  * arithmetically. The general path is cross-checked against the
+  * JDK's independent libjpeg-derived decoder (javax.imageio, an
+  * implementation this codec shares no code with): the JPEG spec
+  * permits small IDCT/upsampling variance between conforming
+  * decoders, so those comparisons carry a tolerance, asserted tight.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def blockVal(b: Int): Int = (37 + b * 29) % 256
+
+  test("fixture round-trip is EXACT: constant blocks at q=1 decode " +
+    "to the original values, dims honored") {
+    val (w, h) = (24, 16)
+    val bytes = JpegCodec.encodeGrayBlocks(w, h, blockVal)
+    val img = JpegCodec.decode(bytes).get
+    assert(img.w == w && img.h == h && img.comps == 1)
+    for (y <- 0 until h; x <- 0 until w) {
+      val blk = (y / 8) * (w / 8) + (x / 8)
+      assert((img.pixels(y * w + x) & 0xFF) == blockVal(blk),
+        s"pixel ($x,$y) block $blk")
+    }
+    // channel sums: gray replicates into all three, equals the formula
+    val (ww, hh, sr, sg, sb) = JpegCodec.channelSums(bytes).get
+    val expect = (0 until (w / 8) * (h / 8)).map(b => 64L * blockVal(b)).sum
+    assert(ww == w && hh == h && sr == expect && sg == expect && sb == expect)
+  }
+
+  test("restart markers: DRI/RSTn stream decodes identically") {
+    val (w, h) = (32, 24) // 12 MCUs, restart every 5 -> 2 RST markers
+    val plain = JpegCodec.encodeGrayBlocks(w, h, blockVal)
+    val rst = JpegCodec.encodeGrayBlocks(w, h, blockVal, restartInterval = 5)
+    assert(rst.length > plain.length) // markers actually emitted
+    val a = JpegCodec.decode(plain).get
+    val b = JpegCodec.decode(rst).get
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+  }
+
+  private def imageIoBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", out)
+    out.toByteArray
+  }
+
+  test("grayscale cross-check vs the JDK decoder on a smooth gradient " +
+    "(independent implementation, spec-permitted IDCT variance only)") {
+    val (w, h) = (40, 32)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      src.getRaster.setSample(x, y, 0, (40 + 3 * x + 2 * y) % 256)
+    val bytes = imageIoBytes(src)
+    val ours = JpegCodec.decode(bytes).get
+    assert(ours.w == w && ours.h == h && ours.comps == 1)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ref.getRaster.getSample(x, y, 0)
+      val o = ours.pixels(y * w + x) & 0xFF
+      maxDiff = math.max(maxDiff, math.abs(r - o))
+    }
+    assert(maxDiff <= 2, s"gray max pixel diff $maxDiff")
+  }
+
+  test("color cross-check vs the JDK decoder (YCbCr conversion + " +
+    "chroma upsampling on whatever sampling grid the writer picked)") {
+    val (w, h) = (48, 32)
+    val src = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (30 + 4 * x) % 256
+      val g = (60 + 3 * y) % 256
+      val b = (90 + 2 * x + y) % 256
+      src.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bytes = imageIoBytes(src)
+    val ours = JpegCodec.decode(bytes).get
+    assert(ours.w == w && ours.h == h && ours.comps == 3)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    // nearest vs fancy chroma upsampling diverge most at chroma
+    // edges; on a smooth gradient both stay close. Assert per-pixel
+    // boundedness AND a tight mean.
+    var maxDiff = 0
+    var sumDiff = 0L
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val rgb = ref.getRGB(x, y)
+      val r = (rgb >> (16 - 8 * c)) & 0xFF
+      val o = ours.pixels((y * w + x) * 3 + c) & 0xFF
+      val diff = math.abs(r - o)
+      maxDiff = math.max(maxDiff, diff)
+      sumDiff += diff
+    }
+    val meanDiff = sumDiff.toDouble / (w * h * 3)
+    assert(maxDiff <= 16, s"color max pixel diff $maxDiff")
+    assert(meanDiff <= 2.0, s"color mean pixel diff $meanDiff")
+  }
+
+  test("out-of-scope and corrupt streams return None, never throw") {
+    assert(JpegCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(JpegCodec.decode("P5 8 8 255 ".getBytes ++
+      Array.fill[Byte](64)(7)).isEmpty)
+    val good = JpegCodec.encodeGrayBlocks(16, 16, blockVal)
+    // truncate mid-entropy-data
+    assert(JpegCodec.decode(good.take(good.length / 2)).isEmpty)
+    // flip SOF0 -> SOF2 (progressive): explicit out-of-scope
+    val prog = good.clone()
+    val sofAt = prog.indices.find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+  }
+}
