@@ -151,6 +151,85 @@ object EventsStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[SessionProcessor]] + TIMER-BASED EVICTION — the state-TTL
+    * path a 100 TB stream needs: without it, every user who goes
+    * quiet leaves an open session pinned in the state store FOREVER
+    * (state grows with lifetime-distinct keys, not active ones).
+    * Each input batch slides a processing-time timer `evictMs` out;
+    * when it fires with no intervening activity the open session is
+    * EMITTED (not dropped — its events were real) and the key's
+    * state cleared, so steady-state store size tracks ACTIVE users.
+    * Timer discipline: exactly one live timer per key (the previous
+    * expiry is tracked in a second ValueState and deleted on every
+    * slide — stale timers would otherwise fire mid-activity and
+    * split sessions early). With eviction quiesced (no timer fires
+    * before end-of-input) output equals [[SessionProcessor]]'s; with
+    * eviction DRAINED (a final quiet period) closed + evicted equals
+    * the batch gap-sessionization total exactly — StreamingSpec pins
+    * both. */
+  class SessionTimerProcessor(gapUs: Long, evictMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var sess: ValueState[(Long, Long)] = _
+    @transient private var tmr: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      sess = getHandle.getValueState[(Long, Long)]("sess",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      val sorted = rows.map(_._2).toArray.sorted
+      var (lastUs, n) = if (sess.exists()) sess.get() else (Long.MinValue, 0L)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      sorted.foreach { us =>
+        if (lastUs != Long.MinValue && us - lastUs >= gapUs) {
+          closed += ((user, n)); n = 0L
+        }
+        n += 1; lastUs = us
+      }
+      sess.update((lastUs, n))
+      // slide the eviction timer: delete the old one first so at most
+      // one timer is ever live per key
+      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+      val expiry = timerValues.getCurrentProcessingTimeInMs() + evictMs
+      getHandle.registerTimer(expiry)
+      tmr.update(expiry)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out =
+        if (sess.exists()) {
+          val n = sess.get()._2
+          sess.clear()
+          Iterator.single((user, n))
+        } else Iterator.empty
+      tmr.clear()
+      out
+    }
+  }
+
+  /** [[twsSessions]] with timer eviction ([[SessionTimerProcessor]]).
+    * Same RocksDB-provider requirement; `TimeMode.ProcessingTime`
+    * because eviction is a wall-clock TTL decision. */
+  def twsSessionsEvicting(events: DataFrame, evictMs: Long)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(1800000000L, evictMs),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Streaming two-sided CUSUM monitor on the arbitrary-state API:
     * each key's (s⁺, s⁻) pair rides a typed `ValueState` across
     * micro-batches — two doubles per key, the smallest possible
