@@ -77,18 +77,22 @@ object MultimodalQueries {
         ids.map { i =>
           val w = 4 + (i % 5).toInt
           val h = 3 + (i % 4).toInt
-          // doc_id mod 3 picks the container; the JPEG third goes
-          // through the real entropy codec (r12): constant 8×8
-          // blocks under a unit quantization table round-trip
-          // EXACTLY (DC-only spectra — see JpegCodec), so the oracle
-          // replays the decoded sums from the block formula just
-          // like the raw-byte formats
+          // doc_id mod 4 picks the container; the entropy-coded
+          // quarters go through the real codecs (r12): JPEG fixtures
+          // are constant 8×8 blocks under a unit quantization table
+          // (DC-only spectra round-trip EXACTLY — see JpegCodec),
+          // PNG is lossless by construction — so the oracle replays
+          // every decoded sum from a pixel/block formula just like
+          // the raw-byte formats
           val payload =
-            if (i % 3 == 0) Multimodal.makePgm(i, w, h)
-            else if (i % 3 == 1) Multimodal.makeBmp(i, w, h)
-            else graft.scaleops.JpegCodec.encodeGrayBlocks(
+            if (i % 4 == 0) Multimodal.makePgm(i, w, h)
+            else if (i % 4 == 1) Multimodal.makeBmp(i, w, h)
+            else if (i % 4 == 2) graft.scaleops.JpegCodec.encodeGrayBlocks(
               8 * (1 + (i % 2)).toInt, 16,
               b => ((i * 31 + b * 7) % 256).toInt)
+            else graft.scaleops.PngCodec.encodeGray(
+              5 + (i % 5).toInt, 4 + (i % 3).toInt,
+              (x, y) => ((i * 31 + y * (5 + (i % 5)) + x) % 256).toInt)
           Multimodal.MediaRow(i, "image", payload)
         }
       }
@@ -102,6 +106,9 @@ object MultimodalQueries {
         min(when(col("fmt") === "jpeg",
           col("width") === lit(8) * (lit(1) + pmod(col("media_id"), lit(2))) &&
             col("height") === lit(16))
+          .when(col("fmt") === "png",
+            col("width") === lit(5) + pmod(col("media_id"), lit(5)) &&
+              col("height") === lit(4) + pmod(col("media_id"), lit(3)))
           .otherwise(
             col("width") === lit(4) + pmod(col("media_id"), lit(5)) &&
               col("height") === lit(3) + pmod(col("media_id"), lit(4))))
@@ -116,21 +123,31 @@ object MultimodalQueries {
       |  SELECT doc_id, w, h, w * h AS np,
       |    list_sum(list_transform(generate_series(0, w * h - 1),
       |      p -> (doc_id * 31 + p) % 256)) AS s
-      |  FROM d WHERE doc_id % 3 < 2),
+      |  FROM d WHERE doc_id % 4 < 2),
       |jw AS (
       |  SELECT doc_id, 8 * (1 + doc_id % 2) AS w, 16 AS h
-      |  FROM documents WHERE doc_id % 3 = 2),
+      |  FROM documents WHERE doc_id % 4 = 2),
       |jpx AS (
       |  SELECT doc_id, w, h, w * h AS np,
       |    64 * list_sum(list_transform(
       |      generate_series(0, (w // 8) * (h // 8) - 1),
       |      b -> (doc_id * 31 + b * 7) % 256)) AS s
       |  FROM jw),
+      |gw AS (
+      |  SELECT doc_id, 5 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      |  FROM documents WHERE doc_id % 4 = 3),
+      |gpx AS (
+      |  SELECT doc_id, w, h, w * h AS np,
+      |    list_sum(list_transform(generate_series(0, w * h - 1),
+      |      p -> (doc_id * 31 + p) % 256)) AS s
+      |  FROM gw),
       |allpx AS (
       |  SELECT doc_id, np, s FROM px
-      |  UNION ALL SELECT doc_id, np, s FROM jpx)
-      |SELECT CASE WHEN doc_id % 3 = 0 THEN 'pnm'
-      |  WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'jpeg' END AS fmt,
+      |  UNION ALL SELECT doc_id, np, s FROM jpx
+      |  UNION ALL SELECT doc_id, np, s FROM gpx)
+      |SELECT CASE WHEN doc_id % 4 = 0 THEN 'pnm'
+      |  WHEN doc_id % 4 = 1 THEN 'bmp'
+      |  WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'png' END AS fmt,
       |  COUNT(*) AS n, CAST(SUM(np) AS BIGINT) AS n_pixels,
       |  CAST(SUM(s) AS BIGINT) AS sum_gray,
       |  TRUE AS channels_equal, TRUE AS dims_match

@@ -197,15 +197,16 @@ object Multimodal {
                               height: Int, n_pixels: Long,
                               sum_r: Long, sum_g: Long, sum_b: Long)
 
-  /** REAL pixel decode (no stub) — 24-bit uncompressed BMP
-    * (bottom-up or top-down, 4-byte row padding honored), binary
-    * netpbm P5/P6 (1-byte samples), and since r12 baseline JPEG
-    * through the self-contained entropy decoder ([[JpegCodec]]:
-    * Huffman + dequant + IDCT + chroma upsampling — a real crawl is
-    * overwhelmingly JPEG). Only PNG pixels (DEFLATE-coded) remain
-    * behind the documented stub. Returns per-image channel sums
-    * (gray replicates into all three), the contract the
-    * decode-certification query pins arithmetically. */
+  /** REAL pixel decode (no stub, no entropy format left behind one)
+    * — 24-bit uncompressed BMP (bottom-up or top-down, 4-byte row
+    * padding honored), binary netpbm P5/P6 (1-byte samples), and
+    * since r12 both entropy-coded web formats through self-contained
+    * decoders: baseline JPEG ([[JpegCodec]]: Huffman + dequant +
+    * IDCT + chroma upsampling — a real crawl is overwhelmingly JPEG)
+    * and PNG ([[PngCodec]]: JDK-Inflater DEFLATE + scanline
+    * unfilter). Returns per-image channel sums (gray replicates into
+    * all three), the contract the decode-certification query pins
+    * arithmetically. */
   def decodePixels(media: Dataset[MediaRow]): Dataset[PixelStats] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
@@ -213,6 +214,7 @@ object Multimodal {
         bmpPixels(m.payload).map(("bmp", _))
           .orElse(pnmPixels(m.payload).map(("pnm", _)))
           .orElse(JpegCodec.channelSums(m.payload).map(("jpeg", _)))
+          .orElse(PngCodec.channelSums(m.payload).map(("png", _)))
           .map { case (fmt, (w, h, sr, sg, sb)) =>
             PixelStats(m.media_id, fmt, w, h, w.toLong * h, sr, sg, sb)
           }
