@@ -188,17 +188,28 @@ object MultimodalQueries {
     def pix(pixId: Long, patched: Boolean)(p: Int): Int =
       ((((pixId + 1) * (p + 7919)) % 65521 % 256 +
         (if (patched && p < 8) 60 else 0)) % 256).toInt
+    // container rotates through pgm/bmp/png thirds, and every twin
+    // lands in a DIFFERENT container than its original — since r12
+    // the PNG third goes through the real DEFLATE decoder
+    // (PngCodec), and because PNG is LOSSLESS the dHash is identical
+    // to the raw-byte containers', so the oracle (which replays
+    // hashes from the pixel formula) is unchanged: the gate now
+    // witnesses container invariance across an entropy-coded format
+    def enc(kind: Long, pixFn: Int => Int): Array[Byte] = kind match {
+      case 0 => Multimodal.makeGrayPgm(W, H, pixFn)
+      case 1 => Multimodal.makeGrayBmp(W, H, pixFn)
+      case _ => graft.scaleops.PngCodec.encodeGray(W, H,
+        (x, y) => pixFn(y * W + x))
+    }
     Tables.load(s, d, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { i =>
           val orig = Multimodal.MediaRow(i, "image",
-            if (i % 2 == 0) Multimodal.makeGrayPgm(W, H, pix(i, patched = false))
-            else Multimodal.makeGrayBmp(W, H, pix(i, patched = false)))
+            enc(i % 3, pix(i, patched = false)))
           if (i % 10 == 0)
             Iterator(orig, Multimodal.MediaRow(i + 10000000L, "image",
-              if (i % 2 == 0) Multimodal.makeGrayBmp(W, H, pix(i, patched = true))
-              else Multimodal.makeGrayPgm(W, H, pix(i, patched = true))))
+              enc((i + 1) % 3, pix(i, patched = true))))
           else Iterator(orig)
         }
       }

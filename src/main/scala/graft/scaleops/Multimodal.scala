@@ -312,13 +312,32 @@ object Multimodal {
         val src = off + (if (hRaw > 0) h - 1 - y else y) * rowBytes + x * 3
         u8(p(src)) + u8(p(src + 1)) + u8(p(src + 2))
       }
-    } else pnmHeader(p).flatMap { case (rgb, w, h, maxval, off) =>
+    } else pnmHeader(p).map { case (rgb, w, h, maxval, off) =>
       val ch = if (rgb) 3 else 1
       if (maxval > 255 || off.toLong + w.toLong * h * ch > p.length) None
       else sums(w, h) { (x, y) =>
         val o = off + (y * w + x) * ch
         if (rgb) u8(p(o)) + u8(p(o + 1)) + u8(p(o + 2)) else 3 * u8(p(o))
       }
+    }.getOrElse {
+      // entropy-coded containers (r12): decode through the real
+      // codecs, same gray = R+G+B (a gray sample replicates ×3, so
+      // the same image hashes identically in ANY container — the
+      // spec-pinned container-invariance rule extends to png)
+      def fromDecoded(w: Int, h: Int, comps: Int, pix: Array[Byte]) =
+        sums(w, h) { (x, y) =>
+          comps match {
+            case 1 | 2 => 3 * u8(pix((y * w + x) * comps))
+            case _ =>
+              val o = (y * w + x) * comps
+              u8(pix(o)) + u8(pix(o + 1)) + u8(pix(o + 2))
+          }
+        }
+      JpegCodec.decode(p)
+        .map(i => fromDecoded(i.w, i.h, i.comps, i.pixels))
+        .orElse(PngCodec.decode(p)
+          .map(i => fromDecoded(i.w, i.h, i.comps, i.pixels)))
+        .flatten
     }
   }
 

@@ -310,6 +310,33 @@ class MultimodalSpec extends SparkSpec {
     assert(planted.subsetOf(got), s"missing planted: ${planted -- got}")
   }
 
+  test("dHash56 container invariance extends to entropy formats (r12): " +
+    "PNG exact for ANY image; JPEG exact for the DC-only fixture class") {
+    def pix(p: Int): Int = ((p * 37 + 11) % 251).toInt
+    val asPgm = Multimodal.makeGrayPgm(32, 32, pix)
+    val asPng = graft.scaleops.PngCodec.encodeGray(32, 32,
+      (x, y) => pix(y * 32 + x))
+    assert(Multimodal.dHash56(asPng).get == Multimodal.dHash56(asPgm).get,
+      "PNG is lossless - identical hash to the raw container")
+    // JPEG: constant 8x8 blocks round-trip exactly (unit quant),
+    // so the hash equals the PGM holding the same pixel layout
+    def blockVal(b: Int): Int = ((b * 29 + 50) % 256).toInt
+    val asJpeg = graft.scaleops.JpegCodec.encodeGrayBlocks(32, 32, blockVal)
+    val jpegAsPgm = Multimodal.makeGrayPgm(32, 32,
+      p => blockVal((p / 32 / 8) * 4 + (p % 32 / 8)))
+    assert(Multimodal.dHash56(asJpeg).get ==
+      Multimodal.dHash56(jpegAsPgm).get,
+      "exactly-representable JPEG must hash like its raw twin")
+    // and the banded near-dup operator sees a planted PNG/BMP twin
+    // pair exactly like a raw-only pair (the gate fixture's shape)
+    val perturbedPng = graft.scaleops.PngCodec.encodeGray(32, 32,
+      (x, y) => (pix(y * 32 + x) + (if (y == 0 && x < 8) 60 else 0)) % 256)
+    val hOrig = Multimodal.dHash56(asPgm).get
+    val hPert = Multimodal.dHash56(perturbedPng).get
+    assert(hPert != hOrig &&
+      java.lang.Long.bitCount(hPert ^ hOrig) <= 3)
+  }
+
   test("multi-PGM container walk: frame count, per-frame hashes equal " +
     "single-image hashes; truncated tail stops cleanly") {
     def pix(f: Int, p: Int): Int = ((f * 7919 + p * 31) % 256 + 256) % 256

@@ -470,4 +470,36 @@ class PlanSpec extends SparkSpec {
     assert(hintedOverCorpus.isEmpty,
       s"corpus-sized relation under a broadcast hint:\n$hintedOverCorpus")
   }
+
+  test("filtered ANN: the id filter prunes the cell scan BEFORE " +
+    "scoring (semi join upstream of the probed join), never a " +
+    "post-filter on scored candidates") {
+    import org.apache.spark.sql.functions._
+    val S = graft.scaleops.Similarity
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val gp = S.ivfDerivedParams(n, S.knnAutoProbeFrac)
+    val index = S.ivfBuild(emb, "vec_id", "embedding", gp.nList, 42L,
+      knownN = Some(n))
+    val df = S.ivfSearchFiltered(index, "vec_id", "embedding",
+      emb.filter(col("vec_id") < 10), k = 3, nProbe = gp.nProbe,
+      allowedIds = emb.filter(col("label") > 0).select(col("vec_id")))
+    val p = df.queryExecution.executedPlan.toString
+    // the allowed-id restriction must run as a SEMI join (rows that
+    // fail the filter never reach the scoring join)...
+    assert(p.contains("LeftSemi"), s"filter must compose as a semi join:\n$p")
+    // ...fed by a scan whose label predicate reached the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(label,0)"),
+      "label predicate must push to the parquet scan")
+    // and no cartesian anywhere in the search
+    assert(!p.contains("CartesianProduct"))
+    // the semi join must sit UPSTREAM of the cosine scoring: no plan
+    // line computes cos before the semi join has pruned (scored rows
+    // appear only above the LeftSemi in the tree rendering)
+    val lines = p.linesIterator.toVector
+    val semiAt = lines.indexWhere(_.contains("LeftSemi"))
+    val scoreAt = lines.indexWhere(_.contains("arraydot"))
+    assert(semiAt >= 0 && (scoreAt < 0 || scoreAt < semiAt),
+      "scoring must happen above (after) the semi-join prune")
+  }
 }
