@@ -569,7 +569,17 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
     }
     val loaded = Similarity.ivfLoad(s, dir)
-    if (ivfResident.size >= 8) ivfResident.clear()
+    // evict ONE arbitrary entry at the cap, never clear(): r12 added
+    // three index consumers (filtered, graph quantizer, planted
+    // quantizer) and a full clear at 8 entries thrashed EVERY
+    // prebuilt row in the same session (knn_ivf_sq8_prebuilt warm
+    // 0.7 -> 2.2 s in the r12 sf0.1 bench). A handle is kilobytes of
+    // driver memory (centroids + a parquet path), so 32 is still
+    // nothing.
+    if (ivfResident.size >= 32) {
+      val it = ivfResident.keys()
+      if (it.hasMoreElements) ivfResident.remove(it.nextElement())
+    }
     ivfResident.put(key, loaded)
     loaded
   }
@@ -897,29 +907,41 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
 
   /** Gate certification of the kNN-graph DESCENT route — the tier
     * every 100 TB corpus lands on, previously exercised only by
-    * SimilaritySpec's synthetic fixture. Every corpus vector gets 7
-    * deterministic perturbed twins (id + j·10⁷, v′ᵢ = vᵢ +
-    * 0.02·j·v₍ᵢ mod d₎₊₁, j = 1..7 — in-family cos ≥ 0.99), so the
-    * 8× corpus crosses the [[Similarity.knnGraphRouteBrute]]
-    * boundary at sf ≥ 0.01 and [[Similarity.knnGraphAuto]] runs the
-    * IVF-seeded NN-Descent path end-to-end at the gate SF. The
-    * 8-member families are the clustered regime the descent tier
-    * CONTRACTS for (real encoders put related items in tight cells)
-    * — the honest in-gate witness; the near-uniform fabric rows keep
-    * their documented routes. Witnesses: `route` replayed from
-    * 8·COUNT(*) through the exact dot-model inequality; `recall_ok`
-    * — the graph holds ≥ 0.9 of the EXACT top-5 edge set, whose
-    * truth is LINEAR to compute (family separation puts every true
-    * top-5 inside the family, so truth = per-family 8×8 cross);
-    * `vertices_ok` — every corpus vector has a graph row (the
-    * degenerate-island check); `ranks_dense`; `n_true` = 5·8n
-    * replayed. */
+    * SimilaritySpec's synthetic fixture. The first 500 corpus
+    * vectors each get 7 deterministic perturbed twins (id + j·10⁷,
+    * v′ᵢ = vᵢ + 0.02·j·v₍ᵢ mod d₎₊₁, j = 1..7 — in-family cos ≥
+    * 0.99): 500 + 3,500 twins push the corpus past the
+    * [[Similarity.knnGraphRouteBrute]] boundary at EVERY gate SF
+    * (4,000 > 3,344 even at sf0.001), so
+    * [[Similarity.knnGraphAuto]] runs the IVF-seeded NN-Descent path
+    * end-to-end in-gate — while the soak corpus grows by a bounded
+    * +3,500, not 8× (unbounded planting made this row an 88 s
+    * descent over 160k vectors at sf1). The 8-member families are
+    * the clustered regime the descent tier CONTRACTS for (real
+    * encoders put related items in tight cells) — the honest in-gate
+    * witness; the near-uniform fabric rows keep their documented
+    * routes. Witnesses: `route` replayed from n + 7·m through the
+    * exact dot-model inequality (m = COUNT(vec_id < 500));
+    * `recall_ok` — the graph holds ≥ 0.9 of the family vertices'
+    * EXACT top-5 edge set, whose truth is LINEAR to compute (family
+    * separation — in-family cos ≥ 0.99 vs < 0.8 natural max — puts
+    * every family vertex's true top-5 inside its family, so truth =
+    * per-family 8×8 cross; non-family vertices form singleton
+    * families and contribute no truth rows); `vertices_ok` — every
+    * corpus vector has a graph row (the degenerate-island check);
+    * `ranks_dense`; `n_true` = 40·m replayed. */
   def knnGraphDescentPlanted(s: SparkSession, d: String): DataFrame = {
     import graft.functions.ArrayDot
     val emb = t(s, d, "embeddings")
     val e = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val twins = e
+    // plant on a BOUNDED family set (the first 500 ids — every SF has
+    // them): enough mass to cross the route boundary at every gate SF
+    // (500 + 3500 twins = 4000 > 3344) without the soak corpus
+    // exploding 8x (an unbounded 8x at sf1 made this row an 88 s
+    // descent over 160k vectors — certification needs the route
+    // exercised and a truth-covered family set, not maximal n)
+    val twins = e.filter(col("vec_id") < 500)
       .select(col("vec_id"), col("v"),
         explode(sequence(lit(1), lit(7))).as("j"))
       .select((col("vec_id") + col("j").cast("long") * lit(10000000L))
@@ -966,7 +988,7 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     val ranks = g.groupBy("query_id")
       .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("c"))
       .agg(min(col("mn") === 1 && col("mx") === col("c")).as("ranks_dense"))
-    e.agg(count(lit(1)).as("n_planted"))
+    e.filter(col("vec_id") < 500).agg(count(lit(1)).as("n_planted"))
       .crossJoin(corpus.agg(count(lit(1)).as("n_corpus")))
       .crossJoin(truth.agg(count(lit(1)).as("n_true")))
       .crossJoin(common.agg(count(lit(1)).as("n_found")))
@@ -983,14 +1005,15 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
 
   val knnGraphDescentPlantedOracle: String =
     """WITH sz AS (SELECT COUNT(*) AS n FROM embeddings),
-      |c AS (SELECT 8 * n AS nc, n FROM sz),
+      |pm AS (SELECT COUNT(*) AS m FROM embeddings WHERE vec_id < 500),
+      |c AS (SELECT n + 7 * m AS nc, m FROM sz, pm),
       |route AS (
-      |  SELECT nc, n,
+      |  SELECT nc, m,
       |    CASE WHEN CAST(nc AS DOUBLE) * CAST(nc AS DOUBLE) <=
       |        1.2 * (CAST(nc AS DOUBLE) * (3.0 * 512.0 + 2.0 * 25.0 * 25.0))
       |      THEN 'brute' ELSE 'descent' END AS route
       |  FROM c)
-      |SELECT nc AS n_corpus, n AS n_planted, 5 * nc AS n_true, route,
+      |SELECT nc AS n_corpus, m AS n_planted, 40 * m AS n_true, route,
       |  TRUE AS recall_ok, TRUE AS vertices_ok, TRUE AS ranks_dense
       |FROM route""".stripMargin
 
