@@ -31,6 +31,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark: SparkSession = Sessions.local(appName = "graft-bench")
 
+    // host-speed canary (graft.tools.HostCanary): fixed work timed
+    // before the query loop and carried in the artifact, so a
+    // round-over-round delta can be normalized against THIS sitting's
+    // host speed (r12: five phantom 1.7-3.2x "regressions", all host
+    // drift, each needing a manual worktree A/B to dismiss)
+    val canaryCpuSec = graft.tools.HostCanary.cpu()
+    val canaryScanSec = graft.tools.HostCanary.scan(spark, sfDir)
+
     def run(q: Q): Unit =
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
@@ -70,8 +78,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skippedJson = skipped.map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val canaryJson =
+      f"""{"cpu_sec":$canaryCpuSec%.3f,"scan_sec":$canaryScanSec%.3f}"""
     val full =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary":$canaryJson,"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_SELF.json"), full.getBytes("UTF-8"))
     // The line the driver parses must be COMPACT: the full 215-query
@@ -85,7 +95,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(20)
       .map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$slowest,"queries_timed":${results.size},"full":"BENCH_SELF.json","skipped":$skippedJson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary":$canaryJson,"queries":$slowest,"queries_timed":${results.size},"full":"BENCH_SELF.json","skipped":$skippedJson,"sf":"$sfDir"}"""
     println(line)
     // stop BEFORE the final print: SparkContext shutdown logs dozens
     // of INFO lines, and a JSON line printed earlier scrolls out of

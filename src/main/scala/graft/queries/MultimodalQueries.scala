@@ -75,27 +75,34 @@ object MultimodalQueries {
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         ids.map { i =>
-          val w = 4 + (i % 5).toInt
-          val h = 3 + (i % 4).toInt
-          // doc_id mod 4 picks the container; the entropy-coded
-          // quarters go through the real codecs (r12): JPEG fixtures
-          // are constant 8×8 blocks under a unit quantization table
-          // (DC-only spectra round-trip EXACTLY — see JpegCodec),
-          // PNG is lossless by construction — so the oracle replays
-          // every decoded sum from a pixel/block formula just like
-          // the raw-byte formats
-          val payload =
-            if (i % 4 == 0) Multimodal.makePgm(i, w, h)
-            else if (i % 4 == 1) Multimodal.makeBmp(i, w, h)
-            else if (i % 4 == 2) graft.scaleops.JpegCodec.encodeGrayBlocks(
-              8 * (1 + (i % 2)).toInt, 16,
+          // doc_id mod 5 picks the container (gif joined the family
+          // in r13); dims derive from i/5 so they VARY within each
+          // residue class (an i%5 term would be constant per class —
+          // the dead-variation bug r12 ADVICE caught on the jpeg
+          // width). The entropy-coded fifths go through the real
+          // codecs: JPEG fixtures are constant 8×8 blocks under a
+          // unit quantization table (DC-only spectra round-trip
+          // EXACTLY — see JpegCodec), PNG and GIF are lossless by
+          // construction — so the oracle replays every decoded sum
+          // from a pixel/block formula just like the raw-byte formats
+          val v = (i / 5).toInt
+          val payload = (i % 5) match {
+            case 0 => Multimodal.makePgm(i, 4 + v % 5, 3 + v % 4)
+            case 1 => Multimodal.makeBmp(i, 4 + v % 5, 3 + v % 4)
+            case 2 => graft.scaleops.JpegCodec.encodeGrayBlocks(
+              8 * (1 + v % 2), 16,
               b => ((i * 31 + b * 7) % 256).toInt)
-            else graft.scaleops.PngCodec.encodeGray(
-              5 + (i % 5).toInt, 4 + (i % 3).toInt,
-              (x, y) => ((i * 31 + y * (5 + (i % 5)) + x) % 256).toInt)
+            case 3 => graft.scaleops.PngCodec.encodeGray(
+              5 + v % 5, 4 + v % 3,
+              (x, y) => ((i * 31 + y * (5 + v % 5) + x) % 256).toInt)
+            case _ => graft.scaleops.GifCodec.encodeGray(
+              6 + v % 4, 5 + v % 3,
+              (x, y) => ((i * 31 + y * (6 + v % 4) + x) % 256).toInt)
+          }
           Multimodal.MediaRow(i, "image", payload)
         }
       }
+    val v5 = floor(col("media_id") / 5)
     Multimodal.decodePixels(imgs).toDF()
       .groupBy("fmt")
       .agg(count(lit(1)).as("n"),
@@ -104,50 +111,56 @@ object MultimodalQueries {
         min(col("sum_r") === col("sum_g") && col("sum_g") === col("sum_b"))
           .as("channels_equal"),
         min(when(col("fmt") === "jpeg",
-          col("width") === lit(8) * (lit(1) + pmod(col("media_id"), lit(2))) &&
+          col("width") === lit(8) * (lit(1) + pmod(v5, lit(2))) &&
             col("height") === lit(16))
           .when(col("fmt") === "png",
-            col("width") === lit(5) + pmod(col("media_id"), lit(5)) &&
-              col("height") === lit(4) + pmod(col("media_id"), lit(3)))
+            col("width") === lit(5) + pmod(v5, lit(5)) &&
+              col("height") === lit(4) + pmod(v5, lit(3)))
+          .when(col("fmt") === "gif",
+            col("width") === lit(6) + pmod(v5, lit(4)) &&
+              col("height") === lit(5) + pmod(v5, lit(3)))
           .otherwise(
-            col("width") === lit(4) + pmod(col("media_id"), lit(5)) &&
-              col("height") === lit(3) + pmod(col("media_id"), lit(4))))
+            col("width") === lit(4) + pmod(v5, lit(5)) &&
+              col("height") === lit(3) + pmod(v5, lit(4))))
           .as("dims_match"))
   }
 
   val mediaDecodeOracle: String =
     """WITH d AS (
-      |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
-      |  FROM documents),
+      |  SELECT doc_id, doc_id // 5 AS v FROM documents),
       |px AS (
-      |  SELECT doc_id, w, h, w * h AS np,
-      |    list_sum(list_transform(generate_series(0, w * h - 1),
+      |  SELECT doc_id, (4 + v % 5) * (3 + v % 4) AS np,
+      |    list_sum(list_transform(
+      |      generate_series(0, (4 + v % 5) * (3 + v % 4) - 1),
       |      p -> (doc_id * 31 + p) % 256)) AS s
-      |  FROM d WHERE doc_id % 4 < 2),
-      |jw AS (
-      |  SELECT doc_id, 8 * (1 + doc_id % 2) AS w, 16 AS h
-      |  FROM documents WHERE doc_id % 4 = 2),
+      |  FROM d WHERE doc_id % 5 < 2),
       |jpx AS (
-      |  SELECT doc_id, w, h, w * h AS np,
+      |  SELECT doc_id, 8 * (1 + v % 2) * 16 AS np,
       |    64 * list_sum(list_transform(
-      |      generate_series(0, (w // 8) * (h // 8) - 1),
+      |      generate_series(0, (1 + v % 2) * 2 - 1),
       |      b -> (doc_id * 31 + b * 7) % 256)) AS s
-      |  FROM jw),
-      |gw AS (
-      |  SELECT doc_id, 5 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
-      |  FROM documents WHERE doc_id % 4 = 3),
-      |gpx AS (
-      |  SELECT doc_id, w, h, w * h AS np,
-      |    list_sum(list_transform(generate_series(0, w * h - 1),
+      |  FROM d WHERE doc_id % 5 = 2),
+      |ppx AS (
+      |  SELECT doc_id, (5 + v % 5) * (4 + v % 3) AS np,
+      |    list_sum(list_transform(
+      |      generate_series(0, (5 + v % 5) * (4 + v % 3) - 1),
       |      p -> (doc_id * 31 + p) % 256)) AS s
-      |  FROM gw),
+      |  FROM d WHERE doc_id % 5 = 3),
+      |fpx AS (
+      |  SELECT doc_id, (6 + v % 4) * (5 + v % 3) AS np,
+      |    list_sum(list_transform(
+      |      generate_series(0, (6 + v % 4) * (5 + v % 3) - 1),
+      |      p -> (doc_id * 31 + p) % 256)) AS s
+      |  FROM d WHERE doc_id % 5 = 4),
       |allpx AS (
       |  SELECT doc_id, np, s FROM px
       |  UNION ALL SELECT doc_id, np, s FROM jpx
-      |  UNION ALL SELECT doc_id, np, s FROM gpx)
-      |SELECT CASE WHEN doc_id % 4 = 0 THEN 'pnm'
-      |  WHEN doc_id % 4 = 1 THEN 'bmp'
-      |  WHEN doc_id % 4 = 2 THEN 'jpeg' ELSE 'png' END AS fmt,
+      |  UNION ALL SELECT doc_id, np, s FROM ppx
+      |  UNION ALL SELECT doc_id, np, s FROM fpx)
+      |SELECT CASE WHEN doc_id % 5 = 0 THEN 'pnm'
+      |  WHEN doc_id % 5 = 1 THEN 'bmp'
+      |  WHEN doc_id % 5 = 2 THEN 'jpeg'
+      |  WHEN doc_id % 5 = 3 THEN 'png' ELSE 'gif' END AS fmt,
       |  COUNT(*) AS n, CAST(SUM(np) AS BIGINT) AS n_pixels,
       |  CAST(SUM(s) AS BIGINT) AS sum_gray,
       |  TRUE AS channels_equal, TRUE AS dims_match
@@ -188,17 +201,20 @@ object MultimodalQueries {
     def pix(pixId: Long, patched: Boolean)(p: Int): Int =
       ((((pixId + 1) * (p + 7919)) % 65521 % 256 +
         (if (patched && p < 8) 60 else 0)) % 256).toInt
-    // container rotates through pgm/bmp/png thirds, and every twin
-    // lands in a DIFFERENT container than its original — since r12
-    // the PNG third goes through the real DEFLATE decoder
-    // (PngCodec), and because PNG is LOSSLESS the dHash is identical
-    // to the raw-byte containers', so the oracle (which replays
-    // hashes from the pixel formula) is unchanged: the gate now
-    // witnesses container invariance across an entropy-coded format
+    // container rotates through pgm/bmp/png/gif quarters, and every
+    // twin lands in a DIFFERENT container than its original — the
+    // PNG quarter goes through the real DEFLATE decoder (r12) and
+    // the GIF quarter through the real LZW decoder (r13); both are
+    // LOSSLESS, so the dHash is identical to the raw-byte
+    // containers' and the oracle (which replays hashes from the
+    // pixel formula) is unchanged: the gate witnesses container
+    // invariance across BOTH entropy-coded palette-free formats
     def enc(kind: Long, pixFn: Int => Int): Array[Byte] = kind match {
       case 0 => Multimodal.makeGrayPgm(W, H, pixFn)
       case 1 => Multimodal.makeGrayBmp(W, H, pixFn)
-      case _ => graft.scaleops.PngCodec.encodeGray(W, H,
+      case 2 => graft.scaleops.PngCodec.encodeGray(W, H,
+        (x, y) => pixFn(y * W + x))
+      case _ => graft.scaleops.GifCodec.encodeGray(W, H,
         (x, y) => pixFn(y * W + x))
     }
     Tables.load(s, d, "documents")
@@ -206,10 +222,10 @@ object MultimodalQueries {
       .mapPartitions { ids =>
         ids.flatMap { i =>
           val orig = Multimodal.MediaRow(i, "image",
-            enc(i % 3, pix(i, patched = false)))
+            enc(i % 4, pix(i, patched = false)))
           if (i % 10 == 0)
             Iterator(orig, Multimodal.MediaRow(i + 10000000L, "image",
-              enc((i + 1) % 3, pix(i, patched = true))))
+              enc((i + 1) % 4, pix(i, patched = true))))
           else Iterator(orig)
         }
       }

@@ -518,8 +518,12 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     * resident. Keyed by (session, dir, source fingerprint) so a
     * regenerated dataset or a new session can never be served a stale
     * handle; bounded at 8 entries (a handle is kilobytes). */
+  /** Access-ordered LRU (r12 verdict): at 33+ live consumers the old
+    * ConcurrentHashMap's `keys().nextElement()` eviction could drop
+    * the HOTTEST handle. [[graft.scaleops.LruCache]] carries the
+    * eviction contract (and its own spec pin). */
   protected val ivfResident =
-    new java.util.concurrent.ConcurrentHashMap[String, Similarity.IvfIndex]()
+    new graft.scaleops.LruCache[String, Similarity.IvfIndex](32)
 
   protected def ivfMemoDir(baseDir: String, d: String): String =
     baseDir + "/" + d.replaceAll("[^A-Za-z0-9.]+", "_")
@@ -549,8 +553,10 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       }
     val key = s"${System.identityHashCode(s)}\n$dir\n$fingerprint"
     if (fresh) {
-      val resident = ivfResident.get(key)
-      if (resident != null) return resident
+      ivfResident.get(key) match {
+        case Some(resident) => return resident
+        case None => ()
+      }
     }
     if (!fresh) {
       // derived artifacts beside the index (the SQ8/PQ codes
@@ -569,17 +575,11 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
     }
     val loaded = Similarity.ivfLoad(s, dir)
-    // evict ONE arbitrary entry at the cap, never clear(): r12 added
-    // three index consumers (filtered, graph quantizer, planted
-    // quantizer) and a full clear at 8 entries thrashed EVERY
-    // prebuilt row in the same session (knn_ivf_sq8_prebuilt warm
-    // 0.7 -> 2.2 s in the r12 sf0.1 bench). A handle is kilobytes of
-    // driver memory (centroids + a parquet path), so 32 is still
-    // nothing.
-    if (ivfResident.size >= 32) {
-      val it = ivfResident.keys()
-      if (it.hasMoreElements) ivfResident.remove(it.nextElement())
-    }
+    // LRU at the cap, never clear(): r12's full clear at 8 entries
+    // thrashed EVERY prebuilt row in the same session, and r12's
+    // arbitrary-entry eviction could drop the hottest handle under
+    // 33+ live consumers. A handle is kilobytes of driver memory
+    // (centroids + a parquet path), so 32 is still nothing.
     ivfResident.put(key, loaded)
     loaded
   }
@@ -941,17 +941,25 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // exploding 8x (an unbounded 8x at sf1 made this row an 88 s
     // descent over 160k vectors — certification needs the route
     // exercised and a truth-covered family set, not maximal n)
-    val twins = e.filter(col("vec_id") < 500)
-      .select(col("vec_id"), col("v"),
-        explode(sequence(lit(1), lit(7))).as("j"))
-      .select((col("vec_id") + col("j").cast("long") * lit(10000000L))
-        .as("vec_id"),
-        transform(sequence(lit(1), lit(64)), i =>
-          element_at(col("v"), i) +
-            lit(0.02) * col("j") *
-              element_at(col("v"), pmod(i, lit(64)) + lit(1)))
-          .as("v"))
-    val corpus = e.unionByName(twins).localCheckpoint(eager = false)
+    // the planted corpus is a PURE function of (dataset, bound=500,
+    // j=1..7, eps=0.02) — disk-memoize it like the standing graph
+    // (r12 verdict #7: regenerating + localCheckpointing it per rep
+    // kept this the slowest warm row); the tag invalidates on any
+    // planting-rule change, the fingerprint on dataset regeneration
+    val corpus = dfLoadOrBuild(s, "target/knn_graph_planted_corpus", d,
+      tag = "bound=500,j=7,eps=0.02,k=5") {
+      val twins = e.filter(col("vec_id") < 500)
+        .select(col("vec_id"), col("v"),
+          explode(sequence(lit(1), lit(7))).as("j"))
+        .select((col("vec_id") + col("j").cast("long") * lit(10000000L))
+          .as("vec_id"),
+          transform(sequence(lit(1), lit(64)), i =>
+            element_at(col("v"), i) +
+              lit(0.02) * col("j") *
+                element_at(col("v"), pmod(i, lit(64)) + lit(1)))
+            .as("v"))
+      e.unionByName(twins)
+    }
     val g = Similarity.knnGraphAuto(corpus, "vec_id", "v", k = 5,
       quantizer = Some((n: Long) => {
         val p = Similarity.knnGraphParams(n)
@@ -970,19 +978,26 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // total, never Theta(n^2).
     def n2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       sqrt(ArrayDot(c, c))
-    val fam = corpus.withColumn("family", pmod(col("vec_id"), lit(10000000L)))
-    val truth = fam
-      .select(col("family"), col("vec_id").as("query_id"), col("v").as("qv"))
-      .join(fam.select(col("family"), col("vec_id").as("neighbor_id"),
-        col("v").as("nv")), "family")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(
-        ArrayDot(col("qv"), col("nv")) / (n2(col("qv")) * n2(col("nv"))), 6))
-      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= 5)
-      .select("query_id", "neighbor_id")
-      .localCheckpoint(eager = false)
+    // truth is likewise a pure function of the planted corpus —
+    // memoized beside it (same tag discipline), so the timed reps
+    // pay a parquet scan, not the family self-join + window
+    val truth = dfLoadOrBuild(s, "target/knn_graph_planted_truth", d,
+      tag = "bound=500,j=7,eps=0.02,k=5") {
+      val fam = corpus
+        .withColumn("family", pmod(col("vec_id"), lit(10000000L)))
+      fam
+        .select(col("family"), col("vec_id").as("query_id"),
+          col("v").as("qv"))
+        .join(fam.select(col("family"), col("vec_id").as("neighbor_id"),
+          col("v").as("nv")), "family")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(
+          ArrayDot(col("qv"), col("nv")) / (n2(col("qv")) * n2(col("nv"))), 6))
+        .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+        .filter(col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    }
     val common = g.select("query_id", "neighbor_id")
       .join(truth, Seq("query_id", "neighbor_id"))
     val ranks = g.groupBy("query_id")
@@ -1043,6 +1058,7 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // input, and this row witnesses both decisions below
     val filtered = emb.filter(col("label") > 0)
     val nF = filtered.count()
+    val nQ = q.count()
     val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
     // the amortized regime sits on the SHARED serving-index memo: the
     // full-corpus index is filter-agnostic (one build serves every
@@ -1051,10 +1067,15 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       tag = s"nList=${p.nList}")(
       Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
         knownN = Some(n)))
+    // the gate already counted n and nF for its witnesses; pass all
+    // three counts through (r12 ADVICE: the two auto calls otherwise
+    // re-ran ~six full corpus scans re-deriving them)
     val one = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
-      col("label") > 0, q, k = 3, reuse = 1L, prebuilt = Some(index))
+      col("label") > 0, q, k = 3, reuse = 1L, prebuilt = Some(index),
+      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
     val many = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
-      col("label") > 0, q, k = 3, reuse = 100L, prebuilt = Some(index))
+      col("label") > 0, q, k = 3, reuse = 100L, prebuilt = Some(index),
+      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
     val brute = Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3)
       .localCheckpoint(eager = false) // twin feeds 2 certifications
     val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")

@@ -215,6 +215,7 @@ object Multimodal {
           .orElse(pnmPixels(m.payload).map(("pnm", _)))
           .orElse(JpegCodec.channelSums(m.payload).map(("jpeg", _)))
           .orElse(PngCodec.channelSums(m.payload).map(("png", _)))
+          .orElse(GifCodec.channelSums(m.payload).map(("gif", _)))
           .map { case (fmt, (w, h, sr, sg, sb)) =>
             PixelStats(m.media_id, fmt, w, h, w.toLong * h, sr, sg, sb)
           }
@@ -336,6 +337,8 @@ object Multimodal {
       JpegCodec.decode(p)
         .map(i => fromDecoded(i.w, i.h, i.comps, i.pixels))
         .orElse(PngCodec.decode(p)
+          .map(i => fromDecoded(i.w, i.h, i.comps, i.pixels)))
+        .orElse(GifCodec.decode(p)
           .map(i => fromDecoded(i.w, i.h, i.comps, i.pixels)))
         .flatten
     }

@@ -92,9 +92,17 @@ object PngCodec {
     val buf = new Array[Byte](16384)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput()) {
+      // n == 0 without finished() means the inflater wants something we
+      // will never supply (more input, or a preset dictionary — FDICT is
+      // invalid in PNG but reachable from corrupt payloads). Any such
+      // state must fail structurally, never spin: a hang here would pin
+      // an executor task and decode()'s try/catch can't recover it.
+      if (n == 0 && !inf.finished()) {
         inf.end()
-        throw new java.util.zip.DataFormatException("truncated IDAT")
+        throw new java.util.zip.DataFormatException(
+          if (inf.needsInput()) "truncated IDAT"
+          else if (inf.needsDictionary()) "FDICT preset dictionary (invalid in PNG)"
+          else "stalled zlib stream")
       }
       out.write(buf, 0, n)
     }

@@ -935,11 +935,18 @@ object Similarity {
   def knnFilteredAuto(emb: DataFrame, idCol: String, vecCol: String,
                       pred: Column, queries: DataFrame, k: Int,
                       reuse: Long = 1L, seed: Long = 42L,
-                      prebuilt: Option[IvfIndex] = None): DataFrame = {
+                      prebuilt: Option[IvfIndex] = None,
+                      knownN: Option[Long] = None,
+                      knownNFiltered: Option[Long] = None,
+                      knownNQueries: Option[Long] = None): DataFrame = {
+    // knownN discipline (mirrors ivfBuild): callers that already hold
+    // the corpus / filtered / query counts pass them in — a gate row
+    // that calls this twice would otherwise re-scan the corpus six
+    // times just to re-derive the same three COUNT(*)s
     val filtered = emb.filter(pred)
-    val n = emb.count()
-    val nF = filtered.count()
-    val nQ = queries.count()
+    val n = knownN.getOrElse(emb.count())
+    val nF = knownNFiltered.getOrElse(filtered.count())
+    val nQ = knownNQueries.getOrElse(queries.count())
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val (res, route) =
       if (knnFilteredIvfWorthIt(n, nF, nQ, reuse, p)) {

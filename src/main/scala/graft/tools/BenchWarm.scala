@@ -17,6 +17,7 @@ import graft.queries.Registry
   * drift A/B, a single-operator iteration loop).
   */
 object BenchWarm {
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "BENCH_WARM.json"
@@ -24,6 +25,11 @@ object BenchWarm {
     val only = args.lift(3).map(_.split(",").toSet)
     require(reps >= 2, "need at least 2 reps for a warm number")
     val spark = Sessions.local(appName = "graft-bench-warm")
+    // host-speed canary ([[HostCanary]]) emitted with the artifact:
+    // deltas vs a prior round normalize against the sitting's speed
+    val canaryCpuSec = HostCanary.cpu()
+    val canaryScanSec = HostCanary.scan(spark, sfDir)
+    println(f"BENCHWARM canary cpu=$canaryCpuSec%6.2f scan=$canaryScanSec%6.2f")
     val selected = Registry.all.filterNot(_.benchSkip)
       .filter(q => only.forall(_.contains(q.name)))
     val results = selected.map { q =>
@@ -71,6 +77,7 @@ object BenchWarm {
       f"""{
          |  "sf": "$sfDir",
          |  "reps": $reps,
+         |  "canary": {"cpu_sec": $canaryCpuSec%.3f, "scan_sec": $canaryScanSec%.3f},
          |  "warm_total": $total%.3f,
          |  "queries": {
          |$qjson

@@ -1,0 +1,51 @@
+package graft.tools
+
+/** Fixed-work host-speed canary (r12 verdict #1b): host drift — not
+  * code — produced five 1.7-3.2× phantom regressions in the r12
+  * round-over-round read (judge-verified as drift for knn_ivf by A/B
+  * against r11 HEAD). Both bench mains time these two probes before
+  * their query loops and emit them in the artifact, so a future
+  * delta can be normalized against the host's measured speed THAT
+  * sitting instead of adjudicated by a fresh worktree A/B:
+  *
+  *  - `cpu`: 4·10⁸ xorshift64 steps on one thread (JIT-warmed by an
+  *    untimed 5% prefix) — pure compute, no Spark, no IO;
+  *  - `scan`: one 3-aggregate pass over lineitem through the full
+  *    Spark read path, second run timed (the first pays parquet
+  *    footers + codegen) — the IO/scheduling half of host speed.
+  */
+object HostCanary {
+
+  def cpu(): Double = {
+    def mix(iters: Long): Long = {
+      var x = 0x9E3779B97F4A7C15L
+      var acc = 0L
+      var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      acc
+    }
+    val warm = mix(20000000L)
+    val t0 = System.nanoTime()
+    val r = mix(400000000L)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (r == 42L && warm == 43L) println("canary collision") // defeat DCE
+    dt
+  }
+
+  def scan(spark: org.apache.spark.sql.SparkSession,
+           sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Unit =
+      graft.sources.Tables.load(spark, sfDir, "lineitem")
+        .agg(sum("l_quantity"), sum("l_extendedprice"),
+          count(lit(1))).write.format("noop").mode("overwrite").save()
+    once() // footers + codegen, untimed
+    val t0 = System.nanoTime()
+    once()
+    (System.nanoTime() - t0) / 1e9
+  }
+}

@@ -72,4 +72,23 @@ class PngSpec extends AnyFunSuite {
     val jpeg = graft.scaleops.JpegCodec.encodeGrayBlocks(8, 8, _ => 50)
     assert(PngCodec.decode(jpeg).isEmpty)
   }
+
+  test("FDICT zlib header returns None promptly — a stalled inflater " +
+    "must fail structurally, never pin an executor task (r12 ADVICE)") {
+    // patch the IDAT's zlib header to CMF=0x78 FLG=0x20: FDICT set,
+    // check bits valid ((0x7820 % 31) == 0) — invalid in PNG but
+    // reachable from corrupt/adversarial payloads. Inflater.inflate
+    // then returns 0 with needsInput()==false forever; the decoder
+    // must convert that state into DataFormatException -> None.
+    val good = PngCodec.encodeGray(8, 8, (x, y) => x * 8 + y)
+    val bad = good.clone()
+    val idatAt = bad.indices.find(i => i + 4 <= bad.length - 4 &&
+      bad(i) == 'I' && bad(i + 1) == 'D' && bad(i + 2) == 'A' &&
+      bad(i + 3) == 'T').get
+    bad(idatAt + 4) = 0x78.toByte
+    bad(idatAt + 5) = 0x20.toByte
+    val t0 = System.nanoTime()
+    assert(PngCodec.decode(bad).isEmpty)
+    assert((System.nanoTime() - t0) < 5e9, "decode stalled instead of failing")
+  }
 }

@@ -989,4 +989,29 @@ class SimilaritySpec extends SparkSpec {
     assert(auto.drop("route").except(exact).isEmpty &&
       exact.except(auto.drop("route")).isEmpty)
   }
+
+  test("LruCache (ivfResident contract): the most-recently-USED " +
+    "handles survive a 33-consumer sweep; arbitrary eviction would " +
+    "drop the hottest") {
+    val c = new graft.scaleops.LruCache[Int, String](32)
+    for (i <- 0 until 32) c.put(i, s"idx$i")
+    // keys 0..3 are the hot serving handles: touch them via get
+    for (i <- 0 until 4) assert(c.get(i).contains(s"idx$i"))
+    // consumer 33 arrives -> capacity forces one eviction; the victim
+    // must be the LRU entry (key 4), never a just-touched hot one
+    c.put(32, "idx32")
+    assert(c.size == 32)
+    for (i <- 0 until 4) assert(c.contains(i), s"hot handle $i evicted")
+    assert(!c.contains(4), "LRU entry should be the victim")
+    assert(c.contains(32))
+    // sweep 8 more consumers: victims are 5..12 in LRU order, the
+    // hot four still resident at the end
+    for (j <- 33 until 41) c.put(j, s"idx$j")
+    for (i <- 0 until 4) assert(c.contains(i), s"hot handle $i evicted")
+    for (i <- 5 until 13) assert(!c.contains(i))
+    // a put of an existing key refreshes recency too
+    c.put(13, "idx13b")
+    c.put(41, "idx41")
+    assert(c.contains(13) && c.get(13).contains("idx13b"))
+  }
 }

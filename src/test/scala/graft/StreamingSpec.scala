@@ -213,8 +213,14 @@ class StreamingSpec extends SparkSpec {
       // micro-batches while timers are pending, so
       // processAllAvailable() never latches — poll the sink against
       // a deadline instead (the timers fire on their own)
+      // evictMs must comfortably exceed any plausible inter-micro-batch
+      // stall on a loaded CI box: a timer that fires while a key still
+      // has events in flight splits that session and the strict
+      // equality below fails flakily (r12 ADVICE). 15 s >> the
+      // 250 ms trigger; the poll loop below exits as soon as the last
+      // timers fire, so the test only pays ~evictMs once.
       val q = EventsStream.twsSessionsEvicting(
-        EventsStream.readEvents(spark, streamDir), evictMs = 2000L)
+        EventsStream.readEvents(spark, streamDir), evictMs = 15000L)
         .toDF("user_id", "sess_events")
         .writeStream.format("memory").queryName("tws_evict_out")
         .outputMode("append")
