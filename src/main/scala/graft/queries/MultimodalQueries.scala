@@ -374,6 +374,106 @@ object MultimodalQueries {
       }
   }
 
+  /** SPECTRAL audio near-dup tier (r12 verdict #3): the energy
+    * contour is robust to volume but blind to PITCH — a repitched
+    * re-render (octave-up master with its own loudness automation,
+    * the real crawl's "same track, different rendition" case) lands
+    * > 3 contour bits away and the contour tier provably misses it.
+    * This row plants exactly that twin and certifies the FFT
+    * ratio-constellation tier ([[Multimodal.spectralHash56]]:
+    * radix-2 FFT → top-4 peak bins → quarter-octave quantized
+    * consecutive log-ratios, thermometer-coded — peak RATIOS are
+    * pitch-shift-invariant, the Wang-2003 relation-hash idea made
+    * transposition-proof) catches it through the SAME pigeonhole
+    * Hamming-band LSH. Witnesses: `contour_missed_all` is replayed
+    * EXACTLY by the oracle (the clip is an integer square-wave
+    * mixture — samples, frame energies, and both contour hashes
+    * rebuild arithmetically in SQL); `spectral_found_all` is the
+    * engine-witnessed boolean that every planted pair is in the
+    * banded spectral pair set (a broken FFT/peak-picker/hash flips
+    * it red). */
+  def mediaAudioSpectral(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.load(s, d, "documents")
+      .select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { i =>
+          val orig = Multimodal.MediaRow(i, "audio",
+            Multimodal.makeToneMixWav(i, twin = false))
+          if (i % 10 == 0)
+            Iterator(orig, Multimodal.MediaRow(i + 10000000L, "audio",
+              Multimodal.makeToneMixWav(i, twin = true)))
+          else Iterator(orig)
+        }
+      }.localCheckpoint(eager = false) // feeds both fingerprint passes
+    val spectral = Multimodal.spectralFingerprints(corpus)
+      .localCheckpoint(eager = false)
+    val pairs = Multimodal.nearDupByPHash(spectral, maxDist = 3)
+    val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    val contour = Multimodal.audioFingerprints(corpus)
+    val cDist = contour.filter(col("media_id") < 10000000L)
+      .withColumnRenamed("phash", "h_orig")
+      .join(contour.filter(col("media_id") >= 10000000L)
+        .select((col("media_id") - 10000000L).as("media_id"),
+          col("phash").as("h_twin")), "media_id")
+      .select(bit_count(col("h_orig").bitwiseXOR(col("h_twin"))).as("cd"))
+    corpus.toDF().agg(count(lit(1)).as("n_clips"),
+        sum(when(col("media_id") >= 10000000L, 1L).otherwise(0L))
+          .as("n_planted"))
+      .crossJoin(cDist.agg(min(col("cd") > 3).as("contour_missed_all")))
+      .crossJoin(planted.agg(count(lit(1)).as("n_spectral_planted")))
+      .select(col("n_clips"), col("n_planted"),
+        col("contour_missed_all"),
+        (col("n_spectral_planted") === col("n_planted"))
+          .as("spectral_found_all"),
+        lit(4).as("n_bands"), lit(14).as("band_bits"),
+        lit(3).as("max_dist"))
+  }
+
+  val mediaAudioSpectralOracle: String =
+    """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+      |pids AS (SELECT id FROM ids WHERE id % 10 = 0),
+      |clips AS (
+      |  SELECT id, FALSE AS twin FROM pids
+      |  UNION ALL SELECT id, TRUE FROM pids),
+      |sp AS (
+      |  SELECT c.id, c.twin, k.k,
+      |    list_extract([12,16,20,24,28,32,40,48],
+      |      ((id % 8 + k.k * (1 + 2 * (id % 4))) % 8) + 1)
+      |      // (CASE WHEN c.twin THEN 2 ELSE 1 END) AS p
+      |  FROM clips c, generate_series(0, 3) AS k(k)),
+      |w AS (
+      |  SELECT id, twin, t.t,
+      |    SUM(CASE WHEN t.t % p < p // 2 THEN 30 ELSE -30 END) AS wv
+      |  FROM sp, generate_series(0, 911) AS t(t)
+      |  GROUP BY 1, 2, 3),
+      |fe AS (
+      |  SELECT id, twin, t // 16 AS f,
+      |    SUM(ABS((140 + ((id + 1) *
+      |        ((CASE WHEN twin THEN (2 * (t // 16) + 5) % 57
+      |          ELSE t // 16 END) + 13)) % 97 % 8)
+      |      * (wv + 121) // 140 - 128)) AS e
+      |  FROM w GROUP BY 1, 2, 3),
+      |grad AS (
+      |  SELECT id, twin, f, e,
+      |    LEAD(e) OVER (PARTITION BY id, twin ORDER BY f) AS e_next
+      |  FROM fe),
+      |hashes AS (
+      |  SELECT id, twin, CAST(SUM(CASE WHEN e_next > e
+      |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT))
+      |      ELSE 0 END) AS BIGINT) AS h
+      |  FROM grad WHERE f < 56 GROUP BY id, twin),
+      |missed AS (
+      |  SELECT BOOL_AND(bit_count(xor(o.h, tw.h)) > 3) AS contour_missed_all
+      |  FROM hashes o JOIN hashes tw
+      |    ON o.id = tw.id AND NOT o.twin AND tw.twin)
+      |SELECT (SELECT COUNT(*) FROM ids) + (SELECT COUNT(*) FROM pids)
+      |    AS n_clips,
+      |  (SELECT COUNT(*) FROM pids) AS n_planted,
+      |  contour_missed_all, TRUE AS spectral_found_all,
+      |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist
+      |FROM missed""".stripMargin
+
   /** Audio near-duplicate detection — the audio-modality counterpart
     * of [[mediaNearDup]] (the r10 verdict's symmetric gap): REAL WAV
     * chunk-walk decode → per-frame |s−128| loudness → 56-bit
@@ -545,6 +645,8 @@ object MultimodalQueries {
     Q("multimodal_neardup_keep", mediaNearDupKeep, Some(mediaNearDupKeepOracle)),
     Q("multimodal_audio_neardup", mediaAudioNearDup,
       Some(mediaAudioNearDupOracle)),
+    Q("multimodal_audio_spectral", mediaAudioSpectral,
+      Some(mediaAudioSpectralOracle)),
     Q("multimodal_video_neardup", mediaVideoNearDup,
       Some(mediaVideoNearDupOracle)))
 }

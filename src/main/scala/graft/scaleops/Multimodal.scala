@@ -611,6 +611,190 @@ object Multimodal {
     }.toDF("media_id", "phash")
   }
 
+  // ---- audio near-dup, SPECTRAL tier (r13) -------------------------------
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT (the textbook
+    * public algorithm — bit-reversal permutation then log₂ n
+    * butterfly stages). `re.length` must be a power of two. The only
+    * consumer is [[spectralPeakBins]]'s fixed 512-point window, so
+    * no twiddle caching is needed — this is per-clip executor work,
+    * not a hot inner loop. */
+  private[graft] def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require(n == im.length && (n & (n - 1)) == 0, "radix-2 needs 2^k")
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val ar = re(base + k); val ai = im(base + k)
+          val br = re(base + k + len / 2); val bi = im(base + k + len / 2)
+          val tr = br * cr - bi * ci
+          val ti = br * ci + bi * cr
+          re(base + k) = ar + tr; im(base + k) = ai + ti
+          re(base + k + len / 2) = ar - tr; im(base + k + len / 2) = ai - ti
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Top-`nPeaks` spectral peak bins of an 8-bit mono PCM clip:
+    * FFT of the first `win` samples (mean-subtracted, so the DC /
+    * loudness level never competes as a "peak"), magnitude spectrum
+    * over bins [2, win/2), greedy local-maximum picking with a ±1-bin
+    * exclusion zone (a peak's shoulder must not count as a second
+    * peak). Returns the bins sorted ASCENDING, or None when the clip
+    * is shorter than the window or not 8-bit mono PCM. */
+  private[graft] def spectralPeakBins(p: Array[Byte], nPeaks: Int = 4,
+                                      win: Int = 512): Option[Array[Int]] =
+    wavPcm8Mono(p).flatMap { case (off, n) =>
+      if (n < win) None
+      else {
+        val re = new Array[Double](win)
+        val im = new Array[Double](win)
+        var mean = 0.0
+        var t = 0
+        while (t < win) { mean += (p(off + t) & 0xFF); t += 1 }
+        mean /= win
+        t = 0
+        while (t < win) { re(t) = (p(off + t) & 0xFF) - mean; t += 1 }
+        fft(re, im)
+        val half = win / 2
+        val mag = new Array[Double](half)
+        var b = 2
+        while (b < half) {
+          mag(b) = math.sqrt(re(b) * re(b) + im(b) * im(b))
+          b += 1
+        }
+        val picked = new Array[Int](nPeaks)
+        var k = 0
+        while (k < nPeaks) {
+          var best = -1
+          var bestMag = 0.0
+          b = 2
+          while (b < half) {
+            if (mag(b) > bestMag) { bestMag = mag(b); best = b }
+            b += 1
+          }
+          if (best < 0) return None // fewer distinct peaks than asked
+          picked(k) = best
+          // exclusion: the peak and its immediate shoulders
+          var e = math.max(2, best - 1)
+          while (e <= math.min(half - 1, best + 1)) { mag(e) = 0.0; e += 1 }
+          k += 1
+        }
+        java.util.Arrays.sort(picked)
+        Some(picked)
+      }
+    }
+
+  /** 56-bit PITCH-INVARIANT spectral fingerprint — the constellation
+    * idea of Wang's 2003 landmark paper (hash relations BETWEEN
+    * spectral peaks, not absolute positions) made transposition-
+    * invariant by hashing peak-frequency RATIOS: a pitch shift
+    * multiplies every peak frequency by the same factor, so the
+    * ratios of the sorted peak bins — and therefore this hash — are
+    * unchanged, while the energy-contour hash
+    * ([[audioFingerprint56]]) sees a re-rendered loudness timeline
+    * and misses (the gap the r12 verdict called: contour is robust
+    * to volume, not to pitch). Layout: the 3 consecutive log₂-ratios
+    * of the 4 ascending peak bins, each quantized at quarter-octave
+    * cells and THERMOMETER-coded into a 14-bit lane (bits
+    * `lane·14 + 0..level-1` set) — so a ±1-cell quantization jitter
+    * costs exactly 1 Hamming bit per lane, and the existing
+    * [[nearDupByPHash]] pigeonhole band-LSH applies unchanged. */
+  private[graft] def spectralHash56(p: Array[Byte]): Option[Long] =
+    spectralPeakBins(p).map { bins =>
+      var hash = 0L
+      var j = 0
+      while (j < 3) {
+        val r = bins(j + 1).toDouble / bins(j)
+        val level = math.min(13,
+          math.max(0, math.floor(4.0 * math.log(r) / math.log(2.0)).toInt))
+        var b = 0
+        while (b < level) { hash |= 1L << (j * 14 + b); b += 1 }
+        j += 1
+      }
+      hash
+    }
+
+  /** Spectral fingerprints of every decodable clip — (media_id,
+    * phash), [[nearDupByPHash]]-compatible like the other two
+    * fingerprint families. */
+  def spectralFingerprints(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap(m => spectralHash56(m.payload).map(h => (m.media_id, h)))
+    }.toDF("media_id", "phash")
+  }
+
+  /** Deterministic square-wave-mixture clip for the SPECTRAL
+    * near-dup certification — every term integer-exact so the DuckDB
+    * oracle replays the samples (and therefore the energy-contour
+    * hashes) arithmetically:
+    *
+    *  - 4 square-wave components with id-derived periods from an
+    *    8-entry menu (odd stride ⇒ always 4 distinct), fundamentals
+    *    at FFT bins 512/P ∈ [10.7, 42.7], pairwise ≥ 2 bins apart
+    *    (the peak picker's ±1 exclusion can never swallow a
+    *    neighbor); square waves have odd harmonics only, at ≤ 1/3
+    *    magnitude — never in the top-4 while 4 fundamentals stand;
+    *  - a per-frame loudness envelope g ∈ [140, 147] (±2.5%):
+    *    enough integer wiggle to make every contour gradient
+    *    deterministic, small enough that envelope sidebands stay ≪
+    *    the fundamentals in the spectrum;
+    *  - `twin` = the pitch-shifted re-render: every period HALVED
+    *    (octave up — all peak frequencies ×2, ratios unchanged) with
+    *    its own loudness automation (the envelope timeline
+    *    re-indexed), which scrambles the energy contour — the case
+    *    the contour hash provably misses and the ratio-constellation
+    *    hash provably keeps. */
+  private[graft] def makeToneMixWav(id: Long, twin: Boolean,
+                                    nSamples: Int = 912): Array[Byte] = {
+    val menu = Array(12, 16, 20, 24, 28, 32, 40, 48)
+    val a = (id % 8).toInt
+    val s = 1 + 2 * (id % 4).toInt
+    val div = if (twin) 2 else 1
+    val p = Array.tabulate(4)(k => menu((a + k * s) % 8) / div)
+    makeWav8(nSamples, { t =>
+      val f = t / 16
+      val gidx = if (twin) (2 * f + 5) % 57 else f
+      val g = 140 + ((id + 1) * (gidx + 13)) % 97 % 8
+      var w = 0
+      var k = 0
+      while (k < 4) {
+        w += (if (t % p(k) < p(k) / 2) 30 else -30)
+        k += 1
+      }
+      ((g * (w + 121)) / 140).toInt
+    })
+  }
+
   /** Deterministic 8-bit mono PCM WAV with REAL layout — RIFF/WAVE
     * header, fmt chunk (format 1, 1 channel, 8 kHz, 8-bit), data
     * chunk; sample t = `sample(t)` (values 0..255). A decoder that

@@ -406,4 +406,61 @@ class MultimodalSpec extends SparkSpec {
       assert(got.get((i, i + 1000L)).contains(4L), s"twin of $i")
     }
   }
+
+  test("fft matches a naive DFT (random signal, both components)") {
+    val n = 64
+    val rnd = new scala.util.Random(7)
+    val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val re = x.clone()
+    val im = new Array[Double](n)
+    Multimodal.fft(re, im)
+    for (k <- 0 until n) {
+      var dr = 0.0
+      var di = 0.0
+      for (t <- 0 until n) {
+        val ang = -2.0 * math.Pi * k * t / n
+        dr += x(t) * math.cos(ang)
+        di += x(t) * math.sin(ang)
+      }
+      assert(math.abs(re(k) - dr) < 1e-9 && math.abs(im(k) - di) < 1e-9,
+        s"bin $k")
+    }
+  }
+
+  test("spectral peaks land on the square-wave fundamentals " +
+    "(|peak - 512/P| <= 1) for orig and octave twin across many ids") {
+    val menu = Array(12, 16, 20, 24, 28, 32, 40, 48)
+    for (id <- 0L until 64L; twin <- Seq(false, true)) {
+      val a = (id % 8).toInt
+      val s = 1 + 2 * (id % 4).toInt
+      val div = if (twin) 2 else 1
+      val expect = Array.tabulate(4)(k => 512.0 / (menu((a + k * s) % 8) / div))
+        .sorted
+      val peaks = Multimodal.spectralPeakBins(
+        Multimodal.makeToneMixWav(id, twin)).get
+      for (j <- 0 until 4)
+        assert(math.abs(peaks(j) - expect(j)) <= 1.0,
+          s"id=$id twin=$twin peaks=${peaks.toSeq} expect=${expect.toSeq}")
+    }
+  }
+
+  test("spectral ratio hash is pitch-invariant (octave twin within " +
+    "Hamming 3) while the energy contour provably misses (> 3)") {
+    var contourMin = Int.MaxValue
+    var spectralMax = -1
+    for (id <- 0L until 128L) {
+      val orig = Multimodal.makeToneMixWav(id, twin = false)
+      val tw = Multimodal.makeToneMixWav(id, twin = true)
+      val sd = java.lang.Long.bitCount(
+        Multimodal.spectralHash56(orig).get ^
+          Multimodal.spectralHash56(tw).get)
+      val cd = java.lang.Long.bitCount(
+        Multimodal.audioFingerprint56(orig).get ^
+          Multimodal.audioFingerprint56(tw).get)
+      spectralMax = math.max(spectralMax, sd)
+      contourMin = math.min(contourMin, cd)
+    }
+    assert(spectralMax <= 3, s"spectral twin distance up to $spectralMax")
+    assert(contourMin > 3, s"contour twin distance as low as $contourMin")
+  }
 }
