@@ -1034,19 +1034,23 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
 
   /** FILTERED ANN at scale ([[Similarity.knnFilteredAuto]]) — closes
     * the brute-only gap of `knn_filtered`: top-k neighbors WHERE
-    * label > 0, with the predicate pushed INTO the probed IVF cell
-    * scan (left-semi join against the filtered id set — the scan
-    * reads nProbe·n_filtered/nList expected rows, never scoring what
-    * the metadata excludes; strictly better than over-fetch-then-
-    * post-filter, which this engine never needs because the cell
-    * table composes relationally). Certified in both reuse regimes
-    * like `knn_auto`: one-shot routes brute-over-filtered (witnessed
-    * row-identical to the exact filtered twin), amortized (reuse=100)
-    * routes by [[Similarity.knnFilteredIvfWorthIt]] — the filter's
-    * SELECTIVITY, measured by COUNT(*), is the router input, and the
-    * oracle replays the full inequality from the two counts. Recall
-    * ≥ 0.9 against the exact filtered top-k in whichever regime this
-    * SF lands ([[Similarity.knnAutoProbeFrac]] sizing). */
+    * label > 0, with the predicate pushed INTO the probed scan
+    * (left-semi join against the filtered id set BEFORE scoring —
+    * never scoring what the metadata excludes; strictly better than
+    * over-fetch-then-post-filter, which this engine never needs
+    * because the cell/codes tables compose relationally). Certified
+    * in both reuse regimes like `knn_auto`: one-shot routes
+    * brute-over-filtered (witnessed row-identical to the exact
+    * filtered twin); amortized (reuse=100) routes by the
+    * THREE-WAY bytes-scanned model ([[Similarity.knnFilteredRoute]]
+    * — r13: brute / float IVF / IVF×SQ8 code scan), which lands the
+    * broad filter on the QUANTIZED tier at every gate SF — the
+    * probed scan reads int8 codes (8× fewer bytes) with the LeftSemi
+    * upstream, then float-re-ranks the derived pool. The filter's
+    * SELECTIVITY, measured by COUNT(*), is a router input, and the
+    * oracle replays the full three-way decision from the counts and
+    * the embedding dim. Recall ≥ 0.9 against the exact filtered
+    * top-k in whichever regime this SF lands. */
   def knnFilteredIvf(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
     val q = emb.filter(col("vec_id") < 10)
@@ -1067,14 +1071,23 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       tag = s"nList=${p.nList}")(
       Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
         knownN = Some(n)))
+    // persisted SQ8 codes beside the index (the knnIvfSq8Prebuilt
+    // protocol — pure function of the cell table, invalidated with
+    // it): the quantized filtered route is search-only too
+    val codesPath = ivfMemoDir("target/knn_filtered_index", d) + "/sq8_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+      Similarity.sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+    val codes = s.read.parquet(codesPath)
     // the gate already counted n and nF for its witnesses; pass all
     // three counts through (r12 ADVICE: the two auto calls otherwise
     // re-ran ~six full corpus scans re-deriving them)
     val one = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
       col("label") > 0, q, k = 3, reuse = 1L, prebuilt = Some(index),
+      prebuiltCodes = Some(codes),
       knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
     val many = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
       col("label") > 0, q, k = 3, reuse = 100L, prebuilt = Some(index),
+      prebuiltCodes = Some(codes),
       knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
     val brute = Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3)
       .localCheckpoint(eager = false) // twin feeds 2 certifications
@@ -1090,6 +1103,63 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
         (col("n_one_common") === col("n_exact")).as("one_exact_ok"),
         col("recall_ok"), col("ranks_dense"))
   }
+
+  /** The float filtered tier pinned EXPLICITLY
+    * ([[Similarity.ivfSearchFiltered]] direct, no router): with the
+    * r13 bytes model the amortized broad filter routes the quantized
+    * tier everywhere, so without this row the float LeftSemi scan
+    * would only be covered by its PlanSpec shape pin. Same recall
+    * ≥ 0.9 certification vs the exact filtered twin. */
+  def knnFilteredIvfFloat(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    val filtered = emb.filter(col("label") > 0)
+    val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
+    val index = ivfLoadOrBuild(s, "target/knn_filtered_index", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(n)))
+    knnCertify(
+      Similarity.ivfSearchFiltered(index, "vec_id", "embedding", q, k = 3,
+        p.nProbe, filtered.select(col("vec_id"))),
+      Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3),
+      minRecall = 0.9)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnFilteredIvfFloatOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id AND e.label > 0),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s),
+      |topk AS (SELECT query_id, rank FROM r WHERE rank <= 3),
+      |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |pp AS (
+      |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+      |  FROM sz),
+      |p2 AS (
+      |  SELECT nlist, LEAST(nlist, GREATEST(3,
+      |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
+      |  FROM pp)
+      |SELECT COUNT(DISTINCT query_id) AS n_queries,
+      |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+      |  nlist AS n_list, nprobe AS n_probe,
+      |  TRUE AS recall_ok, TRUE AS ranks_dense
+      |FROM topk, p2
+      |GROUP BY nlist, nprobe""".stripMargin
 
   val knnFilteredIvfOracle: String =
     """WITH e AS (
@@ -1117,21 +1187,33 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       |  SELECT n, nlist, LEAST(nlist, GREATEST(3,
       |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
       |  FROM pp),
+      |dm AS (SELECT MAX(len(embedding)) AS dim FROM embeddings),
       |cost AS (
-      |  SELECT n, nf, m, nlist, nprobe,
+      |  SELECT n, nf, m, nlist, nprobe, dim,
+      |    CAST(8.0 AS DOUBLE) * dim AS fb, CAST(dim AS DOUBLE) AS cb,
       |    CASE WHEN nlist <= 64 THEN CAST(nlist AS DOUBLE)
       |      ELSE CEIL(SQRT(CAST(nlist AS DOUBLE)))
       |        + CAST(3.0 AS DOUBLE) * nlist / CEIL(SQRT(CAST(nlist AS DOUBLE)))
-      |    END AS assign
-      |  FROM p2, fz, nq),
-      |dec AS (
+      |    END AS assign,
+      |    CAST(nprobe AS DOUBLE) * nf / nlist AS probedf,
+      |    CAST(GREATEST(16, CAST(CEIL(SQRT(CAST(nprobe AS DOUBLE) * n
+      |      / nlist)) AS INT)) AS DOUBLE) AS refine
+      |  FROM p2, fz, nq, dm),
+      |tiers AS (
       |  SELECT nlist, nprobe, re.r AS reuse,
-      |    CASE WHEN (CAST(n AS DOUBLE) * assign + CAST(re.r AS DOUBLE) * m
-      |        * (assign + CAST(nprobe AS DOUBLE) * nf / nlist))
-      |        * CAST(1.2 AS DOUBLE)
-      |      <= CAST(re.r AS DOUBLE) * m * nf
-      |      THEN 'ivf' ELSE 'brute' END AS route
+      |    CAST(re.r AS DOUBLE) * m * nf * fb AS bb,
+      |    CAST(n AS DOUBLE) * assign * fb + CAST(re.r AS DOUBLE) * m
+      |      * (assign * fb + probedf * fb) AS iv,
+      |    CAST(n AS DOUBLE) * assign * fb + CAST(n AS DOUBLE) * fb
+      |      + CAST(re.r AS DOUBLE) * m
+      |      * (assign * fb + probedf * cb + refine * fb) AS s8
       |  FROM cost, (VALUES (1), (100)) AS re(r)),
+      |dec AS (
+      |  SELECT nlist, nprobe, reuse,
+      |    CASE WHEN LEAST(iv, s8) * CAST(1.2 AS DOUBLE) > bb THEN 'brute'
+      |      WHEN s8 * CAST(1.2 AS DOUBLE) <= iv THEN 'ivf_sq8'
+      |      ELSE 'ivf' END AS route
+      |  FROM tiers),
       |routes AS (
       |  SELECT MAX(CASE WHEN reuse = 1 THEN route END) AS route_one,
       |    MAX(CASE WHEN reuse = 100 THEN route END) AS route_many,

@@ -1080,6 +1080,8 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
       Some(knnGraphDescentPlantedOracle)),
     Q("knn_filtered", knnFiltered, Some(knnFilteredOracle)),
     Q("knn_filtered_ivf", knnFilteredIvf, Some(knnFilteredIvfOracle)),
+    Q("knn_filtered_ivf_float", knnFilteredIvfFloat,
+      Some(knnFilteredIvfFloatOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_containment", textContainment, Some(textContainmentOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),

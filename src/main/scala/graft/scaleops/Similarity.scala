@@ -900,42 +900,127 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
-  /** Routing rule for filtered kNN, replayable from two COUNT(*)s:
-    * brute-over-filtered costs reuse·|Q|·n_filtered dots with no
-    * build; filter-pushed IVF pays one FULL-corpus build (amortized
-    * over `reuse` batches — the index serves every filter, so it is
-    * built on all n rows) plus per-query routing and a probed scan
-    * of the FILTERED rows only. The index must predict ≥
-    * `minAdvantage`× fewer dots to win, so highly selective filters
-    * route brute (scanning 200 matching vectors beats routing
-    * through √n centroids) and broad filters route IVF — selectivity
-    * IS the router's input, which is what "derived from the filter's
-    * selectivity via COUNT(*)" means operationally. Plain IEEE
-    * doubles in fixed operand order; DuckDB replays the boolean. */
-  def knnFilteredIvfWorthIt(n: Long, nFiltered: Long, nQueries: Long,
-                            reuse: Long, p: IvfParams,
-                            minAdvantage: Double = 1.2): Boolean = {
-    val brute = reuse.toDouble * nQueries.toDouble * nFiltered.toDouble
+  /** BYTES-SCANNED cost model for FILTERED kNN — [[knnRouteCosts]]'s
+    * discipline applied to the predicate-pushed tiers (r12 verdict
+    * #5: the r12 dot-count model knew only brute vs float IVF; at
+    * 100 TB the filtered scan should read codes like the unfiltered
+    * tiers do). All terms replayable from COUNT(*)s:
+    *
+    *  - brute-over-filtered: every batch scans the n_filtered float
+    *    vectors — no build, the selective-filter winner;
+    *  - filtered float IVF: one FULL-corpus build (the index is
+    *    filter-agnostic — it serves every predicate), then per query
+    *    the routing dots plus the probed fraction OF THE FILTERED
+    *    ROWS in floats (the LeftSemi lands before scoring, so the
+    *    scan reads nProbe·n_filtered/nList expected rows);
+    *  - filtered IVF×SQ8: the build plus one corpus encode pass;
+    *    per query the probed filtered fraction in CODE bytes (dim,
+    *    8× under floats) and a [[pqDerivedRefine]] float re-rank.
+    *
+    * Plain IEEE doubles in fixed operand order; DuckDB replays every
+    * comparison bit-for-bit. */
+  def knnFilteredRouteCosts(n: Long, nFiltered: Long, nQueries: Long,
+                            reuse: Long, p: IvfParams, dim: Int)
+      : (Double, Double, Double) = {
+    val fb = 8.0 * dim.toDouble
+    val cb = dim.toDouble // SQ8: one byte per dimension
     val assign =
       if (p.nList <= twoLevelCellThreshold) p.nList.toDouble
       else {
         val ck = math.ceil(math.sqrt(p.nList.toDouble))
         ck + 3.0 * p.nList.toDouble / ck
       }
-    val ivf = n.toDouble * assign + reuse.toDouble * nQueries.toDouble *
-      (assign + p.nProbe.toDouble * nFiltered.toDouble / p.nList.toDouble)
-    ivf * minAdvantage <= brute
+    val q = reuse.toDouble * nQueries.toDouble
+    val probedF = p.nProbe.toDouble * nFiltered.toDouble / p.nList.toDouble
+    val refine = pqDerivedRefine(n, p).toDouble
+    val brute = q * nFiltered.toDouble * fb
+    val ivf = n.toDouble * assign * fb + q * (assign * fb + probedF * fb)
+    val sq8 = n.toDouble * assign * fb + n.toDouble * fb +
+      q * (assign * fb + probedF * cb + refine * fb)
+    (brute, ivf, sq8)
+  }
+
+  /** The filtered three-way decision ("brute" | "ivf" | "ivf_sq8"):
+    * an index tier must predict ≥ `minAdvantage`× fewer bytes than
+    * brute-over-filtered, and SQ8 must beat float IVF by the same
+    * factor to take the quantized tier — so highly selective filters
+    * still route brute (scanning 200 matching vectors beats routing
+    * through √n centroids), broad filters route an index, and broad
+    * filters over corpora where the float probe dominates route the
+    * code scan. Selectivity IS the router's input. */
+  def knnFilteredRoute(n: Long, nFiltered: Long, nQueries: Long,
+                       reuse: Long, p: IvfParams, dim: Int,
+                       minAdvantage: Double = 1.2): String = {
+    val (brute, ivf, sq8) =
+      knnFilteredRouteCosts(n, nFiltered, nQueries, reuse, p, dim)
+    val bestIndexed = math.min(ivf, sq8)
+    if (bestIndexed * minAdvantage > brute) "brute"
+    else if (sq8 * minAdvantage <= ivf) "ivf_sq8"
+    else "ivf"
+  }
+
+  /** FILTERED ANN over the QUANTIZED tier — [[knnIvfSq8Indexed]]
+    * with the metadata predicate pushed INTO the probed CODE scan:
+    * the codes table left-semi-joins the allowed-id set BEFORE the
+    * int8 scoring, so the scan reads nProbe·n_filtered/nList
+    * expected CODE rows (dim bytes each — the 8× byte cut the
+    * unfiltered SQ8 tier gets, now composed with the filter), and
+    * only filtered survivors reach the float re-rank. Recall
+    * characteristics match unfiltered IVF×SQ8 at the same probe
+    * fraction + refine pool. */
+  def ivfSearchFilteredSq8(index: IvfIndex, codes: DataFrame,
+                           idCol: String, vecCol: String,
+                           queries: DataFrame, k: Int, nProbe: Int,
+                           refine: Int, allowedIds: DataFrame): DataFrame = {
+    import graft.functions.Sq8
+    val q = prepped(queries, idCol, vecCol, "query")
+      .withColumn("qq", Sq8.encodeMaxAbs(col("queryv")))
+      .withColumn("qqn", sqrt(Sq8.intDot(col("qq"), col("qq")).cast("double")))
+      .filter(col("qqn") > 0)
+    val qCells = probedCells(index, q, nProbe)
+      .select("query_id", "qq", "qqn", "cell")
+    val allowed = allowedIds.select(col(allowedIds.columns.head)
+      .as("neighbor_id"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = codes
+      .join(allowed, Seq("neighbor_id"), "left_semi")
+      .join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        Sq8.intDot(col("qq"), col("nq")).cast("double") /
+          (col("qqn") * col("nqn")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(broadcast(q.select("query_id", "queryv", "querynorm")), "query_id")
+      .join(index.indexed.select("neighbor_id", "neighborv", "neighbornorm"),
+        "neighbor_id")
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
   }
 
   /** Cost-routed filtered kNN — the default entry point for
     * "top-k nearest WHERE <pred>": routes between exact brute over
-    * the filtered subset and the filter-pushed IVF tier
-    * ([[ivfSearchFiltered]]) by [[knnFilteredIvfWorthIt]]. The
-    * `route` column records the decision for replay. */
+    * the filtered subset, the filter-pushed float IVF tier
+    * ([[ivfSearchFiltered]]), and the filter-pushed QUANTIZED tier
+    * ([[ivfSearchFilteredSq8]]) by the bytes-scanned model
+    * ([[knnFilteredRoute]]). The `route` column records the decision
+    * for replay. `prebuiltCodes` is the persisted SQ8 codes parquet
+    * of `prebuilt` (computed on demand when absent and the route
+    * lands quantized). */
   def knnFilteredAuto(emb: DataFrame, idCol: String, vecCol: String,
                       pred: Column, queries: DataFrame, k: Int,
                       reuse: Long = 1L, seed: Long = 42L,
                       prebuilt: Option[IvfIndex] = None,
+                      prebuiltCodes: Option[DataFrame] = None,
                       knownN: Option[Long] = None,
                       knownNFiltered: Option[Long] = None,
                       knownNQueries: Option[Long] = None): DataFrame = {
@@ -947,15 +1032,28 @@ object Similarity {
     val n = knownN.getOrElse(emb.count())
     val nF = knownNFiltered.getOrElse(filtered.count())
     val nQ = knownNQueries.getOrElse(queries.count())
+    val dim =
+      if (n == 0) 0
+      else emb.select(size(col(vecCol))).head().getInt(0)
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
-    val (res, route) =
-      if (knnFilteredIvfWorthIt(n, nF, nQ, reuse, p)) {
-        val index = prebuilt.getOrElse(
-          ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
-        (ivfSearchFiltered(index, idCol, vecCol, queries, k, p.nProbe,
-          filtered.select(col(idCol))), "ivf")
-      } else
-        (knnBrute(filtered, idCol, vecCol, queries, k), "brute")
+    val route = knnFilteredRoute(n, nF, nQ, reuse, p, dim)
+    def index = prebuilt.getOrElse(
+      ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
+    val res = route match {
+      case "brute" => knnBrute(filtered, idCol, vecCol, queries, k)
+      case "ivf" =>
+        ivfSearchFiltered(index, idCol, vecCol, queries, k, p.nProbe,
+          filtered.select(col(idCol)))
+      case _ =>
+        val idx = index
+        val codes = prebuiltCodes.getOrElse(sq8Codes(idx))
+        // pool multiplier: the derived pool over k candidates (the
+        // knnIvfSq8Indexed refine convention is a multiplier of k)
+        val refineMul =
+          math.max(1, (pqDerivedRefine(n, p) + k - 1) / k)
+        ivfSearchFilteredSq8(idx, codes, idCol, vecCol, queries, k,
+          p.nProbe, refineMul, filtered.select(col(idCol)))
+    }
     // provenance stamp (the knnAuto discipline): a consumer can PROVE
     // which plan ran instead of re-deriving the decision — one
     // combined metadata (a second .as() would replace the first)

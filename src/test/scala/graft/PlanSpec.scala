@@ -502,4 +502,30 @@ class PlanSpec extends SparkSpec {
     assert(semiAt >= 0 && (scoreAt < 0 || scoreAt < semiAt),
       "scoring must happen above (after) the semi-join prune")
   }
+
+  test("filtered ANN, quantized tier: the id filter prunes the CODE " +
+    "scan before int8 scoring (semi join upstream), no cartesian") {
+    import org.apache.spark.sql.functions._
+    val S = graft.scaleops.Similarity
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val gp = S.ivfDerivedParams(n, S.knnAutoProbeFrac)
+    val index = S.ivfBuild(emb, "vec_id", "embedding", gp.nList, 42L,
+      knownN = Some(n))
+    val df = S.ivfSearchFilteredSq8(index, S.sq8Codes(index),
+      "vec_id", "embedding", emb.filter(col("vec_id") < 10), k = 3,
+      nProbe = gp.nProbe, refine = 6,
+      allowedIds = emb.filter(col("label") > 0).select(col("vec_id")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"filter must compose as a semi join:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(label,0)"),
+      "label predicate must push to the parquet scan")
+    assert(!p.contains("CartesianProduct"))
+    // the semi prune must sit upstream of the int8 candidate scoring
+    val lines = p.linesIterator.toVector
+    val semiAt = lines.indexWhere(_.contains("LeftSemi"))
+    val qScoreAt = lines.indexWhere(_.toLowerCase.contains("sq8intdot"))
+    assert(semiAt >= 0 && (qScoreAt < 0 || qScoreAt < semiAt),
+      "int8 scoring must happen above (after) the semi-join prune")
+  }
 }

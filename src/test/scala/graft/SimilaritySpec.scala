@@ -990,6 +990,55 @@ class SimilaritySpec extends SparkSpec {
       exact.except(auto.drop("route")).isEmpty)
   }
 
+  test("knnFilteredRoute: bytes model routes selective/one-shot to " +
+    "brute and broad+amortized to the quantized tier; hurdle " +
+    "arithmetic replays") {
+    import graft.scaleops.Similarity._
+    val p500 = ivfDerivedParams(500L, knnAutoProbeFrac)
+    // one-shot: no build amortization, brute always
+    assert(knnFilteredRoute(500L, 450L, 10L, 1L, p500, 64) == "brute")
+    // selective filter: scanning 50 floats beats routing, even amortized
+    assert(knnFilteredRoute(500L, 5L, 10L, 100L, p500, 64) == "brute")
+    // broad + amortized: the gate regime — quantized code scan wins
+    assert(knnFilteredRoute(500L, 450L, 10L, 100L, p500, 64) == "ivf_sq8")
+    val p2000 = ivfDerivedParams(2000L, knnAutoProbeFrac)
+    assert(knnFilteredRoute(2000L, 1801L, 10L, 100L, p2000, 64) == "ivf_sq8")
+    // the decision is the 1.2x-hurdle comparison of the cost triple
+    val (b, iv, s8) = knnFilteredRouteCosts(500L, 450L, 10L, 100L, p500, 64)
+    assert(math.min(iv, s8) * 1.2 <= b && s8 * 1.2 <= iv)
+  }
+
+  test("ivfSearchFilteredSq8: neighbors satisfy the filter; with an " +
+    "all-id filter it equals the unfiltered quantized search " +
+    "row-for-row") {
+    import graft.scaleops.Similarity
+    val rnd = new scala.util.Random(11)
+    val df = (0L until 200L).map { i =>
+      (i, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat))
+    }.toDF("vec_id", "embedding")
+    val n = 200L
+    val p = Similarity.ivfDerivedParams(n)
+    val index = Similarity.ivfBuild(df, "vec_id", "embedding", p.nList,
+      42L, knownN = Some(n))
+    val codes = Similarity.sq8Codes(index)
+    val q = df.filter(col("vec_id") < 5)
+    val allIds = df.select(col("vec_id"))
+    val evenIds = df.filter(col("vec_id") % 2 === 0).select(col("vec_id"))
+    val unfiltered = Similarity.knnIvfSq8Indexed(index, codes,
+      "vec_id", "embedding", q, k = 3, nProbe = p.nProbe, refine = 6)
+    val allFiltered = Similarity.ivfSearchFilteredSq8(index, codes,
+      "vec_id", "embedding", q, k = 3, nProbe = p.nProbe, refine = 6,
+      allowedIds = allIds)
+    assert(allFiltered.except(unfiltered).isEmpty &&
+      unfiltered.except(allFiltered).isEmpty)
+    val even = Similarity.ivfSearchFilteredSq8(index, codes,
+      "vec_id", "embedding", q, k = 3, nProbe = p.nProbe, refine = 6,
+      allowedIds = evenIds)
+    val bad = even.filter(col("neighbor_id") % 2 =!= 0).count()
+    assert(bad == 0, "filtered result leaked a non-matching neighbor")
+    assert(even.count() > 0)
+  }
+
   test("LruCache (ivfResident contract): the most-recently-USED " +
     "handles survive a 33-consumer sweep; arbitrary eviction would " +
     "drop the hottest") {
