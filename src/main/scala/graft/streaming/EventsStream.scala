@@ -230,6 +230,108 @@ object EventsStream {
         TimeMode.ProcessingTime(), OutputMode.Append())
   }
 
+  /** EVENT-TIME session closing — the replayable-stream twin of
+    * [[SessionTimerProcessor]] (r12 verdict #6): a processing-time
+    * TTL depends on wall-clock arrival, so a replay of the same
+    * stream can split sessions differently; the scale-correct
+    * semantics keys the close decision to the WATERMARK. Protocol:
+    * input events buffer in a per-key `ListState` (state holds only
+    * the key's open tail — exactly the event-time sessionization
+    * state bound) and ONE event-time timer per key slides to
+    * (max event time + gap). When the watermark passes that expiry,
+    * the source guarantees no future row can land within the gap of
+    * the buffered maximum, so EVERY buffered session is decidable:
+    * sort, gap-split, emit all counts, clear state. Because the
+    * close condition is a pure event-time fact, the drained output
+    * equals the batch gap-sessionization EXACTLY for any
+    * within-watermark disorder — the processing-time variant can
+    * only promise that when no timer fires mid-activity. */
+  class SessionEventTimeProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var buf: ListState[Long] = _
+    @transient private var tmr: ValueState[Long] = _
+    @transient private var mx: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Long]("buf",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      mx = getHandle.getValueState[Long]("mx",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long)] = {
+      var batchMax = Long.MinValue
+      val arr = rows.map(_._2).toArray
+      var i = 0
+      while (i < arr.length) {
+        if (arr(i) > batchMax) batchMax = arr(i)
+        i += 1
+      }
+      if (arr.nonEmpty) {
+        buf.appendList(arr)
+        val newMax = if (mx.exists()) math.max(mx.get(), batchMax) else batchMax
+        mx.update(newMax)
+        // slide the single event-time timer to (max + gap), rounded
+        // UP to ms (a truncated expiry could fire one watermark tick
+        // before the gap has provably elapsed)
+        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+        val expiryMs = (newMax + gapUs + 999L) / 1000L
+        getHandle.registerTimer(expiryMs)
+        tmr.update(expiryMs)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      // watermark ≥ max + gap: every future row for this key is ≥ gap
+      // past the buffered tail, so the whole buffer gap-splits NOW
+      val events = buf.get().toArray.sorted
+      buf.clear(); tmr.clear(); mx.clear()
+      if (events.isEmpty) Iterator.empty
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var lastUs = events(0)
+        var n = 1L
+        var i = 1
+        while (i < events.length) {
+          if (events(i) - lastUs >= gapUs) { out += ((user, n)); n = 0L }
+          n += 1
+          lastUs = events(i)
+          i += 1
+        }
+        out += ((user, n))
+        out.iterator
+      }
+    }
+  }
+
+  /** [[twsSessions]] closed by EVENT-TIME timers
+    * ([[SessionEventTimeProcessor]]): requires a watermark on `ts`
+    * (set here — `delay` bounds the tolerated disorder) and the
+    * RocksDB provider like the other transformWithState paths.
+    * Drain note: the watermark only passes a key's (max + gap)
+    * expiry when LATER data arrives — a drain fixture pushes a
+    * sentinel event past every expiry (the production analogue:
+    * the stream keeps flowing). */
+  def twsSessionsEventTime(events: DataFrame, delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionEventTimeProcessor(1800000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming two-sided CUSUM monitor on the arbitrary-state API:
     * each key's (s⁺, s⁻) pair rides a typed `ValueState` across
     * micro-batches — two doubles per key, the smallest possible

@@ -262,6 +262,98 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EVENT-TIME session timers: drained output equals the batch " +
+    "gap-sessionization EXACTLY on an out-of-order multi-file fixture " +
+    "(replayable semantics — no wall-clock in the close decision)") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // fixture: time-chunk the events into 3 files, then DEFER the
+      // last hour of each chunk into the following file — real
+      // cross-batch disorder, bounded by 1h < the 2h watermark delay
+      // so nothing is late-dropped; a 4th sentinel file pushes the
+      // watermark past every (max + gap) expiry, standing in for the
+      // production stream that keeps flowing
+      val ev = graft.sources.Tables.load(spark, sf, "events")
+        .select(col("user_id").cast("long").as("user_id"), col("ts"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+        .sortBy(_._2.getTime)
+      val tsMs = ev.map(_._2.getTime)
+      val (minMs, maxMs) = (tsMs.min, tsMs.max)
+      val cut1 = minMs + (maxMs - minMs) / 3
+      val cut2 = minMs + 2 * (maxMs - minMs) / 3
+      val hourMs = 3600000L
+      def fileOf(ms: Long): Int = {
+        val base = if (ms < cut1) 0 else if (ms < cut2) 1 else 2
+        // within an hour below a cut -> deferred to the next file
+        if (base == 0 && ms >= cut1 - hourMs) 1
+        else if (base == 1 && ms >= cut2 - hourMs) 2
+        else base
+      }
+      val sentinelUser = 10000000L
+      val gapMs = 1800000L
+      val sentinelMs = maxMs + gapMs + 2 * hourMs + hourMs
+      val dir = java.nio.file.Files.createTempDirectory("graft-ets")
+      import spark.implicits._
+      for (f <- 0 to 3) {
+        val rows =
+          if (f == 3) Seq((sentinelUser, new java.sql.Timestamp(sentinelMs)))
+          else ev.filter(r => fileOf(r._2.getTime) == f).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-etsw$f")
+        rows.toDF("user_id", "ts").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir.toFile, f"f$f%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() - (10 - f) * 10000L)
+      }
+      val schema = spark.read.parquet(dir.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = EventsStream.twsSessionsEventTime(stream, delay = "2 hours")
+        .toDF("user_id", "sess_events")
+        .writeStream.format("memory").queryName("ets_out")
+        .outputMode("append").start()
+      val sess = Events.sessionize(spark, sf)
+      val batchTotal = sess.agg(sum("n_sessions")).head().getLong(0)
+      val deadline = System.currentTimeMillis() + 120000L
+      var drained = 0L
+      while (drained < batchTotal && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500L)
+        drained = spark.table("ets_out")
+          .filter(col("user_id") =!= sentinelUser).count()
+      }
+      q.stop()
+      val out = spark.table("ets_out")
+        .filter(col("user_id") =!= sentinelUser)
+      // every session closed exactly once, events conserved, and the
+      // per-user session-size MULTISET equals the batch twin's — the
+      // event-time close decision reproduces gap semantics exactly
+      // even with cross-batch disorder
+      assert(out.count() == batchTotal,
+        s"drained=${out.count()}, want $batchTotal")
+      val nEvents = graft.sources.Tables.load(spark, sf, "events").count()
+      assert(out.agg(sum("sess_events")).head().getLong(0) == nEvents)
+      val streamedPerUser = out.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), max("sess_events").as("mx"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val batchPerUser = sess
+        .select("user_id", "n_sessions", "max_session_events").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamedPerUser == batchPerUser)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CUSUM equals the batch mapPartitions fold row-for-row") {
     import org.apache.spark.sql.functions._
     val key = "spark.sql.streaming.stateStore.providerClass"
