@@ -288,6 +288,131 @@ object StreamingQueries {
         max(col("sess_events")).as("max_closed_session_events"))
   }
 
+  /** EVENT-TIME sessionization IN the gate
+    * ([[EventsStream.twsSessionsEventTime]], r13): the watermark —
+    * not wall-clock — closes sessions, so the drained stream equals
+    * the FULL batch gap-sessionization (the processing-time tws row
+    * can only certify closed-so-far; this row certifies every
+    * session, final open ones included, because a staged sentinel
+    * flush pushes the watermark past every per-key max+gap expiry —
+    * the production analogue of a stream that keeps flowing). The
+    * oracle is the complete sessionization with NO last-session
+    * exclusion. */
+  def streamEtsSessions(s: SparkSession, d: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val sentinelUser = 9999999999L
+    try {
+      val batchEv = graft.sources.Tables.load(s, d, "events")
+      val maxUs = batchEv.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val expectTotal = graft.queries.Events.sessionize(s, d)
+        .agg(sum(col("n_sessions"))).head().getLong(0)
+      // stage: the events parquet + one sentinel flush row whose ts
+      // sits past every (max + gap + delay) so the final watermark
+      // covers every timer expiry
+      val dir = java.nio.file.Files.createTempDirectory("graft-ets-gate")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$d/events.parquet"),
+        dir.resolve("events.parquet"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$d/events.parquet").schema
+      val sentinelTsUs = maxUs + 1800000000L + 7200000000L + 3600000000L
+      val vals: Array[Any] = sch.fields.map { f =>
+        import org.apache.spark.sql.types._
+        (f.name, f.dataType) match {
+          case ("user_id", LongType) => sentinelUser
+          case ("user_id", IntegerType) => Int.MaxValue
+          case ("ts", LongType) => sentinelTsUs * 1000L // nanos
+          case ("ts", TimestampType) =>
+            new java.sql.Timestamp(sentinelTsUs / 1000L)
+          // unadjusted (pandas-style) parquet timestamps read as NTZ
+          case ("ts", TimestampNTZType) =>
+            java.time.LocalDateTime.ofEpochSecond(
+              sentinelTsUs / 1000000L,
+              ((sentinelTsUs % 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          case (_, LongType) => 0L
+          case (_, IntegerType) => 0
+          case (_, DoubleType) => 0.0
+          case (_, FloatType) => 0.0f
+          case (_, BooleanType) => false
+          case (_, StringType) => ""
+          case (_, TimestampType) => new java.sql.Timestamp(0L)
+          case (_, TimestampNTZType) =>
+            java.time.LocalDateTime.ofEpochSecond(0L, 0,
+              java.time.ZoneOffset.UTC)
+          case _ => null
+        }
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ets-flush")
+      s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(vals: _*)), sch)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir.toFile, "zz_flush.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      val ev = EventsStream.readEvents(s, dir.toString)
+      val keys = approxKeys(batchEv, col("user_id"))
+      val parts = statePartitionsFor(s, keys)
+      val pKey = "spark.sql.shuffle.partitions"
+      val pPrev = s.conf.get(pKey)
+      s.conf.set(pKey, parts.toString)
+      try {
+        val q = EventsStream.twsSessionsEventTime(ev, delay = "2 hours")
+          .toDF("user_id", "sess_events")
+          .writeStream.format("memory").queryName("st_ets")
+          .outputMode("append").start()
+        // event-time timers fire in the no-data batch AFTER the
+        // watermark advances — processAllAvailable can return before
+        // it, so poll the sink against the known batch total
+        val deadline = System.currentTimeMillis() + 120000L
+        var drained = -1L
+        while (drained < expectTotal &&
+          System.currentTimeMillis() < deadline) {
+          Thread.sleep(250L)
+          drained = s.table("st_ets")
+            .filter(col("user_id") =!= sentinelUser).count()
+        }
+        q.stop()
+      } finally s.conf.set(pKey, pPrev)
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+    s.table("st_ets")
+      .filter(col("user_id") =!= sentinelUser)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+  }
+
+  val streamEtsSessionsOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM m),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS sess_events
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(sess_events) AS BIGINT) AS n_events,
+      |  MAX(sess_events) AS max_session_events
+      |FROM per_sess GROUP BY user_id""".stripMargin
+
   val streamTwsSessionsOracle: String =
     """WITH g AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -409,5 +534,6 @@ object StreamingQueries {
     Q("stream_neardup_counts", streamNeardup, Some(streamNeardupOracle)),
     Q("stream_interval_join", streamIntervalJoin, Some(streamIntervalJoinOracle)),
     Q("stream_quantile_sketch", streamQuantile, Some(streamQuantileOracle)),
-    Q("stream_tws_sessions", streamTwsSessions, Some(streamTwsSessionsOracle)))
+    Q("stream_tws_sessions", streamTwsSessions, Some(streamTwsSessionsOracle)),
+    Q("stream_ets_sessions", streamEtsSessions, Some(streamEtsSessionsOracle)))
 }
