@@ -1081,14 +1081,17 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // the gate already counted n and nF for its witnesses; pass all
     // three counts through (r12 ADVICE: the two auto calls otherwise
     // re-ran ~six full corpus scans re-deriving them)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val one = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
       col("label") > 0, q, k = 3, reuse = 1L, prebuilt = Some(index),
       prebuiltCodes = Some(codes),
-      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
+      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ),
+      knownDim = Some(dim))
     val many = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
       col("label") > 0, q, k = 3, reuse = 100L, prebuilt = Some(index),
       prebuiltCodes = Some(codes),
-      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ))
+      knownN = Some(n), knownNFiltered = Some(nF), knownNQueries = Some(nQ),
+      knownDim = Some(dim))
     val brute = Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3)
       .localCheckpoint(eager = false) // twin feeds 2 certifications
     val oneCommon = one.select("query_id", "rank", "neighbor_id", "cos")

@@ -1023,18 +1023,20 @@ object Similarity {
                       prebuiltCodes: Option[DataFrame] = None,
                       knownN: Option[Long] = None,
                       knownNFiltered: Option[Long] = None,
-                      knownNQueries: Option[Long] = None): DataFrame = {
+                      knownNQueries: Option[Long] = None,
+                      knownDim: Option[Int] = None): DataFrame = {
     // knownN discipline (mirrors ivfBuild): callers that already hold
-    // the corpus / filtered / query counts pass them in — a gate row
-    // that calls this twice would otherwise re-scan the corpus six
-    // times just to re-derive the same three COUNT(*)s
+    // the corpus / filtered / query counts — or the embedding dim —
+    // pass them in; a gate row that calls this twice would otherwise
+    // re-scan the corpus six times re-deriving the same three
+    // COUNT(*)s plus two single-row dim probes
     val filtered = emb.filter(pred)
     val n = knownN.getOrElse(emb.count())
     val nF = knownNFiltered.getOrElse(filtered.count())
     val nQ = knownNQueries.getOrElse(queries.count())
-    val dim =
+    val dim = knownDim.getOrElse(
       if (n == 0) 0
-      else emb.select(size(col(vecCol))).head().getInt(0)
+      else emb.select(size(col(vecCol))).head().getInt(0))
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val route = knnFilteredRoute(n, nF, nQ, reuse, p, dim)
     def index = prebuilt.getOrElse(
