@@ -35,4 +35,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin + pre-fault the heap: the bench harness calls System.gc()
+  // between reps (so one query's garbage isn't billed to the next),
+  // and on an elastic heap that full GC UNCOMMITS G1 regions — the
+  // following allocation-heavy rep then pays region recommit + page
+  // faults INSIDE the timed window (measured: text_containment sf1
+  // warm 19-28 s unpinned vs 13-14 s pinned ≡ its solo number; the
+  // effect compounds with session length and made the r13 sf1
+  // in-bench read 51 s). Xms=Xmx stops the shrink; AlwaysPreTouch
+  // moves first-touch faults to JVM start.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
+  // 220+ codegen'd queries in one JVM overflow the default 240 MB
+  // code cache (flushing → recompilation churn late in the session)
+  "-XX:ReservedCodeCacheSize=512m",
 )
