@@ -1133,6 +1133,91 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
         col("recall_ok"), col("ranks_dense"))
   }
 
+  /** The PQ filtered tier pinned EXPLICITLY
+    * ([[Similarity.ivfSearchFilteredPq]] direct): the 4-way router
+    * only reaches `ivf_pq` once the filtered probed set outgrows the
+    * per-query LUT (n_filtered in the tens of thousands — beyond the
+    * gate SFs, where SQ8 correctly wins), so without this row the
+    * serving-scale tier of filtered search would be spec-only. Same
+    * shared serving-index memo; PQ codebook + codes persisted beside
+    * it (the knnIvfPqPrebuilt protocol); recall floor 0.75 = the PQ
+    * family's certified bound at the derived refine pool. */
+  def knnFilteredPq(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val n = emb.count()
+    val filtered = emb.filter(col("label") > 0)
+    val p = Similarity.ivfDerivedParams(n, Similarity.knnAutoProbeFrac)
+    val index = ivfLoadOrBuild(s, "target/knn_filtered_index", d,
+      tag = s"nList=${p.nList}")(
+      Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+        knownN = Some(n)))
+    val base = ivfMemoDir("target/knn_filtered_index", d)
+    val cbPath = s"$base/pq_cb"
+    if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
+      val cb = Similarity.pqTrain(emb, "vec_id", "embedding", m = 8,
+        ks = 256, knownN = Some(n))
+      import s.implicits._
+      cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+        .coalesce(1).write.mode("overwrite").parquet(cbPath)
+    }
+    val cb = s.read.parquet(cbPath).orderBy("i").collect()
+      .map(_.getDouble(1))
+    val codesPath = s"$base/pq_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+      Similarity.pqCodes(index, cb).write.mode("overwrite")
+        .parquet(codesPath)
+    val codes = s.read.parquet(codesPath)
+    knnCertify(
+      Similarity.ivfSearchFilteredPq(index, codes, cb, "vec_id",
+        "embedding", q, k = 3, m = 8, ks = 256, nProbe = p.nProbe,
+        refine = Similarity.pqDerivedRefine(n, p),
+        allowedIds = filtered.select(col("vec_id"))),
+      Similarity.knnBrute(filtered, "vec_id", "embedding", q, k = 3),
+      minRecall = 0.75)
+      .select(col("n_queries"), col("k"), col("n_exact"),
+        lit(p.nList).as("n_list"), lit(p.nProbe).as("n_probe"),
+        lit(8).as("pq_m"), lit(256).as("pq_ks"),
+        lit(Similarity.pqDerivedRefine(n, p)).as("pq_refine"),
+        col("recall_ok"), col("ranks_dense"))
+  }
+
+  val knnFilteredPqOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |    ROUND(list_dot_product(qv, v) /
+      |      (SQRT(list_dot_product(qv, qv)) * SQRT(list_dot_product(v, v))), 6) AS cos
+      |  FROM q, e WHERE e.vec_id <> query_id AND e.label > 0),
+      |r AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      |  FROM s),
+      |topk AS (SELECT query_id, rank FROM r WHERE rank <= 3),
+      |sz AS (SELECT COUNT(*) AS n FROM embeddings),
+      |pp AS (
+      |  SELECT n, GREATEST(8, CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS INT)) AS nlist
+      |  FROM sz),
+      |p2 AS (
+      |  SELECT n, nlist, LEAST(nlist, GREATEST(3,
+      |    CAST(CEIL(CAST(0.6 AS DOUBLE) * nlist) AS INT))) AS nprobe
+      |  FROM pp),
+      |rf AS (
+      |  SELECT nlist, nprobe, GREATEST(16, CAST(CEIL(SQRT(
+      |    CAST(nprobe AS DOUBLE) * n / nlist)) AS INT)) AS refine
+      |  FROM p2)
+      |SELECT COUNT(DISTINCT query_id) AS n_queries,
+      |  CAST(MAX(rank) AS INT) AS k, COUNT(*) AS n_exact,
+      |  nlist AS n_list, nprobe AS n_probe,
+      |  8 AS pq_m, 256 AS pq_ks, refine AS pq_refine,
+      |  TRUE AS recall_ok, TRUE AS ranks_dense
+      |FROM topk, rf
+      |GROUP BY nlist, nprobe, refine""".stripMargin
+
   val knnFilteredIvfFloatOracle: String =
     """WITH e AS (
       |  SELECT vec_id, label,
@@ -1209,12 +1294,20 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       |      * (assign * fb + probedf * fb) AS iv,
       |    CAST(n AS DOUBLE) * assign * fb + CAST(n AS DOUBLE) * fb
       |      + CAST(re.r AS DOUBLE) * m
-      |      * (assign * fb + probedf * cb + refine * fb) AS s8
+      |      * (assign * fb + probedf * cb + refine * fb) AS s8,
+      |    CAST(n AS DOUBLE) * assign * fb + CAST(n AS DOUBLE) * fb
+      |      + CAST(re.r AS DOUBLE) * m
+      |      * (assign * fb + CAST(dim AS DOUBLE) * CAST(256 AS DOUBLE)
+      |         * CAST(8.0 AS DOUBLE) + probedf * CAST(8 AS DOUBLE)
+      |         + refine * fb) AS pqc
       |  FROM cost, (VALUES (1), (100)) AS re(r)),
       |dec AS (
       |  SELECT nlist, nprobe, reuse,
-      |    CASE WHEN LEAST(iv, s8) * CAST(1.2 AS DOUBLE) > bb THEN 'brute'
-      |      WHEN s8 * CAST(1.2 AS DOUBLE) <= iv THEN 'ivf_sq8'
+      |    CASE WHEN LEAST(iv, LEAST(s8, pqc)) * CAST(1.2 AS DOUBLE) > bb
+      |        THEN 'brute'
+      |      WHEN LEAST(s8, pqc) * CAST(1.2 AS DOUBLE) <= iv THEN
+      |        CASE WHEN pqc * CAST(1.2 AS DOUBLE) <= s8
+      |          THEN 'ivf_pq' ELSE 'ivf_sq8' END
       |      ELSE 'ivf' END AS route
       |  FROM tiers),
       |routes AS (

@@ -1082,6 +1082,7 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("knn_filtered_ivf", knnFilteredIvf, Some(knnFilteredIvfOracle)),
     Q("knn_filtered_ivf_float", knnFilteredIvfFloat,
       Some(knnFilteredIvfFloatOracle)),
+    Q("knn_filtered_pq", knnFilteredPq, Some(knnFilteredPqOracle)),
     Q("text_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle)),
     Q("text_containment", textContainment, Some(textContainmentOracle)),
     Q("dedup_components", dedupComponents, Some(dedupComponentsOracle)),

@@ -920,8 +920,9 @@ object Similarity {
     * Plain IEEE doubles in fixed operand order; DuckDB replays every
     * comparison bit-for-bit. */
   def knnFilteredRouteCosts(n: Long, nFiltered: Long, nQueries: Long,
-                            reuse: Long, p: IvfParams, dim: Int)
-      : (Double, Double, Double) = {
+                            reuse: Long, p: IvfParams, dim: Int,
+                            m: Int = 8, ks: Int = 256)
+      : (Double, Double, Double, Double) = {
     val fb = 8.0 * dim.toDouble
     val cb = dim.toDouble // SQ8: one byte per dimension
     val assign =
@@ -937,26 +938,35 @@ object Similarity {
     val ivf = n.toDouble * assign * fb + q * (assign * fb + probedF * fb)
     val sq8 = n.toDouble * assign * fb + n.toDouble * fb +
       q * (assign * fb + probedF * cb + refine * fb)
-    (brute, ivf, sq8)
+    // PQ adds the per-query ks-entry/subspace LUT build but scans m
+    // bytes/vector — the serving winner once probedF·(cb−m)
+    // outgrows dim·ks·8 (≈ n_filtered in the tens of thousands)
+    val pq = n.toDouble * assign * fb + n.toDouble * fb +
+      q * (assign * fb + dim.toDouble * ks.toDouble * 8.0 +
+        probedF * m.toDouble + refine * fb)
+    (brute, ivf, sq8, pq)
   }
 
-  /** The filtered three-way decision ("brute" | "ivf" | "ivf_sq8"):
-    * an index tier must predict ≥ `minAdvantage`× fewer bytes than
-    * brute-over-filtered, and SQ8 must beat float IVF by the same
-    * factor to take the quantized tier — so highly selective filters
-    * still route brute (scanning 200 matching vectors beats routing
-    * through √n centroids), broad filters route an index, and broad
-    * filters over corpora where the float probe dominates route the
-    * code scan. Selectivity IS the router's input. */
+  /** The filtered FOUR-way decision ("brute" | "ivf" | "ivf_sq8" |
+    * "ivf_pq"): an index tier must predict ≥ `minAdvantage`× fewer
+    * bytes than brute-over-filtered; a quantized tier must beat the
+    * float probe by the same factor; and PQ must beat SQ8 by it
+    * again to take the coarser codes (the simpler quantizer wins
+    * ties — [[knnAutoRoute]]'s discipline). So highly selective
+    * filters route brute, broad filters route an index, broad +
+    * amortized routes codes, and large-corpus broad + amortized —
+    * where the per-query LUT amortizes against the probed scan —
+    * routes PQ. Selectivity IS the router's input. */
   def knnFilteredRoute(n: Long, nFiltered: Long, nQueries: Long,
                        reuse: Long, p: IvfParams, dim: Int,
                        minAdvantage: Double = 1.2): String = {
-    val (brute, ivf, sq8) =
+    val (brute, ivf, sq8, pq) =
       knnFilteredRouteCosts(n, nFiltered, nQueries, reuse, p, dim)
-    val bestIndexed = math.min(ivf, sq8)
+    val bestIndexed = math.min(ivf, math.min(sq8, pq))
     if (bestIndexed * minAdvantage > brute) "brute"
-    else if (sq8 * minAdvantage <= ivf) "ivf_sq8"
-    else "ivf"
+    else if (math.min(sq8, pq) * minAdvantage <= ivf) {
+      if (pq * minAdvantage <= sq8) "ivf_pq" else "ivf_sq8"
+    } else "ivf"
   }
 
   /** FILTERED ANN over the QUANTIZED tier — [[knnIvfSq8Indexed]]
@@ -1007,20 +1017,67 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cos")
   }
 
+  /** FILTERED ANN over the PQ tier — [[knnIvfPqIndexed]] with the
+    * metadata predicate pushed INTO the probed CODE scan: the
+    * LeftSemi lands on the m-byte PQ codes before ADC scoring (the
+    * 64× byte cut of the serving tier, composed with the filter);
+    * only filtered survivors reach the float re-rank. */
+  def ivfSearchFilteredPq(index: IvfIndex, codes: DataFrame,
+                          cb: Array[Double], idCol: String, vecCol: String,
+                          queries: DataFrame, k: Int, m: Int, ks: Int,
+                          nProbe: Int, refine: Int,
+                          allowedIds: DataFrame): DataFrame = {
+    import graft.functions.Pq
+    val q = prepped(queries, idCol, vecCol, "query")
+      .withColumn("lut", Pq.lut(col("queryv"), m, ks, cb.toIndexedSeq))
+      .filter(col("querynorm") > 0)
+    val qCells = probedCells(index, q, nProbe)
+      .select("query_id", "lut", "querynorm", "cell")
+    val allowed = allowedIds.select(col(allowedIds.columns.head)
+      .as("neighbor_id"))
+    val wApprox = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("neighbor_id").asc)
+    val cands = codes
+      .join(allowed, Seq("neighbor_id"), "left_semi")
+      .join(broadcast(qCells), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qcos",
+        Pq.adc(col("pcode"), col("lut"), ks) /
+          (col("querynorm") * col("neighbornorm")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= k * refine)
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(broadcast(q.select("query_id", "queryv", "querynorm")), "query_id")
+      .join(index.indexed.select("neighbor_id", "neighborv", "neighbornorm"),
+        "neighbor_id")
+      .withColumn("cos", pairCos("query", "neighbor"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cos")
+  }
+
   /** Cost-routed filtered kNN — the default entry point for
     * "top-k nearest WHERE <pred>": routes between exact brute over
     * the filtered subset, the filter-pushed float IVF tier
-    * ([[ivfSearchFiltered]]), and the filter-pushed QUANTIZED tier
-    * ([[ivfSearchFilteredSq8]]) by the bytes-scanned model
-    * ([[knnFilteredRoute]]). The `route` column records the decision
-    * for replay. `prebuiltCodes` is the persisted SQ8 codes parquet
-    * of `prebuilt` (computed on demand when absent and the route
-    * lands quantized). */
+    * ([[ivfSearchFiltered]]), and the filter-pushed QUANTIZED tiers
+    * ([[ivfSearchFilteredSq8]] / [[ivfSearchFilteredPq]]) by the
+    * bytes-scanned model ([[knnFilteredRoute]]). The `route` column
+    * records the decision for replay. `prebuiltCodes` /
+    * `prebuiltPqCodes`+`prebuiltPqCb` are the persisted codes
+    * artifacts of `prebuilt` (computed on demand when absent and the
+    * route lands on that tier). */
   def knnFilteredAuto(emb: DataFrame, idCol: String, vecCol: String,
                       pred: Column, queries: DataFrame, k: Int,
                       reuse: Long = 1L, seed: Long = 42L,
                       prebuilt: Option[IvfIndex] = None,
                       prebuiltCodes: Option[DataFrame] = None,
+                      prebuiltPqCodes: Option[DataFrame] = None,
+                      prebuiltPqCb: Option[Array[Double]] = None,
                       knownN: Option[Long] = None,
                       knownNFiltered: Option[Long] = None,
                       knownNQueries: Option[Long] = None,
@@ -1046,6 +1103,15 @@ object Similarity {
       case "ivf" =>
         ivfSearchFiltered(index, idCol, vecCol, queries, k, p.nProbe,
           filtered.select(col(idCol)))
+      case "ivf_pq" =>
+        val idx = index
+        val cbArr = prebuiltPqCb.getOrElse(
+          pqTrain(emb, idCol, vecCol, knownN = Some(n)))
+        val codes = prebuiltPqCodes.getOrElse(pqCodes(idx, cbArr))
+        val refineMul =
+          math.max(1, (pqDerivedRefine(n, p) + k - 1) / k)
+        ivfSearchFilteredPq(idx, codes, cbArr, idCol, vecCol, queries, k,
+          8, 256, p.nProbe, refineMul, filtered.select(col(idCol)))
       case _ =>
         val idx = index
         val codes = prebuiltCodes.getOrElse(sq8Codes(idx))

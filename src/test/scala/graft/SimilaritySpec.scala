@@ -999,13 +999,21 @@ class SimilaritySpec extends SparkSpec {
     assert(knnFilteredRoute(500L, 450L, 10L, 1L, p500, 64) == "brute")
     // selective filter: scanning 50 floats beats routing, even amortized
     assert(knnFilteredRoute(500L, 5L, 10L, 100L, p500, 64) == "brute")
-    // broad + amortized: the gate regime — quantized code scan wins
+    // broad + amortized: the gate regime — SQ8 code scan wins (the
+    // per-query PQ LUT prices the coarser codes out at gate n)
     assert(knnFilteredRoute(500L, 450L, 10L, 100L, p500, 64) == "ivf_sq8")
     val p2000 = ivfDerivedParams(2000L, knnAutoProbeFrac)
     assert(knnFilteredRoute(2000L, 1801L, 10L, 100L, p2000, 64) == "ivf_sq8")
-    // the decision is the 1.2x-hurdle comparison of the cost triple
-    val (b, iv, s8) = knnFilteredRouteCosts(500L, 450L, 10L, 100L, p500, 64)
-    assert(math.min(iv, s8) * 1.2 <= b && s8 * 1.2 <= iv)
+    // serving scale: the probed filtered set outgrows the LUT and the
+    // m-byte PQ scan takes it
+    val p100k = ivfDerivedParams(100000L, knnAutoProbeFrac)
+    assert(knnFilteredRoute(100000L, 90000L, 10L, 100L, p100k, 64)
+      == "ivf_pq")
+    // the decision is the 1.2x-hurdle comparison of the cost tuple
+    val (b, iv, s8, pq) =
+      knnFilteredRouteCosts(500L, 450L, 10L, 100L, p500, 64)
+    assert(math.min(iv, math.min(s8, pq)) * 1.2 <= b && s8 * 1.2 <= iv &&
+      !(pq * 1.2 <= s8))
   }
 
   test("ivfSearchFilteredSq8: neighbors satisfy the filter; with an " +
