@@ -89,9 +89,20 @@ object MultimodalQueries {
           val payload = (i % 5) match {
             case 0 => Multimodal.makePgm(i, 4 + v % 5, 3 + v % 4)
             case 1 => Multimodal.makeBmp(i, 4 + v % 5, 3 + v % 4)
-            case 2 => graft.scaleops.JpegCodec.encodeGrayBlocks(
-              8 * (1 + v % 2), 16,
-              b => ((i * 31 + b * 7) % 256).toInt)
+            case 2 =>
+              // the jpeg fifth alternates BASELINE / PROGRESSIVE
+              // (SOF2, r14) on v%2 — the two fixture encoders produce
+              // pixel-identical images by construction (JpegSpec pins
+              // it byte-for-byte), so the oracle's jpx formula covers
+              // both; a progressive-decode failure drops rows /
+              // shifts sums and flips the row red
+              val jw = 8 * (1 + v % 2)
+              val jf = (b: Int) => ((i * 31 + b * 7) % 256).toInt
+              if (v % 2 == 0)
+                graft.scaleops.JpegCodec.encodeGrayBlocks(jw, 16, jf)
+              else
+                graft.scaleops.JpegCodec.encodeGrayBlocksProgressive(
+                  jw, 16, jf)
             case 3 => graft.scaleops.PngCodec.encodeGray(
               5 + v % 5, 4 + v % 3,
               (x, y) => ((i * 31 + y * (5 + v % 5) + x) % 256).toInt)
@@ -394,6 +405,14 @@ object MultimodalQueries {
     * it red). */
   def mediaAudioSpectral(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // TWO planted twin families, disjoint id classes: PITCH twins
+    // (octave up, ids +10M, every 10th ≡ 0) and TIME-OFFSET twins
+    // (same source captured 48 samples = 3 frames later, ids +20M,
+    // every 10th ≡ 5 — r13 verdict #6). Both scramble/shift the
+    // energy contour past the Hamming radius; both keep the
+    // constellation hash inside it — pitch because peak RATIOS are
+    // transposition-invariant, offset because the fundamentals (and
+    // so the ratios) don't move when the capture window slides.
     val corpus = Tables.load(s, d, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
@@ -403,29 +422,45 @@ object MultimodalQueries {
           if (i % 10 == 0)
             Iterator(orig, Multimodal.MediaRow(i + 10000000L, "audio",
               Multimodal.makeToneMixWav(i, twin = true)))
+          else if (i % 10 == 5)
+            Iterator(orig, Multimodal.MediaRow(i + 20000000L, "audio",
+              Multimodal.makeToneMixWav(i, twin = false,
+                offsetSamples = 48)))
           else Iterator(orig)
         }
       }.localCheckpoint(eager = false) // feeds both fingerprint passes
     val spectral = Multimodal.spectralFingerprints(corpus)
       .localCheckpoint(eager = false)
     val pairs = Multimodal.nearDupByPHash(spectral, maxDist = 3)
+      .localCheckpoint(eager = false) // both planted filters read it
     val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    val plantedOff = pairs.filter(col("b") === col("a") + lit(20000000L))
     val contour = Multimodal.audioFingerprints(corpus)
-    val cDist = contour.filter(col("media_id") < 10000000L)
+      .localCheckpoint(eager = false)
+    def twinDist(base: Long) = contour.filter(col("media_id") < 10000000L)
       .withColumnRenamed("phash", "h_orig")
-      .join(contour.filter(col("media_id") >= 10000000L)
-        .select((col("media_id") - 10000000L).as("media_id"),
+      .join(contour.filter(col("media_id") >= base &&
+        col("media_id") < base + 10000000L)
+        .select((col("media_id") - base).as("media_id"),
           col("phash").as("h_twin")), "media_id")
       .select(bit_count(col("h_orig").bitwiseXOR(col("h_twin"))).as("cd"))
     corpus.toDF().agg(count(lit(1)).as("n_clips"),
-        sum(when(col("media_id") >= 10000000L, 1L).otherwise(0L))
-          .as("n_planted"))
-      .crossJoin(cDist.agg(min(col("cd") > 3).as("contour_missed_all")))
+        sum(when(col("media_id") >= 10000000L &&
+          col("media_id") < 20000000L, 1L).otherwise(0L)).as("n_planted"),
+        sum(when(col("media_id") >= 20000000L, 1L).otherwise(0L))
+          .as("n_planted_offset"))
+      .crossJoin(twinDist(10000000L)
+        .agg(min(col("cd") > 3).as("contour_missed_all")))
+      .crossJoin(twinDist(20000000L)
+        .agg(min(col("cd") > 3).as("contour_missed_all_offset")))
       .crossJoin(planted.agg(count(lit(1)).as("n_spectral_planted")))
-      .select(col("n_clips"), col("n_planted"),
-        col("contour_missed_all"),
+      .crossJoin(plantedOff.agg(count(lit(1)).as("n_spectral_off")))
+      .select(col("n_clips"), col("n_planted"), col("n_planted_offset"),
+        col("contour_missed_all"), col("contour_missed_all_offset"),
         (col("n_spectral_planted") === col("n_planted"))
           .as("spectral_found_all"),
+        (col("n_spectral_off") === col("n_planted_offset"))
+          .as("spectral_found_all_offset"),
         lit(4).as("n_bands"), lit(14).as("band_bits"),
         lit(3).as("max_dist"))
   }
@@ -433,6 +468,7 @@ object MultimodalQueries {
   val mediaAudioSpectralOracle: String =
     """WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
       |pids AS (SELECT id FROM ids WHERE id % 10 = 0),
+      |oids AS (SELECT id FROM ids WHERE id % 10 = 5),
       |clips AS (
       |  SELECT id, FALSE AS twin FROM pids
       |  UNION ALL SELECT id, TRUE FROM pids),
@@ -466,13 +502,54 @@ object MultimodalQueries {
       |missed AS (
       |  SELECT BOOL_AND(bit_count(xor(o.h, tw.h)) > 3) AS contour_missed_all
       |  FROM hashes o JOIN hashes tw
-      |    ON o.id = tw.id AND NOT o.twin AND tw.twin)
+      |    ON o.id = tw.id AND NOT o.twin AND tw.twin),
+      |-- TIME-OFFSET family (offset = 48 samples = 3 frames): the
+      |-- twin's frame energy is EXACTLY e(f+3) of the original, so
+      |-- ONE energy table over frames 0..59 (t to 959) yields both
+      |-- hashes — orig bits from e(f+1)>e(f), twin bits from
+      |-- e(f+4)>e(f+3)
+      |osp AS (
+      |  SELECT o.id, k.k,
+      |    list_extract([12,16,20,24,28,32,40,48],
+      |      ((id % 8 + k.k * (1 + 2 * (id % 4))) % 8) + 1) AS p
+      |  FROM oids o, generate_series(0, 3) AS k(k)),
+      |ow AS (
+      |  SELECT id, t.t,
+      |    SUM(CASE WHEN t.t % p < p // 2 THEN 30 ELSE -30 END) AS wv
+      |  FROM osp, generate_series(0, 959) AS t(t)
+      |  GROUP BY 1, 2),
+      |ofe AS (
+      |  SELECT id, t // 16 AS f,
+      |    SUM(ABS((140 + ((id + 1) * (t // 16 + 13)) % 97 % 8)
+      |      * (wv + 121) // 140 - 128)) AS e
+      |  FROM ow GROUP BY 1, 2),
+      |ograd AS (
+      |  SELECT id, f, e,
+      |    LEAD(e, 1) OVER (PARTITION BY id ORDER BY f) AS e1,
+      |    LEAD(e, 3) OVER (PARTITION BY id ORDER BY f) AS e3,
+      |    LEAD(e, 4) OVER (PARTITION BY id ORDER BY f) AS e4
+      |  FROM ofe),
+      |ohashes AS (
+      |  SELECT id,
+      |    CAST(SUM(CASE WHEN e1 > e
+      |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS h_orig,
+      |    CAST(SUM(CASE WHEN e4 > e3
+      |      THEN (CAST(1 AS BIGINT) << CAST(f AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS h_off
+      |  FROM ograd WHERE f < 56 GROUP BY id),
+      |omissed AS (
+      |  SELECT BOOL_AND(bit_count(xor(h_orig, h_off)) > 3)
+      |      AS contour_missed_all_offset
+      |  FROM ohashes)
       |SELECT (SELECT COUNT(*) FROM ids) + (SELECT COUNT(*) FROM pids)
-      |    AS n_clips,
+      |    + (SELECT COUNT(*) FROM oids) AS n_clips,
       |  (SELECT COUNT(*) FROM pids) AS n_planted,
-      |  contour_missed_all, TRUE AS spectral_found_all,
+      |  (SELECT COUNT(*) FROM oids) AS n_planted_offset,
+      |  contour_missed_all, contour_missed_all_offset,
+      |  TRUE AS spectral_found_all, TRUE AS spectral_found_all_offset,
       |  4 AS n_bands, 14 AS band_bits, 3 AS max_dist
-      |FROM missed""".stripMargin
+      |FROM missed, omissed""".stripMargin
 
   /** Audio near-duplicate detection — the audio-modality counterpart
     * of [[mediaNearDup]] (the r10 verdict's symmetric gap): REAL WAV
@@ -552,15 +629,29 @@ object MultimodalQueries {
     def pix(pixId: Long, patched: Boolean)(f: Int, p: Int): Int =
       ((((pixId + 1) * (p + 7919 + f * 4099)) % 65521 % 256 +
         (if (patched && f == 0 && p < 8) 60 else 0)) % 256).toInt
+    // container rotation (r14): every third clip ships as an ANIMATED
+    // GIF instead of a concatenated-PGM stream, and each planted twin
+    // ships in the OTHER container — a found twin therefore also
+    // witnesses that identical frame pixels hash identically through
+    // the GifCodec.decodeFrames walk and the raw PGM walk (the
+    // image near-dup container-invariance rule, extended to video).
+    // GIF is lossless for gray ≤256 values, so the oracle's
+    // pixel-formula replay is container-blind.
+    def clip(pixId: Long, patched: Boolean, gif: Boolean): Array[Byte] =
+      if (gif)
+        graft.scaleops.GifCodec.encodeGrayAnimation(W, H, F,
+          fr => (x, y) => pix(pixId, patched)(fr, y * W + x))
+      else Multimodal.makeMultiPgm(F, W, H, pix(pixId, patched))
     Tables.load(s, d, "documents")
       .select(col("doc_id").cast("long")).as[Long]
       .mapPartitions { ids =>
         ids.flatMap { i =>
+          val origGif = i % 3 == 2
           val orig = Multimodal.MediaRow(i, "video",
-            Multimodal.makeMultiPgm(F, W, H, pix(i, patched = false)))
+            clip(i, patched = false, gif = origGif))
           if (i % 10 == 0)
             Iterator(orig, Multimodal.MediaRow(i + 10000000L, "video",
-              Multimodal.makeMultiPgm(F, W, H, pix(i, patched = true))))
+              clip(i, patched = true, gif = !origGif)))
           else Iterator(orig)
         }
       }

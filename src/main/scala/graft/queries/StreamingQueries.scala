@@ -304,6 +304,11 @@ object StreamingQueries {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val sentinelUser = 9999999999L
+    // staged temp dirs (one holds a FULL copy of events.parquet) are
+    // deleted on exit — a warm bench reps this row several times per
+    // sitting, and the pre-r14 leak accumulated full-size copies of
+    // the events table under /tmp (r13 ADVICE)
+    var staged: List[java.nio.file.Path] = Nil
     try {
       val batchEv = graft.sources.Tables.load(s, d, "events")
       val maxUs = batchEv.agg(max(unix_micros(col("ts")))).head().getLong(0)
@@ -313,6 +318,7 @@ object StreamingQueries {
       // sits past every (max + gap + delay) so the final watermark
       // covers every timer expiry
       val dir = java.nio.file.Files.createTempDirectory("graft-ets-gate")
+      staged ::= dir
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$d/events.parquet"),
         dir.resolve("events.parquet"))
@@ -347,6 +353,7 @@ object StreamingQueries {
         }
       }
       val tmp = java.nio.file.Files.createTempDirectory("graft-ets-flush")
+      staged ::= tmp
       s.createDataFrame(
         java.util.List.of(org.apache.spark.sql.Row(vals: _*)), sch)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -382,6 +389,13 @@ object StreamingQueries {
       prev match {
         case Some(v) => s.conf.set(key, v)
         case None => s.conf.unset(key)
+      }
+      // the memory-sink result is fully materialized in st_ets, so
+      // the staged inputs can go now
+      for (p <- staged if java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(x => java.nio.file.Files.deleteIfExists(x))
       }
     }
     s.table("st_ets")

@@ -7,8 +7,10 @@ package graft.scaleops
   *  - DECODER ([[decode]]): header + logical screen descriptor,
   *    global/local color tables, extension-block skip (sub-block
   *    walk), FIRST image descriptor decoded (the single-frame
-  *    contract JPEG/PNG share here; animation frames after the first
-  *    are ignored), Adam-style 4-pass interlace honored, and a full
+  *    contract JPEG/PNG share here) — with [[decodeFrames]] (r14)
+  *    walking EVERY animation frame for the video near-dup sampler
+  *    (disposal/compositing out of scope, frames hash independently)
+  *    — Adam-style 4-pass interlace honored, and a full
   *    variable-width LZW decoder (clear/end codes, 12-bit cap,
   *    KwKwK case) — the entropy coding that made GIF header-only
   *    until this round. Palette indices map through the active color
@@ -38,7 +40,30 @@ object GifCodec {
     catch { case _: Exception => None }
   }
 
-  private def decodeImpl(p: Array[Byte]): Option[Image] = {
+  /** All animation frames, in stream order (r14 — [[decode]] stays
+    * the single-frame contract). Each image descriptor decodes
+    * standalone at its own dimensions; GIF89a disposal/compositing
+    * semantics stay out of scope (documented — the frame-sampler
+    * consumer hashes frames independently, it never composites).
+    * None unless the stream is well-formed THROUGH ITS TRAILER. */
+  def decodeFrames(p: Array[Byte]): Option[Seq[Image]] = {
+    try decodeFramesImpl(p)
+    catch { case _: Exception => None }
+  }
+
+  private def decodeImpl(p: Array[Byte]): Option[Image] =
+    walk(p, firstOnly = true).flatMap(_.headOption)
+
+  private def decodeFramesImpl(p: Array[Byte]): Option[Seq[Image]] =
+    walk(p, firstOnly = false).filter(_.nonEmpty)
+
+  /** Block walk shared by [[decode]] and [[decodeFrames]]:
+    * `firstOnly` returns at the first decoded image descriptor (the
+    * historical single-frame contract — later stream corruption is
+    * irrelevant to it); otherwise frames accumulate until the 0x3B
+    * trailer. */
+  private def walk(p: Array[Byte], firstOnly: Boolean)
+      : Option[Seq[Image]] = {
     if (p.length < 14) return None
     val hdr = new String(p, 0, 6, "US-ASCII")
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -51,13 +76,15 @@ object GifCodec {
       gct = readColorTable(p, i, sz)
       i += 3 * sz
     }
+    val frames = Seq.newBuilder[Image]
+    var nFrames = 0
     while (i < p.length) {
       (p(i) & 0xFF) match {
         case 0x21 => // extension: label byte then sub-blocks
           i += 2
           while (i < p.length && (p(i) & 0xFF) != 0) i += 1 + (p(i) & 0xFF)
           i += 1 // block terminator
-        case 0x2C => // image descriptor — decode this (first) frame
+        case 0x2C => // image descriptor — decode one frame
           if (i + 10 > p.length) return None
           val iw = le16(p, i + 5)
           val ih = le16(p, i + 7)
@@ -83,6 +110,7 @@ object GifCodec {
             data.write(p, i + 1, n)
             i += 1 + n
           }
+          i += 1 // data block terminator
           val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
             .getOrElse(return None)
           val rows = if (interlaced) deinterlace(idx, iw, ih) else idx
@@ -97,8 +125,11 @@ object GifCodec {
             pix(3 * k + 2) = (rgb & 0xFF).toByte
             k += 1
           }
-          return Some(Image(iw, ih, 3, pix))
-        case 0x3B => return None // trailer before any image
+          frames += Image(iw, ih, 3, pix)
+          nFrames += 1
+          if (firstOnly) return Some(frames.result())
+        case 0x3B => // trailer
+          return if (nFrames > 0) Some(frames.result()) else None
         case _ => return None // unknown block type: corrupt
       }
     }
@@ -243,6 +274,42 @@ object GifCodec {
     require(rows.length == h && rows.forall(_.length == w),
       s"need $h rows of $w values")
     val out = new java.io.ByteArrayOutputStream()
+    writeHeader(out, w, h)
+    writeFrame(out, w, h, rows, interlaced)
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** ANIMATION fixture (r14): `nFrames` full-size frames, each
+    * preceded by a real GIF89a graphic-control extension (disposal
+    * 'none', 10 cs delay) — the multi-descriptor stream
+    * [[decodeFrames]] walks. Same lossless-palette discipline as
+    * [[encodeGray]], so frame pixels replay exactly. */
+  private[graft] def encodeGrayAnimation(w: Int, h: Int, nFrames: Int,
+                                         f: Int => (Int, Int) => Int)
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    writeHeader(out, w, h)
+    var fr = 0
+    while (fr < nFrames) {
+      // GCE: introducer, label 0xF9, block size 4, flags(disposal=1
+      // 'leave in place'), delay 10cs LE, no transparent index,
+      // terminator
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0x04); out.write(10); out.write(0); out.write(0)
+      out.write(0)
+      val pf = f(fr)
+      writeFrame(out, w, h,
+        Array.tabulate(h)(y => Array.tabulate(w)(x => pf(x, y))),
+        interlaced = false)
+      fr += 1
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  private def writeHeader(out: java.io.ByteArrayOutputStream,
+                          w: Int, h: Int): Unit = {
     def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write("GIF89a".getBytes("US-ASCII"))
     w16(w); w16(h)
@@ -250,6 +317,12 @@ object GifCodec {
     out.write(0) // background color index
     out.write(0) // aspect ratio
     for (j <- 0 until 256) { out.write(j); out.write(j); out.write(j) }
+  }
+
+  private def writeFrame(out: java.io.ByteArrayOutputStream,
+                         w: Int, h: Int, rows: Array[Array[Int]],
+                         interlaced: Boolean): Unit = {
+    def w16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
     out.write(0x2C) // image descriptor
     w16(0); w16(0); w16(w); w16(h)
     out.write(if (interlaced) 0x40 else 0) // no local table
@@ -266,8 +339,6 @@ object GifCodec {
       o += n
     }
     out.write(0) // block terminator
-    out.write(0x3B) // trailer
-    out.toByteArray
   }
 
   /** LZW compressor, the decoder's exact mirror: width grows when

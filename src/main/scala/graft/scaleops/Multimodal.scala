@@ -412,14 +412,30 @@ object Multimodal {
 
   // ---- video near-dup (per-frame perceptual hashes) -----------------------
 
-  /** Frame-wise perceptual hashes of a multi-frame clip stored as
+  /** Frame-wise perceptual hashes of a multi-frame clip — either
     * CONCATENATED binary PGMs (each frame self-describes its size via
     * its header, so the walk is a real sequential container decode —
-    * the raw-frame-stream layout a frame sampler emits; entropy-coded
-    * video codecs stay behind the documented stub). Emits one
-    * (frame_idx, dHash56) per decodable block-divisible frame; stops
-    * at the first byte that is not a PGM header. */
+    * the raw-frame-stream layout a frame sampler emits) or an
+    * ANIMATED GIF (r14 — [[GifCodec.decodeFrames]] walks every image
+    * descriptor; frames re-wrap as P6 so the SAME gray = R+G+B dHash
+    * path hashes them, extending the container-invariance rule to
+    * moving pictures: identical frame pixels hash identically in
+    * either container). Entropy-coded video codecs stay behind the
+    * documented stub. Emits one (frame_idx, dHash56) per decodable
+    * block-divisible frame. */
   private[graft] def multiPgmFrameHashes(p: Array[Byte]): Seq[(Int, Long)] = {
+    if (p.length >= 6 && p(0) == 'G'.toByte && p(1) == 'I'.toByte &&
+      p(2) == 'F'.toByte) {
+      return GifCodec.decodeFrames(p).toSeq.flatten.zipWithIndex
+        .flatMap { case (img, idx) =>
+          val header = s"P6\n${img.w} ${img.h}\n255\n".getBytes("US-ASCII")
+          val ppm = new Array[Byte](header.length + img.pixels.length)
+          System.arraycopy(header, 0, ppm, 0, header.length)
+          System.arraycopy(img.pixels, 0, ppm, header.length,
+            img.pixels.length)
+          dHash56(ppm).map(h => (idx, h))
+        }
+    }
     val out = Seq.newBuilder[(Int, Long)]
     var off = 0
     var idx = 0
@@ -773,15 +789,24 @@ object Multimodal {
     *    its own loudness automation (the envelope timeline
     *    re-indexed), which scrambles the energy contour — the case
     *    the contour hash provably misses and the ratio-constellation
-    *    hash provably keeps. */
+    *    hash provably keeps;
+    *  - `offsetSamples` (r14) = the TIME-OFFSET re-render: every
+    *    sample evaluated at t + offset (a later capture of the same
+    *    source). At offset = 48 = 3 frames the twin's frame energies
+    *    are EXACTLY e(f+3), so the contour hash shifts wholesale
+    *    (oracle-replayable from one energy table) while the spectrum
+    *    keeps the same fundamentals — the offset-robustness the
+    *    constellation construction claims, witnessed. */
   private[graft] def makeToneMixWav(id: Long, twin: Boolean,
-                                    nSamples: Int = 912): Array[Byte] = {
+                                    nSamples: Int = 912,
+                                    offsetSamples: Int = 0): Array[Byte] = {
     val menu = Array(12, 16, 20, 24, 28, 32, 40, 48)
     val a = (id % 8).toInt
     val s = 1 + 2 * (id % 4).toInt
     val div = if (twin) 2 else 1
     val p = Array.tabulate(4)(k => menu((a + k * s) % 8) / div)
-    makeWav8(nSamples, { t =>
+    makeWav8(nSamples, { t0 =>
+      val t = t0 + offsetSamples
       val f = t / 16
       val gidx = if (twin) (2 * f + 5) % 57 else f
       val g = 140 + ((id + 1) * (gidx + 13)) % 97 % 8

@@ -543,6 +543,14 @@ object Similarity {
     * (full-probe search is exact for ANY cell assignment). */
   private[graft] val ivfFitSampleCap = 65536L
 
+  /** Test-visible fit counter — incremented once per KMeans training
+    * pass this object runs ([[ivfBuild]]'s MLlib fit, [[pqTrain]]'s
+    * subspace localKMeans set). Specs use deltas across memoized
+    * calls to WITNESS reuse (indexDir paths must fit zero KMeans on
+    * the second call); never read by production code. */
+  private[graft] val kmeansFits =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Parts-per-BILLION keep rate for the fit sample at corpus size
     * `n` — named so the boundedness claim is spec-testable: expected
     * sample = ppb·n/10⁹ stays in [cap/2, cap] for every n up to
@@ -594,6 +602,7 @@ object Similarity {
     // quality (full-probe search is exact for ANY cell assignment;
     // partial-probe recall degrades only marginally vs converged
     // centroids), so don't pay 20 sweeps of the corpus for an index.
+    kmeansFits.incrementAndGet()
     val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(fitSet)
     IvfIndex(model, assignCells(model, prep).drop("fv"))
@@ -1081,7 +1090,9 @@ object Similarity {
                       knownN: Option[Long] = None,
                       knownNFiltered: Option[Long] = None,
                       knownNQueries: Option[Long] = None,
-                      knownDim: Option[Int] = None): DataFrame = {
+                      knownDim: Option[Int] = None,
+                      indexDir: Option[String] = None): DataFrame = {
+    val spark = emb.sparkSession
     // knownN discipline (mirrors ivfBuild): callers that already hold
     // the corpus / filtered / query counts — or the embedding dim —
     // pass them in; a gate row that calls this twice would otherwise
@@ -1096,8 +1107,11 @@ object Similarity {
       else emb.select(size(col(vecCol))).head().getInt(0))
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val route = knnFilteredRoute(n, nF, nQ, reuse, p, dim)
+    // indexDir: the ivfCachedIndex memo discipline (Scaladoc there) —
+    // a serving caller without prebuilt artifacts points every batch
+    // at one dir and pays the KMeans/encode passes exactly once
     def index = prebuilt.getOrElse(
-      ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
+      ivfCachedIndex(spark, emb, idCol, vecCol, p, seed, n, dim, indexDir))
     val res = route match {
       case "brute" => knnBrute(filtered, idCol, vecCol, queries, k)
       case "ivf" =>
@@ -1105,22 +1119,28 @@ object Similarity {
           filtered.select(col(idCol)))
       case "ivf_pq" =>
         val idx = index
-        val cbArr = prebuiltPqCb.getOrElse(
-          pqTrain(emb, idCol, vecCol, knownN = Some(n)))
-        val codes = prebuiltPqCodes.getOrElse(pqCodes(idx, cbArr))
-        val refineMul =
-          math.max(1, (pqDerivedRefine(n, p) + k - 1) / k)
+        // refine convention: pqDerivedRefine is a K-MULTIPLIER
+        // (knnIvfPqIndexed filters arank <= k*refine) — knnAuto, the
+        // knn_ivf_pq gate row, and the recall calibration all pass it
+        // through unscaled; dividing by k here (pre-r14) re-ranked a
+        // k× smaller pool than calibrated (r13 ADVICE)
+        val (cbArr, codes) = (prebuiltPqCb, prebuiltPqCodes) match {
+          case (Some(cb), Some(cd)) => (cb, cd)
+          case (Some(cb), None)     => (cb, pqCodes(idx, cb))
+          case _ =>
+            pqArtifactsCached(spark, emb, idCol, vecCol, idx, n, indexDir)
+        }
         ivfSearchFilteredPq(idx, codes, cbArr, idCol, vecCol, queries, k,
-          8, 256, p.nProbe, refineMul, filtered.select(col(idCol)))
+          8, 256, p.nProbe, pqDerivedRefine(n, p),
+          filtered.select(col(idCol)))
       case _ =>
         val idx = index
-        val codes = prebuiltCodes.getOrElse(sq8Codes(idx))
-        // pool multiplier: the derived pool over k candidates (the
-        // knnIvfSq8Indexed refine convention is a multiplier of k)
-        val refineMul =
-          math.max(1, (pqDerivedRefine(n, p) + k - 1) / k)
+        val codes = prebuiltCodes.getOrElse(sq8CodesCached(spark, idx,
+          indexDir))
+        // same k-multiplier convention as the PQ branch above (the
+        // ivfSearchFilteredSq8 refine filters arank <= k*refine)
         ivfSearchFilteredSq8(idx, codes, idCol, vecCol, queries, k,
-          p.nProbe, refineMul, filtered.select(col(idCol)))
+          p.nProbe, pqDerivedRefine(n, p), filtered.select(col(idCol)))
     }
     // provenance stamp (the knnAuto discipline): a consumer can PROVE
     // which plan ran instead of re-deriving the decision — one
@@ -1663,6 +1683,99 @@ object Similarity {
     else KnnRouteIvf
   }
 
+  /** The `indexDir` memo discipline shared by [[knnAuto]] and
+    * [[knnFilteredAuto]]: `reuse` > 1 means the index outlives one
+    * call — `indexDir` is that statement made real (a serving router
+    * always sits on an index cache; without one every batch re-pays
+    * the build the cost model amortized away). The stamp ties the
+    * cache to (n, dim, nList, seed); the CALLER owns content-level
+    * invalidation — point a new corpus at a new dir (the gate adds a
+    * data fingerprint on top, ScaleAnnQueries.ivfLoadOrBuild). On a
+    * stamp miss the derived artifacts (PQ codebook/codes, SQ8 codes)
+    * are invalidated WITH the index: they are pure functions of
+    * (index, corpus), and the _SUCCESS-only checks below would
+    * otherwise feed stale codes from the old corpus to the new
+    * index. */
+  private def ivfCachedIndex(spark: org.apache.spark.sql.SparkSession,
+                             emb: DataFrame, idCol: String, vecCol: String,
+                             p: IvfParams, seed: Long, n: Long, dim: Int,
+                             indexDir: Option[String]): IvfIndex = {
+    val tag = s"n=$n dim=$dim nList=${p.nList} seed=$seed"
+    indexDir match {
+      case None =>
+        ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
+      case Some(dir) =>
+        val stamp = new java.io.File(s"$dir/stamp")
+        if (stamp.exists &&
+          java.nio.file.Files.readString(stamp.toPath) == tag)
+          ivfLoad(spark, dir)
+        else {
+          for (name <- Seq("pq_cb", "pq_codes", "sq8_codes")) {
+            val f = new java.io.File(s"$dir/$name")
+            if (f.exists) {
+              def rm(x: java.io.File): Unit = {
+                if (x.isDirectory) x.listFiles.foreach(rm)
+                x.delete(); ()
+              }
+              rm(f)
+            }
+          }
+          val idx = ivfBuild(emb, idCol, vecCol, p.nList, seed,
+            knownN = Some(n))
+          new java.io.File(dir).mkdirs()
+          ivfSave(idx, dir)
+          java.nio.file.Files.writeString(stamp.toPath, tag)
+          ivfLoad(spark, dir)
+        }
+    }
+  }
+
+  /** PQ codebook + codes under the [[ivfCachedIndex]] memo: with an
+    * `indexDir`, the codebook parquet (`pq_cb`) and codes parquet
+    * (`pq_codes`) are written once beside the index and every later
+    * call loads them — two consecutive routed-PQ calls fit ZERO
+    * KMeans (r13 verdict: a caller without a prebuilt codebook paid
+    * `pqTrain` per call). Without a dir, train/encode in-flight. */
+  private def pqArtifactsCached(spark: org.apache.spark.sql.SparkSession,
+                                emb: DataFrame, idCol: String,
+                                vecCol: String, index: IvfIndex, n: Long,
+                                indexDir: Option[String])
+      : (Array[Double], DataFrame) = indexDir match {
+    case None =>
+      val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
+      (cb, pqCodes(index, cb, 8, 256))
+    case Some(dir) =>
+      import spark.implicits._
+      val cbPath = s"$dir/pq_cb"
+      if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
+        val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
+        cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+          .toDF("i", "v")
+          .coalesce(1).write.mode("overwrite").parquet(cbPath)
+      }
+      val cb = spark.read.parquet(cbPath).orderBy("i").collect()
+        .map(_.getDouble(1))
+      val codesPath = s"$dir/pq_codes"
+      if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+        pqCodes(index, cb, 8, 256).write.mode("overwrite")
+          .parquet(codesPath)
+      (cb, spark.read.parquet(codesPath))
+  }
+
+  /** SQ8 codes under the same memo: encoded once beside the index
+    * (`sq8_codes`), loaded thereafter. */
+  private def sq8CodesCached(spark: org.apache.spark.sql.SparkSession,
+                             index: IvfIndex,
+                             indexDir: Option[String]): DataFrame =
+    indexDir match {
+      case None => sq8Codes(index)
+      case Some(dir) =>
+        val codesPath = s"$dir/sq8_codes"
+        if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
+          sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+        spark.read.parquet(codesPath)
+    }
+
   /** Cost-routed DEFAULT k-NN — the entry point a caller should use
     * without picking an ANN tier by hand ([[nearDupPairsAuto]]'s
     * discipline applied to search). Routes between exact brute and
@@ -1691,76 +1804,19 @@ object Similarity {
       else emb.select(size(col(vecCol))).head().getInt(0)
     val p = ivfDerivedParams(n, knnAutoProbeFrac)
     val route = knnAutoRoute(n, nQ, reuse, p, dim)
-    // `reuse` > 1 MEANS the index outlives this call — `indexDir` is
-    // that statement made real (a serving router always sits on an
-    // index cache; without one every batch would re-pay the build the
-    // cost model amortized away). The stamp ties the cache to
-    // (n, params, seed); the CALLER owns content-level invalidation —
-    // point a new corpus at a new dir (the gate adds a data
-    // fingerprint on top, ScaleAnnQueries.ivfLoadOrBuild).
-    val tag = s"n=$n dim=$dim nList=${p.nList} seed=$seed"
-    def cachedIndex(): IvfIndex = indexDir match {
-      case None =>
-        ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n))
-      case Some(dir) =>
-        val stamp = new java.io.File(s"$dir/stamp")
-        if (stamp.exists &&
-          java.nio.file.Files.readString(stamp.toPath) == tag)
-          ivfLoad(spark, dir)
-        else {
-          // the PQ artifacts are pure functions of (index, corpus):
-          // a rebuilt index MUST invalidate them with it, or the
-          // _SUCCESS-only checks below would happily feed a stale
-          // codebook/codes from the old corpus to the new index
-          // (same sibling-invalidation rule as the gate's
-          // ivfLoadOrBuild)
-          for (name <- Seq("pq_cb", "pq_codes")) {
-            val f = new java.io.File(s"$dir/$name")
-            if (f.exists) {
-              def rm(x: java.io.File): Unit = {
-                if (x.isDirectory) x.listFiles.foreach(rm)
-                x.delete(); ()
-              }
-              rm(f)
-            }
-          }
-          val idx = ivfBuild(emb, idCol, vecCol, p.nList, seed,
-            knownN = Some(n))
-          new java.io.File(dir).mkdirs()
-          ivfSave(idx, dir)
-          java.nio.file.Files.writeString(stamp.toPath, tag)
-          ivfLoad(spark, dir)
-        }
-    }
+    // indexDir: the ivfCachedIndex memo discipline (Scaladoc there)
     val res = route match {
       case KnnRouteBrute => knnBrute(emb, idCol, vecCol, queries, k)
       case KnnRouteIvf =>
-        ivfSearch(cachedIndex(), idCol, vecCol, queries, k, p.nProbe)
+        ivfSearch(ivfCachedIndex(spark, emb, idCol, vecCol, p, seed, n,
+          dim, indexDir), idCol, vecCol, queries, k, p.nProbe)
       case KnnRouteIvfPq =>
         // the router's probeFrac (0.6, recall-floor-mandated) and its
         // derived refine pool — NOT knnIvfPq's standalone 0.35 sizing
-        val index = cachedIndex()
-        val (cb, codes) = indexDir match {
-          case None =>
-            val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
-            (cb, pqCodes(index, cb, 8, 256))
-          case Some(dir) =>
-            import spark.implicits._
-            val cbPath = s"$dir/pq_cb"
-            if (!new java.io.File(s"$cbPath/_SUCCESS").exists) {
-              val cb = pqTrain(emb, idCol, vecCol, 8, 256, knownN = Some(n))
-              cb.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
-                .toDF("i", "v")
-                .coalesce(1).write.mode("overwrite").parquet(cbPath)
-            }
-            val cb = spark.read.parquet(cbPath).orderBy("i").collect()
-              .map(_.getDouble(1))
-            val codesPath = s"$dir/pq_codes"
-            if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-              pqCodes(index, cb, 8, 256).write.mode("overwrite")
-                .parquet(codesPath)
-            (cb, spark.read.parquet(codesPath))
-        }
+        val index = ivfCachedIndex(spark, emb, idCol, vecCol, p, seed, n,
+          dim, indexDir)
+        val (cb, codes) =
+          pqArtifactsCached(spark, emb, idCol, vecCol, index, n, indexDir)
         knnIvfPqIndexed(index, codes, cb, idCol,
           vecCol, queries, k, 8, 256, p.nProbe, pqDerivedRefine(n, p))
     }
@@ -1972,6 +2028,7 @@ object Similarity {
     // a worker Throwable must fail pqTrain LOUDLY: a swallowed fit
     // would leave an all-zeros subspace block in cb and surface only
     // as silently degraded recall later
+    kmeansFits.incrementAndGet() // one PQ training pass (m subspaces)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val workers = (0 until m).map { s =>
       val t = new Thread(() => {

@@ -235,17 +235,21 @@ object EventsStream {
     * TTL depends on wall-clock arrival, so a replay of the same
     * stream can split sessions differently; the scale-correct
     * semantics keys the close decision to the WATERMARK. Protocol:
-    * input events buffer in a per-key `ListState` (state holds only
-    * the key's open tail — exactly the event-time sessionization
-    * state bound) and ONE event-time timer per key slides to
-    * (max event time + gap). When the watermark passes that expiry,
-    * the source guarantees no future row can land within the gap of
-    * the buffered maximum, so EVERY buffered session is decidable:
-    * sort, gap-split, emit all counts, clear state. Because the
-    * close condition is a pure event-time fact, the drained output
-    * equals the batch gap-sessionization EXACTLY for any
-    * within-watermark disorder — the processing-time variant can
-    * only promise that when no timer fires mid-activity. */
+    * input events buffer in a per-key `ListState`, and ONE event-time
+    * timer per key slides to (max event time + gap). Two emission
+    * paths keep that buffer bounded to the UNDECIDED tail (r13
+    * ADVICE — the sliding timer alone never fires for a continuously
+    * active key): (a) on every input batch, prefix sessions whose
+    * close is already watermark-proven (an in-buffer gap boundary
+    * follows them AND watermark ≥ session end + gap) emit immediately
+    * and leave state; (b) when the watermark passes the sliding
+    * expiry, no future row can land within the gap of the buffered
+    * maximum, so the whole remaining buffer is decidable: sort,
+    * gap-split, emit, clear. Because the close condition is a pure
+    * event-time fact, the drained output equals the batch
+    * gap-sessionization EXACTLY for any within-watermark disorder —
+    * the processing-time variant can only promise that when no timer
+    * fires mid-activity. */
   class SessionEventTimeProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), (Long, Long)] {
@@ -272,19 +276,51 @@ object EventsStream {
         if (arr(i) > batchMax) batchMax = arr(i)
         i += 1
       }
-      if (arr.nonEmpty) {
-        buf.appendList(arr)
-        val newMax = if (mx.exists()) math.max(mx.get(), batchMax) else batchMax
-        mx.update(newMax)
-        // slide the single event-time timer to (max + gap), rounded
-        // UP to ms (a truncated expiry could fire one watermark tick
-        // before the gap has provably elapsed)
-        if (tmr.exists()) getHandle.deleteTimer(tmr.get())
-        val expiryMs = (newMax + gapUs + 999L) / 1000L
-        getHandle.registerTimer(expiryMs)
-        tmr.update(expiryMs)
+      if (arr.isEmpty) return Iterator.empty
+      buf.appendList(arr)
+      val newMax = if (mx.exists()) math.max(mx.get(), batchMax) else batchMax
+      mx.update(newMax)
+      // slide the single event-time timer to (max + gap), rounded
+      // UP to ms (a truncated expiry could fire one watermark tick
+      // before the gap has provably elapsed)
+      if (tmr.exists()) getHandle.deleteTimer(tmr.get())
+      val expiryMs = (newMax + gapUs + 999L) / 1000L
+      getHandle.registerTimer(expiryMs)
+      tmr.update(expiryMs)
+      // watermark-proven PREFIX emission (r13 ADVICE): a continuously
+      // active key's sliding timer never fires, so without this the
+      // buffer held every event since the last full drain. A prefix
+      // session ending at tEnd with an IN-BUFFER gap boundary after it
+      // is final once watermark ≥ tEnd + gap (any future accepted row
+      // has ts ≥ watermark, so it can neither join the session nor
+      // land between it and its successor) — emit it now and keep
+      // only the undecided tail in state. Double-emit safe: the tail
+      // (no in-buffer boundary) is never emitted here; the timer path
+      // drains it.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      if (wmUs <= 0) return Iterator.empty
+      val events = buf.get().toArray.sorted
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = 0
+      var j = 1
+      while (j < events.length) {
+        if (events(j) - events(j - 1) >= gapUs &&
+          events(j - 1) + gapUs <= wmUs) {
+          // boundary before j, close proven: [start, j) is final.
+          // (session ends are monotone, so once one is unproven every
+          // later one is too — but the simple per-boundary check is
+          // O(1) and reads clearer than an early break)
+          out += ((user, (j - start).toLong))
+          start = j
+        }
+        j += 1
       }
-      Iterator.empty
+      if (start > 0) {
+        buf.clear()
+        buf.appendList(java.util.Arrays.copyOfRange(events, start,
+          events.length))
+      }
+      out.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,

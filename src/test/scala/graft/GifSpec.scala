@@ -111,6 +111,51 @@ class GifSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(a.pixels, b.pixels))
   }
 
+  test("ANIMATION frames decode exactly in stream order; the " +
+    "single-frame decode still returns frame 0 (r14)") {
+    val (w, h, nf) = (16, 8, 4)
+    def pf(fr: Int)(x: Int, y: Int): Int = (fr * 37 + y * w + x * 3) % 256
+    val anim = GifCodec.encodeGrayAnimation(w, h, nf, fr => pf(fr))
+    val frames = GifCodec.decodeFrames(anim).get
+    assert(frames.length == nf)
+    for (fr <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      val img = frames(fr)
+      assert(img.w == w && img.h == h)
+      val v = pf(fr)(x, y)
+      assert((img.pixels(o) & 0xFF) == v &&
+        (img.pixels(o + 1) & 0xFF) == v && (img.pixels(o + 2) & 0xFF) == v,
+        s"frame $fr pixel ($x,$y)")
+    }
+    // back-compat: decode = frame 0, even on a multi-frame stream
+    val first = GifCodec.decode(anim).get
+    assert(java.util.Arrays.equals(first.pixels, frames(0).pixels))
+    // truncated mid-animation: no trailer -> None (strict walk)
+    assert(GifCodec.decodeFrames(anim.take(anim.length - 10)).isEmpty)
+  }
+
+  test("JDK reads every frame of OUR animation exactly " +
+    "(independent multi-frame cross-check)") {
+    val (w, h, nf) = (16, 8, 3)
+    def pf(fr: Int)(x: Int, y: Int): Int = (fr * 91 + y * 5 + x * 7) % 256
+    val anim = GifCodec.encodeGrayAnimation(w, h, nf, fr => pf(fr))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(anim))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == nf)
+    for (fr <- 0 until nf) {
+      val img = reader.read(fr)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = pf(fr)(x, y)
+        val rgb = img.getRGB(x, y)
+        assert(((rgb >> 16) & 0xFF) == v && ((rgb >> 8) & 0xFF) == v &&
+          (rgb & 0xFF) == v, s"JDK frame $fr pixel ($x,$y)")
+      }
+    }
+    reader.dispose(); iis.close()
+  }
+
   test("corrupt and out-of-scope streams return None promptly, " +
     "never throw, never spin") {
     assert(GifCodec.decode(Array[Byte](1, 2, 3)).isEmpty)

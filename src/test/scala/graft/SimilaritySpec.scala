@@ -558,6 +558,39 @@ class SimilaritySpec extends SparkSpec {
     assert(viaDisk == oneShot && viaDisk.nonEmpty)
   }
 
+  test("knnFilteredAuto indexDir memo: second routed-PQ call fits zero " +
+    "KMeans and is row-identical (r13 verdict #4)") {
+    // sized to route ivf_pq (knnFilteredRoute: broad filter + heavy
+    // amortization + corpus large enough that the per-query LUT
+    // amortizes against the probed scan)
+    val n = 8000L
+    val emb = spark.range(n).select(col("id").as("vec_id"),
+      expr("cast(transform(sequence(1, 64), " +
+        "j -> sin(id * 0.37 + j * 1.7) + 0.01 * j) as array<float>)")
+        .as("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-fknn-memo").toString
+    def call() = Similarity.knnFilteredAuto(emb, "vec_id", "embedding",
+      col("vec_id") % 5 =!= 0, q, k = 5, reuse = 1000L,
+      knownN = Some(n), knownNFiltered = Some(6400L),
+      knownNQueries = Some(10L), knownDim = Some(64),
+      indexDir = Some(dir))
+    val first = call()
+    assert(Similarity.knnFilteredRouteOf(first).contains("ivf_pq"),
+      s"expected the PQ route, got ${Similarity.knnFilteredRouteOf(first)}")
+    val firstRows = first.collect().map(_.toSeq).toSet
+    val before = Similarity.kmeansFits.get()
+    val secondRows = call().collect().map(_.toSeq).toSet
+    assert(Similarity.kmeansFits.get() == before,
+      "memoized filtered-PQ call re-fit a KMeans (ivfBuild or pqTrain ran)")
+    assert(secondRows == firstRows && secondRows.nonEmpty)
+    // the memo serves filtered survivors only: every neighbor obeys
+    // the predicate
+    assert(firstRows.forall(r =>
+      r(2).asInstanceOf[Long] % 5 != 0))
+  }
+
   test("ivfAddBatch: frozen-centroid ingest equals full-corpus transform") {
     val real = graft.sources.Tables.load(spark, sf, "embeddings")
     val base = real.filter(col("vec_id") >= 50)

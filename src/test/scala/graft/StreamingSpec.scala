@@ -354,6 +354,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EVENT-TIME sessions: a continuously active key emits its " +
+    "watermark-proven PREFIX session without any timer firing (state " +
+    "holds only the undecided tail — r13 ADVICE)") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      // One key, three sessions, one file per session. The sliding
+      // timer (max+gap) NEVER fires before the sentinel: each new
+      // file re-slides it past the watermark. Pre-r14 the sink stayed
+      // empty until the sentinel drain; with prefix emission session
+      // A (2 events at hours 0.0/0.1) must appear once file 2's batch
+      // runs (watermark there = file-1 max 5.1h − 2h delay = 3.1h ≥
+      // A-end 0.1h + gap 0.5h).
+      val h = 3600000L
+      val files = Seq(
+        Seq(0L, (0.1 * h).toLong),            // session A (2 events)
+        Seq(5 * h, (5.1 * h).toLong),         // session B (2 events)
+        Seq(10 * h))                          // session C (1 event)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ets-prefix")
+      def writeFile(idx: Int, user: Long, ts: Seq[Long]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-etsp$idx")
+        ts.map(ms => (user, new java.sql.Timestamp(ms)))
+          .toDF("user_id", "ts").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir.toFile, f"f$idx%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // strictly ascending mtimes pin the per-trigger file order
+        dst.setLastModified(System.currentTimeMillis() - (10 - idx) * 10000L)
+        ()
+      }
+      files.zipWithIndex.foreach { case (ts, i) => writeFile(i, 1L, ts) }
+      val schema = spark.read.parquet(dir.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = EventsStream.twsSessionsEventTime(stream, delay = "2 hours")
+        .toDF("user_id", "sess_events")
+        .writeStream.format("memory").queryName("ets_prefix")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // prefix path, not a timer: session A emitted while the key
+        // is still active and B + C remain undecided in state
+        val early = spark.table("ets_prefix").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(early.toSeq == Seq((1L, 2L)),
+          s"want only prefix session A (2 events), got ${early.toSeq}")
+        // sentinel flush drains the rest via the timer path
+        writeFile(3, 999L, Seq(20 * h))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table("ets_prefix").filter(col("user_id") === 1L)
+          .count() < 3 && System.currentTimeMillis() < deadline)
+          Thread.sleep(250L)
+      } finally q.stop()
+      val all = spark.table("ets_prefix").filter(col("user_id") === 1L)
+        .collect().map(r => r.getLong(1)).sorted.toSeq
+      assert(all == Seq(1L, 2L, 2L), s"drained sessions: $all")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CUSUM equals the batch mapPartitions fold row-for-row") {
     import org.apache.spark.sql.functions._
     val key = "spark.sql.streaming.stateStore.providerClass"
