@@ -18,6 +18,19 @@ import graft.queries.Registry
   */
 object BenchWarm {
 
+  /** Reference canary — the r13 clean pinned-heap sitting (TODO.md:
+    * cpu 0.856 s / scan 0.406 s, the 204.2 s comparable run). The
+    * artifact's `normalized_total` divides the blended host-speed
+    * index (cpu + scan) measured THIS sitting by this reference, so
+    * round-over-round reads stop needing prose adjudication of host
+    * drift (r13 verdict #2: the committed artifact was the
+    * IO-degraded run, canary scan 0.956 vs 0.406 an hour earlier;
+    * the clean number lived only in TODO.md). Both raw canary values
+    * stay in the artifact so a reader can re-normalize on either
+    * axis alone. */
+  private val RefCanaryCpuSec = 0.856
+  private val RefCanaryScanSec = 0.406
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outPath = if (args.length > 1) args(1) else "BENCH_WARM.json"
@@ -73,11 +86,16 @@ object BenchWarm {
     // failed reps time the failure, not the query — keep them out of
     // the headline total
     val total = results.collect { case (_, _, warm, false) => warm }.sum
+    val hostIndex = (canaryCpuSec + canaryScanSec) /
+      (RefCanaryCpuSec + RefCanaryScanSec)
     val json =
       f"""{
          |  "sf": "$sfDir",
          |  "reps": $reps,
          |  "canary": {"cpu_sec": $canaryCpuSec%.3f, "scan_sec": $canaryScanSec%.3f},
+         |  "canary_ref": {"cpu_sec": $RefCanaryCpuSec%.3f, "scan_sec": $RefCanaryScanSec%.3f},
+         |  "host_index": $hostIndex%.3f,
+         |  "normalized_total": ${total / hostIndex}%.3f,
          |  "warm_total": $total%.3f,
          |  "queries": {
          |$qjson
