@@ -63,6 +63,39 @@ object RecallProbe {
           nList = 8, nProbe = 3, refine = 4))
       println(f"$d ivf_sq8  common=$vc exact=$ve approx=$va recall=${vc.toDouble / ve}%.3f")
 
+      // FILTERED quantized tiers (r14 — the ADVICE refine-convention
+      // fix): recall vs brute-over-filtered truth, NEW k-multiplier
+      // refine vs the OLD k-divided pool, so the fix's effect is a
+      // measured number, not an argument
+      locally {
+        val pred = col("vec_id") % 5 =!= 0
+        val filtered = emb.filter(pred)
+        val allowed = filtered.select(col("vec_id"))
+        val exactF = Similarity.knnBrute(filtered, "vec_id", "embedding",
+          q, 5).select("query_id", "neighbor_id")
+        val eF = exactF.count()
+        def recallF(a: org.apache.spark.sql.DataFrame): Double =
+          a.select("query_id", "neighbor_id")
+            .join(exactF, Seq("query_id", "neighbor_id")).count()
+            .toDouble / eF
+        val p = Similarity.ivfDerivedParams(nEmb, Similarity.knnAutoProbeFrac)
+        val idx = Similarity.ivfBuild(emb, "vec_id", "embedding", p.nList,
+          knownN = Some(nEmb))
+        val sq8c = Similarity.sq8Codes(idx)
+        val cb = Similarity.pqTrain(emb, "vec_id", "embedding",
+          knownN = Some(nEmb))
+        val pqc2 = Similarity.pqCodes(idx, cb)
+        val newRef = Similarity.pqDerivedRefine(nEmb, p)
+        val oldRef = math.max(1, (newRef + 4) / 5) // the pre-r14 /k pool
+        for ((tag, ref) <- Seq(("new", newRef), ("old", oldRef))) {
+          val rs = recallF(Similarity.ivfSearchFilteredSq8(idx, sq8c,
+            "vec_id", "embedding", q, 5, p.nProbe, ref, allowed))
+          val rp = recallF(Similarity.ivfSearchFilteredPq(idx, pqc2, cb,
+            "vec_id", "embedding", q, 5, 8, 256, p.nProbe, ref, allowed))
+          println(f"$d filt_$tag refine=$ref sq8=$rs%.3f pq=$rp%.3f")
+        }
+      }
+
       val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b")
       val pairP = Similarity.lshDerivedParams(nEmb, 0.4)
