@@ -163,8 +163,8 @@ object JpegCodec {
 
   private final case class Component(id: Int, h: Int, v: Int, tq: Int)
 
-  /** Decode a baseline JPEG. None on anything out of scope
-    * (progressive, arithmetic, 12-bit, truncated streams). */
+  /** Decode a baseline or progressive JPEG. None on anything out of
+    * scope (arithmetic coding, lossless, 12-bit, truncated streams). */
   def decode(p: Array[Byte]): Option[Image] = {
     try decodeImpl(p)
     catch { case _: Exception => None } // corrupt stream = not a JPEG
@@ -900,7 +900,8 @@ object JpegCodec {
     * discipline as the baseline fixture, now exercising the
     * multi-scan successive-approximation path. */
   private[graft] def encodeGrayBlocksProgressive(
-      w: Int, h: Int, blockVal: Int => Int): Array[Byte] = {
+      w: Int, h: Int, blockVal: Int => Int,
+      restartInterval: Int = 0): Array[Byte] = {
     require(w % 8 == 0 && h % 8 == 0, "fixture dims must be block-aligned")
     val out = new java.io.ByteArrayOutputStream()
     def b(v: Int): Unit = out.write(v & 0xFF)
@@ -925,6 +926,8 @@ object JpegCodec {
       b(0x00); FixDcBits.foreach(b); FixDcVals.foreach(v => b(v.toInt))
       b(0x10); FixAcBits.foreach(b); FixAcVals.foreach(v => b(v.toInt))
     }
+    if (restartInterval > 0)
+      seg(0xDD) { b16(restartInterval) } // DRI: applies to EVERY scan
     val dcCodes = new HuffTable(FixDcBits, FixDcVals).encodeMap
     val acCodes = new HuffTable(FixAcBits, FixAcVals).encodeMap
     val nBlocks = (w / 8) * (h / 8)
@@ -933,6 +936,15 @@ object JpegCodec {
       require(v >= 0 && v <= 255, s"block value $v out of range")
       8 * (v - 128)
     }
+    // per-scan restart boundary: byte-align, RSTn, return true when a
+    // predictor reset is due (non-interleaved single-component scans
+    // count restart units in BLOCKS)
+    def restartAt(bw: BitWriter, blk: Int): Boolean =
+      if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+        bw.flushWithOnes()
+        b(0xFF); b(0xD0 + ((blk / restartInterval - 1) % 8))
+        true
+      } else false
     // scan 1: DC initial, Ah=0 Al=1 — diffs of the point-transformed
     // (arithmetic-shift) DC values
     seg(0xDA) { b(1); b(1); b(0x00); b(0); b(0); b(0x01) }
@@ -941,6 +953,7 @@ object JpegCodec {
       var pred = 0
       var blk = 0
       while (blk < nBlocks) {
+        if (restartAt(bw, blk)) pred = 0
         val v1 = dcs(blk) >> 1
         var diff = v1 - pred
         pred = v1
@@ -961,18 +974,22 @@ object JpegCodec {
       val bw = new BitWriter(out)
       var blk = 0
       while (blk < nBlocks) {
+        restartAt(bw, blk) // no predictor in a refinement scan
         bw.put(dcs(blk) & 1, 1)
         blk += 1
       }
       bw.flushWithOnes()
     }
     // scan 3: AC initial over the whole band — one EOB0 per block
+    // (restart also terminates any pending EOB run per spec; the
+    // fixture's runs are single-block, so the reset is structural)
     seg(0xDA) { b(1); b(1); b(0x00); b(1); b(63); b(0x00) }
     locally {
       val bw = new BitWriter(out)
       val (eobCode, eobLen) = acCodes(0x00)
       var blk = 0
       while (blk < nBlocks) {
+        restartAt(bw, blk)
         bw.put(eobCode, eobLen)
         blk += 1
       }

@@ -161,6 +161,24 @@ class JpegSpec extends AnyFunSuite {
     assert(ww == w && hh == h && sr == expect)
   }
 
+  test("PROGRESSIVE restart markers: DRI + per-scan RSTn decode " +
+    "identically (predictor + EOB-run reset across all three scans)") {
+    val (w, h) = (32, 24) // 12 blocks, restart every 5
+    val plain = JpegCodec.encodeGrayBlocksProgressive(w, h, blockVal)
+    val rst = JpegCodec.encodeGrayBlocksProgressive(w, h, blockVal,
+      restartInterval = 5)
+    assert(rst.length > plain.length) // markers actually emitted
+    val a = JpegCodec.decode(plain).get
+    val b = JpegCodec.decode(rst).get
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+    // the JDK agrees on the restarted stream too
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(rst))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) ==
+        (b.pixels(y * w + x) & 0xFF), s"JDK restarted pixel ($x,$y)")
+  }
+
   test("PROGRESSIVE fixture is a conforming stream: the JDK decoder " +
     "reads it to the same exact pixels (cross-check, both directions)") {
     val (w, h) = (32, 24)
