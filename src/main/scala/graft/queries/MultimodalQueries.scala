@@ -431,17 +431,20 @@ object MultimodalQueries {
       }.localCheckpoint(eager = false) // feeds both fingerprint passes
     val spectral = Multimodal.spectralFingerprints(corpus)
       .localCheckpoint(eager = false)
-    // ONE pass over the banded join with the disjunctive planted
-    // filter — the predicate pushes through the distinct and prunes
-    // right after the candidate join, so the natural near-pair set
-    // (large here BY FIXTURE DESIGN: the 8-period menu clusters
-    // ratio hashes) is never materialized. An r14 localCheckpoint on
-    // the full pair set cost 0.5 s -> 15.5 s at sf0.1 — the filter
-    // pushdown IS this row's plan.
-    val planted = Multimodal.nearDupByPHash(spectral, maxDist = 3)
-      .filter(col("b") === col("a") + lit(10000000L) ||
-        col("b") === col("a") + lit(20000000L))
-      .localCheckpoint(eager = false) // tiny (planted rows only)
+    // Each planted family filters the LAZY pair frame with a SINGLE
+    // equality (b = a + family base): Catalyst turns that two-sided
+    // equality into a THIRD equi-join key of the banded self-join
+    // (band, bval, media_id + base), so the certification never
+    // enumerates the natural candidate set — which is enormous here
+    // BY FIXTURE DESIGN (the 8-period menu yields 8 distinct ratio
+    // hashes ⇒ ~8.5e9 band-bucket candidates at sf1). Measured at
+    // sf1: 1.3 s per family this way; a disjunctive (OR) filter
+    // cannot become a join key and scanned all candidates (42 s); an
+    // r14 localCheckpoint on the full pair set was 15.5 s at sf0.1.
+    // Keep the frame lazy — the specialized plan IS this row.
+    val pairs = Multimodal.nearDupByPHash(spectral, maxDist = 3)
+    val planted = pairs.filter(col("b") === col("a") + lit(10000000L))
+    val plantedOff = pairs.filter(col("b") === col("a") + lit(20000000L))
     val contour = Multimodal.audioFingerprints(corpus)
       .localCheckpoint(eager = false)
     def twinDist(base: Long) = contour.filter(col("media_id") < 10000000L)
@@ -460,11 +463,8 @@ object MultimodalQueries {
         .agg(min(col("cd") > 3).as("contour_missed_all")))
       .crossJoin(twinDist(20000000L)
         .agg(min(col("cd") > 3).as("contour_missed_all_offset")))
-      .crossJoin(planted.agg(
-        sum(when(col("b") === col("a") + lit(10000000L), 1L)
-          .otherwise(0L)).as("n_spectral_planted"),
-        sum(when(col("b") === col("a") + lit(20000000L), 1L)
-          .otherwise(0L)).as("n_spectral_off")))
+      .crossJoin(planted.agg(count(lit(1)).as("n_spectral_planted")))
+      .crossJoin(plantedOff.agg(count(lit(1)).as("n_spectral_off")))
       .select(col("n_clips"), col("n_planted"), col("n_planted_offset"),
         col("contour_missed_all"), col("contour_missed_all_offset"),
         (col("n_spectral_planted") === col("n_planted"))

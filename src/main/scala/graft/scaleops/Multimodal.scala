@@ -395,13 +395,27 @@ object Multimodal {
     val bands = maxDist + 1
     val bandBits = 56 / bands
     val mask = (1L << bandBits) - 1
+    // the self-join is FORCED to sort-merge via a strategy hint, for
+    // two reasons, both learned at sf1 (r14): (a) the banded corpus
+    // sits at the broadcast-threshold borderline (~10 MB at sf1) and
+    // a stats wobble flipped the plan to a BroadcastHashJoin probed
+    // by the documents scan's 1-2 input partitions — one task
+    // enumerating every candidate pair (2.3 s → >20 min); at 100 TB
+    // broadcasting the corpus's banded hashes is wrong anyway.
+    // (b) The hint — NOT an explicit repartition: a user-specified
+    // repartition(band, bval) exempts the exchange from AQE's
+    // OptimizeSkewedJoin, and hot band values (low-entropy hash
+    // families) then serialize on a few partitions (measured 52 s vs
+    // 2.3 s on an 8-distinct-hash corpus). ENSURE_REQUIREMENTS
+    // exchanges + SMJ keep the skew splitter active — parallelism
+    // from AQE, never the file layout.
     val banded = hashes.select(col("media_id"), col("phash"),
       posexplode(array((0 until bands).map(i =>
         shiftright(col("phash"), i * bandBits).bitwiseAND(lit(mask))): _*)))
       .toDF("media_id", "phash", "band", "bval")
     banded
       .join(banded.select(col("band"), col("bval"),
-        col("media_id").as("b_id"), col("phash").as("b_phash")),
+        col("media_id").as("b_id"), col("phash").as("b_phash")).hint("merge"),
         Seq("band", "bval"))
       .filter(col("media_id") < col("b_id"))
       .select(col("media_id").as("a"), col("b_id").as("b"),
@@ -491,6 +505,9 @@ object Multimodal {
     val bands = maxDist + 1
     val bandBits = 56 / bands
     val mask = (1L << bandBits) - 1
+    // same forced-SMJ-via-hint as [[nearDupByPHash]] (and the same
+    // two sf1 lessons: no corpus broadcast, no user repartition that
+    // would disable AQE's skew splitter)
     val banded = frameHashes.select(col("media_id"), col("frame_idx"),
       col("phash"),
       posexplode(array((0 until bands).map(i =>
@@ -498,7 +515,7 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "phash", "band", "bval")
     val matchedFrames = banded
       .join(banded.select(col("frame_idx"), col("band"), col("bval"),
-        col("media_id").as("b_id"), col("phash").as("b_phash")),
+        col("media_id").as("b_id"), col("phash").as("b_phash")).hint("merge"),
         Seq("frame_idx", "band", "bval"))
       .filter(col("media_id") < col("b_id"))
       .filter(bit_count(col("phash").bitwiseXOR(col("b_phash"))) <= maxDist)
