@@ -391,11 +391,22 @@ object StreamingQueries {
         case None => s.conf.unset(key)
       }
       // the memory-sink result is fully materialized in st_ets, so
-      // the staged inputs can go now
+      // the staged inputs can go now; best-effort — a deletion
+      // failure must not mask the row's result (or a primary
+      // exception from the try block), and the walk stream must be
+      // closed or each gate run leaks a directory handle
       for (p <- staged if java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(x => java.nio.file.Files.deleteIfExists(x))
+        try {
+          val walk = java.nio.file.Files.walk(p)
+          val all =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          all.foreach(x => java.nio.file.Files.deleteIfExists(x))
+        } catch {
+          case e: java.io.IOException =>
+            System.err.println(s"[stream_ets] staged-input cleanup failed for $p: $e")
+        }
       }
     }
     s.table("st_ets")

@@ -250,6 +250,20 @@ object EventsStream {
     * gap-sessionization EXACTLY for any within-watermark disorder —
     * the processing-time variant can only promise that when no timer
     * fires mid-activity. */
+  /** Test-only instrumentation for [[SessionEventTimeProcessor]]
+    * (r14 verdict #4): when `instrument` is on, every input batch
+    * records the per-key buffered-tail size AFTER prefix trimming
+    * into `maxTail`, so the StreamingSpec soak can assert the
+    * bounded-state invariant (tail ≤ events within the watermark lag
+    * + the open session) across many batches. Off by default — the
+    * hot path pays one volatile read. */
+  object SessionEventTimeProcessor {
+    @volatile private[graft] var instrument = false
+    private[graft] val maxTail =
+      new java.util.concurrent.atomic.LongAccumulator(
+        (a, b) => math.max(a, b), 0L)
+  }
+
   class SessionEventTimeProcessor(gapUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         Long, (Long, Long), (Long, Long)] {
@@ -320,6 +334,14 @@ object EventsStream {
         buf.appendList(java.util.Arrays.copyOfRange(events, start,
           events.length))
       }
+      // soak-witness hook (r14 verdict #4): record the post-trim
+      // buffered tail so StreamingSpec can ASSERT the bounded-state
+      // claim over a multi-thousand-event replay instead of trusting
+      // prose. One volatile read when off; local-mode tests share the
+      // executor JVM so the max is visible to the spec.
+      if (SessionEventTimeProcessor.instrument)
+        SessionEventTimeProcessor.maxTail.accumulate(
+          (events.length - start).toLong)
       out.iterator
     }
 

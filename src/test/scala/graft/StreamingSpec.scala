@@ -425,6 +425,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("EVENT-TIME sessions SOAK: across a 3,000-event replay of one " +
+    "continuously active key, buffered state stays bounded by the " +
+    "watermark lag + open tail, never the history (r14 verdict #4)") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    EventsStream.SessionEventTimeProcessor.maxTail.reset()
+    EventsStream.SessionEventTimeProcessor.instrument = true
+    try {
+      import spark.implicits._
+      // One user, 300 sessions of 10 events at 1-min spacing, session
+      // period 45 min (inter-session gap 36 min > the 30-min close
+      // gap), 5 sessions per file → 60 micro-batches. The sliding
+      // (max+gap) timer NEVER fires mid-replay — every batch re-slides
+      // it past the watermark — so WITHOUT prefix trimming the buffer
+      // reaches 3,000 events. The bounded-state invariant: after any
+      // batch the tail holds only events the watermark cannot yet
+      // prove closed, i.e. a span ≤ delay (1 h) + per-batch event-time
+      // step (225 min) + gap (30 min) + session length (9 min) ≈ 324
+      // min ≈ 7.2 session periods ≈ 72 events.
+      val m = 60000L
+      val nSessions = 300
+      val perFile = 5
+      def sessionTs(sess: Int): Seq[Long] =
+        (0 until 10).map(j => (sess * 45L + j) * m)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ets-soak")
+      def writeFile(idx: Int, user: Long, ts: Seq[Long]): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-etss$idx")
+        ts.map(ms => (user, new java.sql.Timestamp(ms)))
+          .toDF("user_id", "ts").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir.toFile, f"f$idx%03d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() - (200 - idx) * 10000L)
+        ()
+      }
+      val nFiles = nSessions / perFile
+      for (fi <- 0 until nFiles)
+        writeFile(fi, 1L,
+          (fi * perFile until (fi + 1) * perFile).flatMap(sessionTs))
+      val schema = spark.read.parquet(dir.toString).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val q = EventsStream.twsSessionsEventTime(stream, delay = "1 hour")
+        .toDF("user_id", "sess_events")
+        .writeStream.format("memory").queryName("ets_soak")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // sentinel flush drains the undecided tail via the timer path
+        writeFile(nFiles, 999L, Seq(nSessions * 45L * m + 86400000L))
+        q.processAllAvailable()
+        val deadline = System.currentTimeMillis() + 60000L
+        while (spark.table("ets_soak").filter(col("user_id") === 1L)
+          .count() < nSessions && System.currentTimeMillis() < deadline)
+          Thread.sleep(250L)
+      } finally q.stop()
+      // correctness of the replay itself: all 300 sessions, 10 events
+      // each — nothing lost or split by the trimming
+      val sess = spark.table("ets_soak").filter(col("user_id") === 1L)
+        .collect().map(_.getLong(1)).toSeq
+      assert(sess.length == nSessions && sess.forall(_ == 10L),
+        s"want $nSessions sessions of 10, got ${sess.length} " +
+          s"(distinct sizes ${sess.distinct.sorted})")
+      // THE bounded-state witness: max post-trim tail across all 60
+      // batches. 3,000 = unbounded buffering; ≈72 = the watermark-lag
+      // bound; 110 allows slack for watermark update cadence.
+      val maxTail = EventsStream.SessionEventTimeProcessor.maxTail.get()
+      assert(maxTail > 0L, "instrumentation never fired")
+      assert(maxTail <= 110L,
+        s"buffered tail reached $maxTail events — state is tracking " +
+          "history, not the watermark-lag bound")
+    } finally {
+      EventsStream.SessionEventTimeProcessor.instrument = false
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming CUSUM equals the batch mapPartitions fold row-for-row") {
     import org.apache.spark.sql.functions._
     val key = "spark.sql.streaming.stateStore.providerClass"
