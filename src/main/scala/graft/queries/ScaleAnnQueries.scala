@@ -567,8 +567,13 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
         val codes = new java.io.File(s"$dir/$name")
         if (codes.exists) {
           import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(codes.toPath).iterator().asScala.toSeq
-            .reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          // close the walk stream (same directory-handle leak the
+          // r14 ADVICE flagged in the stream_ets cleanup)
+          val walk = java.nio.file.Files.walk(codes.toPath)
+          val all =
+            try walk.iterator().asScala.toSeq.reverse
+            finally walk.close()
+          all.foreach(p => java.nio.file.Files.deleteIfExists(p))
         }
       }
       Similarity.ivfSave(build, dir)

@@ -1079,7 +1079,9 @@ object Similarity {
     * records the decision for replay. `prebuiltCodes` /
     * `prebuiltPqCodes`+`prebuiltPqCb` are the persisted codes
     * artifacts of `prebuilt` (computed on demand when absent and the
-    * route lands on that tier). */
+    * route lands on that tier); codes are only meaningful with the
+    * codebook they were trained against, so passing
+    * `prebuiltPqCodes` without `prebuiltPqCb` throws. */
   def knnFilteredAuto(emb: DataFrame, idCol: String, vecCol: String,
                       pred: Column, queries: DataFrame, k: Int,
                       reuse: Long = 1L, seed: Long = 42L,
@@ -1127,6 +1129,13 @@ object Similarity {
         val (cbArr, codes) = (prebuiltPqCb, prebuiltPqCodes) match {
           case (Some(cb), Some(cd)) => (cb, cd)
           case (Some(cb), None)     => (cb, pqCodes(idx, cb))
+          // codes-without-codebook is a caller bug, not a fallback:
+          // PQ codes are only decodable against the codebook they
+          // were trained with, and silently retraining both (the
+          // pre-r15 behavior) threw away the work the caller paid
+          // for (r14 ADVICE #2)
+          case (None, Some(_)) => throw new IllegalArgumentException(
+            "prebuiltPqCodes requires prebuiltPqCb — pass both or neither")
           case _ =>
             pqArtifactsCached(spark, emb, idCol, vecCol, idx, n, indexDir)
         }
