@@ -41,11 +41,18 @@ object GifCodec {
   }
 
   /** All animation frames, in stream order (r14 — [[decode]] stays
-    * the single-frame contract). Each image descriptor decodes
-    * standalone at its own dimensions; GIF89a disposal/compositing
-    * semantics stay out of scope (documented — the frame-sampler
-    * consumer hashes frames independently, it never composites).
-    * None unless the stream is well-formed THROUGH ITS TRAILER. */
+    * the single-frame contract). PERMANENT CONTRACT (r15, per the r14
+    * verdict): each image descriptor decodes STANDALONE at its own
+    * dimensions — GIF89a disposal/compositing is deliberately and
+    * permanently out of scope, so a frame-delta GIF (frames encoding
+    * only the changed sub-rectangle) yields raw per-descriptor
+    * pixels, not composited screen states. That is the right contract
+    * for the engine's only consumer, near-dup frame hashing: raw
+    * descriptors are a deterministic pure function of the byte
+    * stream, identical streams hash identically, and compositing
+    * would make every frame hash depend on mutable canvas state.
+    * Callers needing screen-accurate frames must composite above this
+    * API. None unless the stream is well-formed THROUGH ITS TRAILER. */
   def decodeFrames(p: Array[Byte]): Option[Seq[Image]] = {
     try decodeFramesImpl(p)
     catch { case _: Exception => None }

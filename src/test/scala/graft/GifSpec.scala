@@ -134,6 +134,41 @@ class GifSpec extends AnyFunSuite {
     assert(GifCodec.decodeFrames(anim.take(anim.length - 10)).isEmpty)
   }
 
+  test("frame-delta GIF: a sub-rectangle descriptor decodes RAW at " +
+    "its own dimensions — disposal/compositing is permanently out of " +
+    "scope (r15 contract pin)") {
+    // Splice a frame-delta animation by hand: a full-canvas 16x8
+    // frame 0, then a second descriptor that covers only an 8x3
+    // sub-rectangle at (left=4, top=2) — the shape GIF89a disposal
+    // semantics would composite onto the retained canvas. The engine
+    // contract (GifCodec.decodeFrames scaladoc, SURVEY §9) is that
+    // every descriptor decodes STANDALONE: frame 1 must come back as
+    // the raw 8x3 patch, NOT a composited 16x8 screen state.
+    val (w, h) = (16, 8)
+    def f0(x: Int, y: Int): Int = (y * w + x * 3) % 256
+    def fSub(x: Int, y: Int): Int = (200 + y * 11 + x * 5) % 256
+    val full = GifCodec.encodeGrayAnimation(w, h, 1, _ => f0)
+    val sub = GifCodec.encodeGray(8, 3, fSub)
+    // single-image layout: 6 (sig) + 7 (LSD) + 768 (GCT) = 781-byte
+    // header, image descriptor at 781, trailer is the final byte
+    val hdrLen = 781
+    val subDesc = sub.slice(hdrLen, sub.length - 1)
+    assert(subDesc(0) == 0x2C.toByte)
+    subDesc(1) = 4; subDesc(2) = 0 // left = 4 (LE)
+    subDesc(3) = 2; subDesc(4) = 0 // top = 2 (LE)
+    val spliced = full.dropRight(1) ++ subDesc ++ Array(0x3B.toByte)
+    val frames = GifCodec.decodeFrames(spliced).get
+    assert(frames.length == 2)
+    assert(frames(1).w == 8 && frames(1).h == 3,
+      "sub-descriptor frame must keep its OWN dimensions (raw, " +
+        "not composited to the 16x8 canvas)")
+    for (y <- 0 until 3; x <- 0 until 8) {
+      val o = (y * 8 + x) * 3
+      assert((frames(1).pixels(o) & 0xFF) == fSub(x, y),
+        s"raw sub-frame pixel ($x,$y)")
+    }
+  }
+
   test("JDK reads every frame of OUR animation exactly " +
     "(independent multi-frame cross-check)") {
     val (w, h, nf) = (16, 8, 3)
