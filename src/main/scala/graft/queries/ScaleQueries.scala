@@ -1059,9 +1059,16 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     Q("knn_brute", knnBrute, Some(knnBruteOracle), bench = true),
     Q("knn_lsh", knnLsh, Some(knnLshOracle)),
     Q("knn_sq8", knnSq8, Some(knnSq8Oracle)),
-    Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
+    // the two non-prebuilt quantized rows are BUILD-certification
+    // rows by design: they run KMeans + encode in-row every time so
+    // the gate certifies the self-building derived path end-to-end.
+    // benchSkip (r14 verdict #5): the timed ANN signal is the
+    // *_prebuilt twins (search-only, the production shape) plus
+    // knn_auto's one-shot memoized build — re-timing a deliberate
+    // 5-6 s rebuild per bench rep only ever read as a regression.
+    Q("knn_ivf_sq8", knnIvfSq8, Some(knnIvfSq8Oracle), benchSkip = true),
     Q("knn_ivf_sq8_prebuilt", knnIvfSq8Prebuilt, Some(knnIvfSq8Oracle)),
-    Q("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle)),
+    Q("knn_ivf_pq", knnIvfPq, Some(knnIvfPqOracle), benchSkip = true),
     Q("knn_ivf_pq_prebuilt", knnIvfPqPrebuilt, Some(knnIvfPqOracle)),
     Q("knn_mmr_diverse", knnMmr, Some(knnMmrOracle)),
     Q("dedup_triangles", dedupTriangles, Some(dedupTrianglesOracle)),

@@ -14,6 +14,12 @@ object RecallProbe {
     val spark = Sessions.local(appName = "recall-probe")
     val sfs = if (args.nonEmpty) args.toSeq
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // RECALL_FILTERED_ONLY=1: run just the filtered-ANN section —
+    // the sf1 soak (r14 verdict #3) needs the filtered tiers' recall
+    // at 50k vectors, where this probe's exact near-dup-pair twins
+    // (all-pairs at τ=0.4, simhash cross join) are the O(n²) part
+    // that doesn't inform that question
+    val filteredOnly = sys.env.contains("RECALL_FILTERED_ONLY")
     for (d <- sfs) {
       val emb = Tables.load(spark, d, "embeddings")
       val docs = Tables.load(spark, d, "documents")
@@ -27,6 +33,7 @@ object RecallProbe {
         (common, exactKnn.count(), a.count())
       }
       val nEmb = emb.count()
+      if (!filteredOnly) {
       val knnP = Similarity.lshMultiProbeParams(nEmb, 0.5, targetRecall = 0.95)
       val (lc, le, la) = recallOf(
         Similarity.knnLshDerived(emb, "vec_id", "embedding", q, 5, 64))
@@ -62,6 +69,7 @@ object RecallProbe {
         Similarity.knnIvfSq8(emb, "vec_id", "embedding", q, 5,
           nList = 8, nProbe = 3, refine = 4))
       println(f"$d ivf_sq8  common=$vc exact=$ve approx=$va recall=${vc.toDouble / ve}%.3f")
+      }
 
       // FILTERED quantized tiers (r14 — the ADVICE refine-convention
       // fix): recall vs brute-over-filtered truth, NEW k-multiplier
@@ -96,6 +104,11 @@ object RecallProbe {
         }
       }
 
+      if (filteredOnly) {
+        spark.sqlContext.clearCache()
+        // skip the O(n²) exact-pair twins below
+        // (scala.util.control.Breaks-free: just jump to next d)
+      } else {
       val exactPairs = Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.4)
         .select("a", "b")
       val pairP = Similarity.lshDerivedParams(nEmb, 0.4)
@@ -131,6 +144,7 @@ object RecallProbe {
       val sc = approxSim.select("a", "b").join(brute.select("a", "b"), Seq("a", "b")).count()
       val se = brute.count(); val sa = approxSim.count()
       println(f"$d simhash  common=$sc brute=$se approx=$sa (must be equal)")
+      }
     }
     spark.stop()
   }
