@@ -536,15 +536,14 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // regenerated dataset under the same path would otherwise serve an
     // index fitted on the old rows — surfacing as a baffling gate
     // failure instead of a rebuild. Stamp the saved index with a
-    // fingerprint of the source parquet (per-file name+size+mtime) —
-    // plus the caller's `tag` (e.g. the derived nList, so a sizing-
-    // rule change invalidates too) — and rebuild on mismatch.
+    // CONTENT fingerprint of the source parquet (per-file head+tail
+    // SHA-256 — covers the footer stats, so a same-size copy of
+    // different data rebuilds and a byte-identical regeneration stays
+    // warm; r15, the ADVICE-#3 fix generalized from the CV memo) plus
+    // the caller's `tag` (e.g. the derived nList, so a sizing-rule
+    // change invalidates too) — and rebuild on mismatch.
     val src = new java.io.File(s"$d/embeddings.parquet")
-    val srcFiles =
-      if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
-    val fingerprint = (srcFiles
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}") :+ tag)
-      .mkString("\n")
+    val fingerprint = graft.sources.Artifacts.contentFingerprint(src, tag)
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/cells/_SUCCESS").exists &&
       stampFile.exists && {
@@ -598,11 +597,7 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
                              (build: => DataFrame): DataFrame = {
     val dir = ivfMemoDir(baseDir, d)
     val src = new java.io.File(s"$d/embeddings.parquet")
-    val srcFiles =
-      if (src.isDirectory) src.listFiles.toSeq.sortBy(_.getName) else Seq(src)
-    val fingerprint = (srcFiles
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}") :+ tag)
-      .mkString("\n")
+    val fingerprint = graft.sources.Artifacts.contentFingerprint(src, tag)
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/df/_SUCCESS").exists &&
       stampFile.exists &&

@@ -55,8 +55,11 @@ class PipelineIntegrationSpec extends SparkSpec {
         kept.filter(col("n_chars") > 500).count())
     } finally {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      val walk = java.nio.file.Files.walk(root)
+      val all =
+        try walk.iterator().asScala.toSeq.reverse
+        finally walk.close()
+      all.foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 }
