@@ -37,15 +37,30 @@ object HostCanary {
   }
 
   def scan(spark: org.apache.spark.sql.SparkSession,
-           sfDir: String): Double = {
+           sfDir: String): Double = scanBoth(spark, sfDir)._2
+
+  /** Both scan passes: `_1` = first pass (parquet footers + codegen
+    * + whatever real storage reads the page cache doesn't already
+    * hold), `_2` = second pass (cache-warm — the pinned host_index
+    * component). Why both (r15): a sitting whose STORAGE bandwidth
+    * collapses (measured: cold 184 MB sequential read at 82 MB/s vs
+    * 5.5 GB/s cached, external shared-host contention) can still post
+    * a near-par warm scan — the first-pass number is the informational
+    * witness of that regime. host_index methodology is unchanged;
+    * `scan_first_sec` rides along in the artifact for adjudication
+    * only. */
+  def scanBoth(spark: org.apache.spark.sql.SparkSession,
+               sfDir: String): (Double, Double) = {
     import org.apache.spark.sql.functions._
     def once(): Unit =
       graft.sources.Tables.load(spark, sfDir, "lineitem")
         .agg(sum("l_quantity"), sum("l_extendedprice"),
           count(lit(1))).write.format("noop").mode("overwrite").save()
-    once() // footers + codegen, untimed
     val t0 = System.nanoTime()
+    once() // footers + codegen (+ cold storage reads)
+    val first = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
     once()
-    (System.nanoTime() - t0) / 1e9
+    (first, (System.nanoTime() - t1) / 1e9)
   }
 }
