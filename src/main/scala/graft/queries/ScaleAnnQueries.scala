@@ -317,7 +317,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
         knownN = Some(nCorpus)))
     val codesPath = ivfMemoDir("target/ivf_index_sq8", d) + "/sq8_codes"
     if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-      Similarity.sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+      graft.sources.Sinks.writeScanSized(Similarity.sq8Codes(index),
+        codesPath)
     val codes = s.read.parquet(codesPath)
     knnCertify(
       Similarity.knnIvfSq8Indexed(index, codes, "vec_id", "embedding", q,
@@ -398,8 +399,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       .map(_.getDouble(1))
     val codesPath = s"$base/pq_codes"
     if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-      Similarity.pqCodes(index, cb).write.mode("overwrite")
-        .parquet(codesPath)
+      graft.sources.Sinks.writeScanSized(Similarity.pqCodes(index, cb),
+        codesPath)
     val codes = s.read.parquet(codesPath)
     knnCertify(
       Similarity.knnIvfPqIndexed(index, codes, cb, "vec_id", "embedding",
@@ -543,7 +544,12 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // the caller's `tag` (e.g. the derived nList, so a sizing-rule
     // change invalidates too) — and rebuild on mismatch.
     val src = new java.io.File(s"$d/embeddings.parquet")
-    val fingerprint = graft.sources.Artifacts.contentFingerprint(src, tag)
+    // "files=scan-sized" (r15): layout version in the stamp — memos
+    // written by the old 1-file writer rebuild once under the
+    // scan-sized writer (Sinks.writeScanSized) instead of serving
+    // single-task scans forever
+    val fingerprint =
+      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized")
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/cells/_SUCCESS").exists &&
       stampFile.exists && {
@@ -597,7 +603,10 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
                              (build: => DataFrame): DataFrame = {
     val dir = ivfMemoDir(baseDir, d)
     val src = new java.io.File(s"$d/embeddings.parquet")
-    val fingerprint = graft.sources.Artifacts.contentFingerprint(src, tag)
+    // layout version — see ivfLoadOrBuild: old 1-file memos rebuild
+    // once under the scan-sized writer
+    val fingerprint =
+      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized")
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/df/_SUCCESS").exists &&
       stampFile.exists &&
@@ -609,7 +618,10 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       // lands, an interleaved later run must see no-stamp → rebuild,
       // never old-stamp + new _SUCCESS.
       java.nio.file.Files.deleteIfExists(stampFile.toPath)
-      build.write.mode("overwrite").parquet(s"$dir/df")
+      // scan-sized (r15): a 1-2-file df memo made every consumer's
+      // heavy first stage (e.g. the planted-corpus seed scoring) run
+      // 1-2 tasks on 32 cores
+      graft.sources.Sinks.writeScanSized(build, s"$dir/df")
       new java.io.File(dir).mkdirs()
       java.nio.file.Files.writeString(stampFile.toPath, fingerprint)
     }
@@ -1076,7 +1088,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // it): the quantized filtered route is search-only too
     val codesPath = ivfMemoDir("target/knn_filtered_index", d) + "/sq8_codes"
     if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-      Similarity.sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+      graft.sources.Sinks.writeScanSized(Similarity.sq8Codes(index),
+        codesPath)
     val codes = s.read.parquet(codesPath)
     // the gate already counted n and nF for its witnesses; pass all
     // three counts through (r12 ADVICE: the two auto calls otherwise
@@ -1165,8 +1178,8 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
       .map(_.getDouble(1))
     val codesPath = s"$base/pq_codes"
     if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-      Similarity.pqCodes(index, cb).write.mode("overwrite")
-        .parquet(codesPath)
+      graft.sources.Sinks.writeScanSized(Similarity.pqCodes(index, cb),
+        codesPath)
     val codes = s.read.parquet(codesPath)
     knnCertify(
       Similarity.ivfSearchFilteredPq(index, codes, cb, "vec_id",

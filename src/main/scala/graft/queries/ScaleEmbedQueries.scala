@@ -679,6 +679,10 @@ private[queries] trait ScaleEmbedQueries extends ScaleAnnQueries {
     val fwd = Similarity.knnGraphAuto(emb, "vec_id", "embedding", k = 4,
       quantizer = Some(knnGraphQuantizer(s, d, emb)))
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+      // materialized once (r15): BOTH sides of the mutual join scan
+      // the graph — unpinned, the n² brute scoring (or the full
+      // descent) ran twice in one query
+      .localCheckpoint(eager = false)
     val mutual = fwd.filter(col("a") < col("b"))
       .join(fwd.select(col("b").as("a"), col("a").as("b")), Seq("a", "b"))
     val comps = graft.operators.ConnectedComponents.components(mutual, "a", "b")

@@ -635,7 +635,7 @@ object Similarity {
         model.clusterCenters.map(_.toArray),
         prep.select(col("neighbor_id").as("query_id"),
           col("neighborv").as("queryv")),
-        nProbe = 1)
+        nProbe = 1, wide = true) // corpus-sized query side
         .select(col("query_id").as("neighbor_id"), col("cell"))
       prep.join(routed, "neighbor_id")
     }
@@ -643,7 +643,10 @@ object Similarity {
 
   def ivfSave(index: IvfIndex, dir: String): Unit = {
     index.model.write.overwrite().save(s"$dir/kmeans")
-    index.indexed.write.mode("overwrite").parquet(s"$dir/cells")
+    // scan-sized (r15): the cell table is the hot probed scan of
+    // every prebuilt search row — a 1-file memo made those scans
+    // single-task (see Sinks.writeScanSized)
+    graft.sources.Sinks.writeScanSized(index.indexed, s"$dir/cells")
   }
 
   def ivfLoad(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
@@ -684,9 +687,10 @@ object Similarity {
     probedCells(index, preppedQueries, nProbe)
 
   private def probedCells(index: IvfIndex, preppedQueries: DataFrame,
-                          nProbe: Int): DataFrame =
+                          nProbe: Int, wide: Boolean = false): DataFrame =
     probedCellsFromCenters(index.indexed.sparkSession,
-      index.model.clusterCenters.map(_.toArray), preppedQueries, nProbe)
+      index.model.clusterCenters.map(_.toArray), preppedQueries, nProbe,
+      wide = wide)
 
   /** Driver-local Lloyd's over the (small) centroid array — the
     * coarse quantizer of the two-level route. Deterministic:
@@ -798,10 +802,29 @@ object Similarity {
     * knn_ivf_full exactness pin at nProbe = nList) bypass two-level:
     * exact-by-construction semantics must not hinge on coarse
     * routing. */
+  /** `wide = true` is for CORPUS-SIZED query sides (the kNN-graph
+    * seed, two-level cell assignment) — r15, measured: the centroid
+    * window's ENSURE_REQUIREMENTS exchange carries the CROSS-JOINED
+    * frame (n·k rows, the query vector duplicated once per probed
+    * centroid), and AQE then coalesces it by its (small) bytes, so
+    * the CPU-heavy scoring stage downstream ran 2 tasks on 32 cores
+    * (1.9 s of a 5.2 s row). Hash-repartitioning the query side on
+    * query_id BEFORE the cross join (explicit partition count —
+    * REPARTITION_BY_NUM is the one origin AQE never coalesces, and
+    * byte-based coalescing cannot see compute density) shuffles n
+    * rows instead of n·k AND pins full width for every stage through
+    * the seed scoring join (guide §2.3/§2.4: fewer bytes through the
+    * exchange, partitioning established once and reused). Small
+    * query batches (serving lookups) keep the default: an extra
+    * exchange of 10 rows buys nothing. */
   private def probedCellsFromCenters(
       spark: org.apache.spark.sql.SparkSession,
-      centers: Array[Array[Double]], preppedQueries: DataFrame,
-      nProbe: Int, coarseProbes: Int = 3): DataFrame = {
+      centers: Array[Array[Double]], preppedQueriesRaw: DataFrame,
+      nProbe: Int, coarseProbes: Int = 3, wide: Boolean = false): DataFrame = {
+    val preppedQueries =
+      if (wide) preppedQueriesRaw.repartition(
+        spark.sparkContext.defaultParallelism, col("query_id"))
+      else preppedQueriesRaw
     val k = centers.length
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("dist2").asc, col("cell").asc)
@@ -1317,8 +1340,15 @@ object Similarity {
   def knnGraphBrute(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int): DataFrame = {
     val q = broadcast(prepped(emb, idCol, vecCol, "query"))
+    // explicit partition count (r15, measured): repartition(col)
+    // alone is REPARTITION_BY_COL, which AQE byte-coalesces — the
+    // corpus side is ~1 MB at the route boundary, so the n² scoring
+    // below it collapsed to ONE task (knn_graph warm 2.9 s → 0.9 s
+    // with the count pinned). defaultParallelism scales with the
+    // deployment; the data is ≤ ~3.3k rows here by the route bound.
     val n = prepped(emb, idCol, vecCol, "neighbor")
-      .repartition(col("neighbor_id"))
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("neighbor_id"))
     val scored = n.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -1538,7 +1568,9 @@ object Similarity {
     val index = prebuilt.getOrElse(
       ivfBuild(emb, idCol, vecCol, p.nList, seed, knownN = Some(n)))
     val q = prepped(emb, idCol, vecCol, "query")
-    val qCells = probedCells(index, q, p.nProbe)
+    // wide: the "query" side here is the WHOLE corpus (every vector
+    // seeds its own neighbor list) — see probedCellsFromCenters
+    val qCells = probedCells(index, q, p.nProbe, wide = true)
       .select("query_id", "queryv", "querynorm", "cell")
     // vertex table for exact re-scoring (narrow: id, vector, norm —
     // joined on 8-byte ids by the seed re-rank and every descent
@@ -1766,8 +1798,8 @@ object Similarity {
         .map(_.getDouble(1))
       val codesPath = s"$dir/pq_codes"
       if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-        pqCodes(index, cb, 8, 256).write.mode("overwrite")
-          .parquet(codesPath)
+        graft.sources.Sinks.writeScanSized(pqCodes(index, cb, 8, 256),
+          codesPath)
       (cb, spark.read.parquet(codesPath))
   }
 
@@ -1781,7 +1813,7 @@ object Similarity {
       case Some(dir) =>
         val codesPath = s"$dir/sq8_codes"
         if (!new java.io.File(s"$codesPath/_SUCCESS").exists)
-          sq8Codes(index).write.mode("overwrite").parquet(codesPath)
+          graft.sources.Sinks.writeScanSized(sq8Codes(index), codesPath)
         spark.read.parquet(codesPath)
     }
 

@@ -23,6 +23,33 @@ object Sinks {
                    mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
+  /** Index/memo artifact writer sized for the READ side (guide §6 +
+    * §2.5 input-skew): a parquet file written from a narrow plan
+    * arrives as ONE file with ONE row group, and a row group is
+    * unsplittable — every later scan of the memo then runs
+    * single-task, and the heavy per-row work above it (SQ8/PQ
+    * scoring, seed joins) inherits parallelism 1 however many cores
+    * the cluster has (measured r15: the knn-graph seed stage ran 2
+    * tasks of ~2 s off a 2-file memo on local[32]). File count =
+    * max(defaultParallelism, bytes/targetFileBytes): small artifacts
+    * get one split per core (the floor that matters for hot serving
+    * scans), terabyte artifacts get ~target-sized files — both ends
+    * scale with the deployment instead of hard-coding either.
+    * File count = defaultParallelism exactly: it scales with the
+    * cluster (a 3,200-core deployment writes 3,200 files — for a
+    * 1 TB cell table that is ~320 MB each, inside the healthy
+    * range), and pre-write size ESTIMATES are not usable here —
+    * `optimizedPlan.stats.sizeInBytes` on a build plan (union +
+    * explode + transform) measured 4 orders of magnitude high and
+    * sized a 5 MB memo at 33,009 files, which then cost 12 s/scan in
+    * listing + footer reads. A deployment that wants strict
+    * 128 MB–1 GB files compacts the written artifact afterwards with
+    * [[compact]], which sizes from the scan's REAL statistics. */
+  def writeScanSized(df: DataFrame, path: String,
+                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .write.mode(mode).parquet(path)
+
   /** Hive-style partitioned layout: `path/col=value/part-*.parquet`.
     * `filesPerPartition` bounds output files via a pre-shuffle on the
     * partition columns. */
