@@ -29,6 +29,23 @@ object Sessions {
     spark.catalog.clearCache()
   }
 
+  /** Width-before-weight repartition with an EXPLICIT partition
+    * count (r15, measured): `repartition(col)` alone is
+    * REPARTITION_BY_COL, one of the shuffle origins AQE's
+    * byte-based coalescing may rewrite — and a bytes-small
+    * compute-dense frame (shingle explode, n-gram scoring, n² vector
+    * scoring) coalesces to 1-2 partitions at bench SFs
+    * (parallelismFirst targets max(bytes/parallelism, 1 MB), and
+    * these frames are ~1 MB), putting the heavy map back on one core
+    * — the exact regression the width repartition exists to prevent
+    * (text_dup_spans: every heavy stage measured tasks=1 at sf0.1).
+    * REPARTITION_BY_NUM is never coalesced; defaultParallelism
+    * scales with the deployment. Only for per-row-HEAVY maps — AQE's
+    * coalescing is the right default everywhere else. */
+  def widen(df: org.apache.spark.sql.DataFrame,
+            key: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
             appName: String = "graft"): SparkSession = {
     val spark = SparkSession

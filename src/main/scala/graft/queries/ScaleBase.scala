@@ -22,5 +22,9 @@ private[queries] trait ScaleBase {
     * [[t]] (an unconditional shuffle would tax every cheap query). */
   protected def tw(s: SparkSession, d: String, n: String,
                  key: String): DataFrame =
-    t(s, d, n).repartition(col(key))
+    // explicit count via Sessions.widen (r15): repartition(col) is
+    // AQE-coalescible, and at bench SFs the ~1 MB shuffle coalesced
+    // back to ONE partition — exactly the single-core heavy map this
+    // helper exists to prevent
+    graft.Sessions.widen(t(s, d, n), col(key))
 }

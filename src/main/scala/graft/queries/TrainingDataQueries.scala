@@ -41,7 +41,7 @@ object TrainingDataQueries {
     // a single core. A ~20 MB shuffle buys 32-way parallelism for
     // the dominant cost (measured at the sf1 soak: the single-task
     // plan was the floor under every regex-count optimization).
-    val base = withPii(docs(s, d).repartition(col("doc_id")))
+    val base = withPii(graft.Sessions.widen(docs(s, d), col("doc_id")))
     // guarded per-class passes throughout (r8): a combined-alternation
     // fold was tried first and MEASURED SLOWER (23.9 s vs 12.0 s at
     // sf1 — see TrainingData.piiGuard); the cheap exact guards skip
@@ -291,7 +291,7 @@ object TrainingDataQueries {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     // width-before-weight (see ScaleQueries.tw): k-gram span explode
     // over a one-file scan partition runs single-core without this
-    TrainingData.duplicatedSpans(docs(s, d).repartition(col("doc_id")),
+    TrainingData.duplicatedSpans(graft.Sessions.widen(docs(s, d), col("doc_id")),
       "doc_id", "text", k = 8)
 
   val dupSpansOracle: String =
@@ -580,7 +580,7 @@ object TrainingDataQueries {
     * flags the ~90-doc tail, exercising both branches). */
   def contamination(s: SparkSession, d: String): DataFrame = {
     // width-before-weight (see ScaleQueries.tw) for the shingle build
-    val all = docs(s, d).repartition(col("doc_id"))
+    val all = graft.Sessions.widen(docs(s, d), col("doc_id"))
     TrainingData.contamination(
       all.filter(col("source") =!= "src19"),
       all.filter(col("source") === "src19"),

@@ -172,7 +172,12 @@ object Dedup {
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
-    val prefix = inv.join(dfreq, Seq("h"))
+    // widen (r15): the rarity window's own exchange AQE-coalesces to
+    // 1-2 partitions at ~MB posting sizes, and the candidate join +
+    // verify fan-out above it then runs 2 tasks (measured 2.8 s of
+    // this row) — explicit-count repartition on the window key pins
+    // full width at no extra exchange (it REPLACES the window's)
+    val prefix = graft.Sessions.widen(inv.join(dfreq, Seq("h")), col(idCol))
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <=
         col("sz") - ceil(col("sz") * lit(minContainment) - lit(0.5)) + 1)
@@ -224,7 +229,9 @@ object Dedup {
     val dfreq = inv.groupBy("h").agg(count(lit(1)).as("df"))
     val byRarity = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("df").asc, col("h").asc)
-    val prefix = inv.join(dfreq, Seq("h"))
+    // widen — see containmentPairs (r15): pins the candidate join's
+    // width; replaces the window's own exchange, adds none
+    val prefix = graft.Sessions.widen(inv.join(dfreq, Seq("h")), col(idCol))
       .withColumn("rnk", row_number().over(byRarity))
       .filter(col("rnk") <=
         col("sz") - ceil(col("sz") * lit(minJaccard)) + 1)

@@ -59,8 +59,10 @@ object Similarity {
   def knnBrute(emb: DataFrame, idCol: String, vecCol: String,
                queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(prepped(queries, idCol, vecCol, "query"))
-    val n = prepped(emb, idCol, vecCol, "neighbor")
-      .repartition(col("neighbor_id"))
+    // Sessions.widen: explicit count, or AQE byte-coalescing undoes
+    // the fan-out at bench SFs (r15)
+    val n = graft.Sessions.widen(prepped(emb, idCol, vecCol, "neighbor"),
+      col("neighbor_id"))
     val scored = n.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", pairCos("query", "neighbor"))
@@ -78,7 +80,8 @@ object Similarity {
     * first buckets with `lshBucket` and runs this per bucket. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double): DataFrame = {
-    val l = prepped(emb, idCol, vecCol, "a").repartition(col("a_id"))
+    val l = graft.Sessions.widen(prepped(emb, idCol, vecCol, "a"),
+      col("a_id")) // explicit count — see Sessions.widen (r15)
     val r = prepped(emb, idCol, vecCol, "b")
     l.crossJoin(r)
       .filter(col("a_id") < col("b_id"))
@@ -1922,7 +1925,8 @@ object Similarity {
         .withColumn(s"${as}qn",
           sqrt(Sq8.intDot(col(s"${as}q"), col(s"${as}q")).cast("double")))
         .filter(col(s"${as}qn") > 0)
-    val n = coded(emb, "neighbor").repartition(col("neighbor_id"))
+    val n = graft.Sessions.widen(coded(emb, "neighbor"),
+      col("neighbor_id")) // explicit count — see Sessions.widen (r15)
     val q = broadcast(coded(queries, "query"))
     val approx = n.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))

@@ -30,11 +30,7 @@ object Sinks {
     * single-task, and the heavy per-row work above it (SQ8/PQ
     * scoring, seed joins) inherits parallelism 1 however many cores
     * the cluster has (measured r15: the knn-graph seed stage ran 2
-    * tasks of ~2 s off a 2-file memo on local[32]). File count =
-    * max(defaultParallelism, bytes/targetFileBytes): small artifacts
-    * get one split per core (the floor that matters for hot serving
-    * scans), terabyte artifacts get ~target-sized files — both ends
-    * scale with the deployment instead of hard-coding either.
+    * tasks of ~2 s off a 2-file memo on local[32]).
     * File count = defaultParallelism exactly: it scales with the
     * cluster (a 3,200-core deployment writes 3,200 files — for a
     * 1 TB cell table that is ~320 MB each, inside the healthy

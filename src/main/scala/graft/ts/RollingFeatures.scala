@@ -48,7 +48,7 @@ object RollingFeatures {
       .select(col(groupCol).cast("long").as("g") +:
         col(idCol).cast("long").as("id") +:
         col(valueCol).cast("double").as("x") +: orderCols: _*)
-      .repartition(col("g"))
+      .transform(graft.Sessions.widen(_, col("g"))) // explicit count (r15)
       .sortWithinPartitions(col("g") +: orderCols: _*)
       .select("g", "id", "x")
       .as[(Long, Long, Double)]
@@ -95,7 +95,7 @@ object RollingFeatures {
       .select(col(groupCol).cast("long").as("g") +:
         col(idCol).cast("long").as("id") +:
         col(valueCol).cast("double").as("x") +: orderCols: _*)
-      .repartition(col("g"))
+      .transform(graft.Sessions.widen(_, col("g"))) // explicit count (r15)
       .sortWithinPartitions(col("g") +: orderCols: _*)
       .select("g", "id", "x")
       .as[(Long, Long, Double)]
@@ -149,7 +149,7 @@ object RollingFeatures {
         col(idCol).cast("long").as("id") +:
         col(valueCol).cast("double").as("x") +:
         col("mu") +: orderCols: _*)
-      .repartition(col("g"))
+      .transform(graft.Sessions.widen(_, col("g"))) // explicit count (r15)
       .sortWithinPartitions(col("g") +: orderCols: _*)
       .select("g", "id", "x", "mu")
       .as[(Long, Long, Double, Double)]
