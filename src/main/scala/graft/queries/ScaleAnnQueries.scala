@@ -544,12 +544,12 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // the caller's `tag` (e.g. the derived nList, so a sizing-rule
     // change invalidates too) — and rebuild on mismatch.
     val src = new java.io.File(s"$d/embeddings.parquet")
-    // "files=scan-sized" (r15): layout version in the stamp — memos
+    // "files=scan-sized-v3" (r15): layout version in the stamp — memos
     // written by the old 1-file writer rebuild once under the
     // scan-sized writer (Sinks.writeScanSized) instead of serving
     // single-task scans forever
     val fingerprint =
-      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized")
+      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized-v3")
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/cells/_SUCCESS").exists &&
       stampFile.exists && {
@@ -606,7 +606,7 @@ private[queries] trait ScaleAnnQueries extends ScaleBase {
     // layout version — see ivfLoadOrBuild: old 1-file memos rebuild
     // once under the scan-sized writer
     val fingerprint =
-      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized")
+      graft.sources.Artifacts.contentFingerprint(src, s"$tag files=scan-sized-v3")
     val stampFile = new java.io.File(s"$dir/source_fingerprint.txt")
     val fresh = new java.io.File(s"$dir/df/_SUCCESS").exists &&
       stampFile.exists &&

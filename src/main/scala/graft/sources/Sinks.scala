@@ -23,28 +23,64 @@ object Sinks {
                    mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).parquet(path)
 
-  /** Index/memo artifact writer sized for the READ side (guide §6 +
-    * §2.5 input-skew): a parquet file written from a narrow plan
-    * arrives as ONE file with ONE row group, and a row group is
-    * unsplittable — every later scan of the memo then runs
-    * single-task, and the heavy per-row work above it (SQ8/PQ
-    * scoring, seed joins) inherits parallelism 1 however many cores
-    * the cluster has (measured r15: the knn-graph seed stage ran 2
-    * tasks of ~2 s off a 2-file memo on local[32]).
-    * File count = defaultParallelism exactly: it scales with the
-    * cluster (a 3,200-core deployment writes 3,200 files — for a
-    * 1 TB cell table that is ~320 MB each, inside the healthy
-    * range), and pre-write size ESTIMATES are not usable here —
-    * `optimizedPlan.stats.sizeInBytes` on a build plan (union +
-    * explode + transform) measured 4 orders of magnitude high and
-    * sized a 5 MB memo at 33,009 files, which then cost 12 s/scan in
-    * listing + footer reads. A deployment that wants strict
-    * 128 MB–1 GB files compacts the written artifact afterwards with
-    * [[compact]], which sizes from the scan's REAL statistics. */
+  /** Index/memo artifact writer with scan-ready file sizing (guide
+    * §6 + §2.5): a memo written with the build plan's natural
+    * partitioning lands as 1-2 unsplittable row groups, so every
+    * later scan — and the per-row compute directly above it — runs
+    * 1-2 tasks. File count is sized from the WRITTEN artifact's real
+    * row count and bytes (pre-write plan estimates are unusable:
+    * `optimizedPlan.stats.sizeInBytes` on a union+explode build plan
+    * measured 4 orders of magnitude high and sized a 5 MB memo at
+    * 33,009 files):
+    *
+    *   files = max( min(defaultParallelism, rows / minRowsPerFile),
+    *                bytes / targetFileBytes )   (floor 1)
+    *
+    * The rows term gives a hot small artifact one split per core but
+    * never slices below `minRowsPerFile` (default 2,048 ≈ 1-2 MB of
+    * dim-64 vectors ≈ the point where a task's scan+compute clears
+    * its scheduling overhead — measured both directions at r15: an
+    * unconditional 32-file layout cost the kilobyte prebuilt-search
+    * memos +0.3-0.6 s/row in listing/footer/task overhead, while a
+    * 1-file layout cost the 8.5k-row planted seed corpus ~1.4 s of
+    * lost scan width). The bytes term takes over at scale:
+    * terabyte artifacts get ~targetFileBytes files regardless of the
+    * core cap. Conf knobs: spark.graft.memo.minRowsPerFile,
+    * spark.graft.memo.targetFileBytes. Builds are rare and memoized,
+    * so the resize rewrite is off the query path; the row count
+    * comes from parquet footers (no data recompute). */
   def writeScanSized(df: DataFrame, path: String,
-                     mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .write.mode(mode).parquet(path)
+                     mode: SaveMode = SaveMode.Overwrite): Unit = {
+    df.write.mode(mode).parquet(path)
+    val spark = df.sparkSession
+    val sc = spark.sparkContext
+    val minRows = spark.conf.getOption("spark.graft.memo.minRowsPerFile")
+      .map(_.toLong).getOrElse(2048L)
+    val target = spark.conf.getOption("spark.graft.memo.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    val back = spark.read.parquet(path)
+    val rows = back.count() // parquet footer metadata, not a data scan
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(sc.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hp).getLength
+    val files = math.max(1L, math.max(
+      math.min(sc.defaultParallelism.toLong, rows / minRows),
+      (bytes + target - 1) / target)).toInt
+    val current = back.inputFiles.length
+    if (current != files) {
+      // resize via tmp + checked renames (the [[compact]] swap rule:
+      // data always exists under SOME path; memo stamps are written
+      // by callers AFTER this returns, so a crash mid-swap leaves a
+      // stampless dir → rebuild, never a half-resized "fresh" memo)
+      val tmp = new org.apache.hadoop.fs.Path(path + "_resize")
+      if (fs.exists(tmp)) require(fs.delete(tmp, true), s"cannot clear $tmp")
+      val resized =
+        if (files < current) back.coalesce(files) else back.repartition(files)
+      resized.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      require(fs.delete(hp, true), s"cannot remove $path for resize")
+      require(fs.rename(tmp, hp), s"rename $tmp -> $path failed")
+    }
+  }
 
   /** Hive-style partitioned layout: `path/col=value/part-*.parquet`.
     * `filesPerPartition` bounds output files via a pre-shuffle on the
