@@ -85,6 +85,69 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("size-ordered probe + index prefix: containment and jaccard equal " +
+    "naive on adversarial random corpora") {
+    // stresses the r15 candidate pruning: tiny vocabulary (degenerate
+    // document frequencies), many equal-size docs (orientation tie
+    // path), and size skew (short-doc-in-long-doc containment); any
+    // over-pruning surfaces as a missing pair vs the all-pairs scan
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val vocab = (1 to 10).map(i => s"w$i")
+      val docs = (1 to 50).map { id =>
+        val len = 2 + rnd.nextInt(14)
+        (id.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sh = docs.select(col("doc_id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val pairsBase = sh.select(col("doc_id").as("a"), col("sh").as("sh_a"))
+        .crossJoin(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")))
+        .filter(col("a") < col("b"))
+        .withColumn("common",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      for (t <- Seq(0.6, 0.9)) {
+        val gotC = Dedup.containmentPairs(docs, "doc_id", "text",
+          shingleK = 2, minContainment = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val naiveC = pairsBase
+          .withColumn("containment", round(col("common") /
+            least(size(col("sh_a")), size(col("sh_b"))), 6))
+          .filter(col("containment") >= t)
+          .select("a", "b", "containment")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(gotC == naiveC, s"containment trial $trial threshold $t")
+        val gotJ = Dedup.exactJaccardPairs(docs, "doc_id", "text",
+          shingleK = 2, minJaccard = t)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val naiveJ = pairsBase
+          .withColumn("jaccard", round(col("common") /
+            size(array_union(col("sh_a"), col("sh_b"))), 6))
+          .filter(col("jaccard") >= t)
+          .select("a", "b", "jaccard")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(gotJ == naiveJ, s"jaccard trial $trial threshold $t")
+      }
+    }
+  }
+
+  test("jaccard index prefix: boundary pair whose shared shingles sit at " +
+    "the END of the rarity order is still found") {
+    // |A| = 4 bigrams ⊂ |B| = 5 bigrams, J = 4/5 = 0.8 exactly; pad
+    // docs make the shared shingles the COMMONEST (df-largest), so
+    // they sort last and the candidate must come from the shortest
+    // admissible index prefix — the spot the r15 pruning touches
+    val a = "s1 s2 s3 s4 s5" // bigrams s1s2 s2s3 s3s4 s4s5
+    val b = "s1 s2 s3 s4 s5 s6" // adds s5s6
+    val pads = (1 to 6).map(i => (10L + i, s"s$i s${i + 1} pad$i"))
+    val df = (Seq((1L, a), (2L, b)) ++ pads).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardPairs(df, "doc_id", "text",
+      shingleK = 2, minJaccard = 0.8)
+      .filter(col("a") === 1L && col("b") === 2L).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(2) == 0.8)
+  }
+
   test("minhash near-dups finds a planted near-duplicate pair, not the distinct one") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 28).map(i => s"tok$i").mkString(" ") + " other1 other2"
