@@ -311,7 +311,13 @@ object StreamingQueries {
     var staged: List[java.nio.file.Path] = Nil
     try {
       val batchEv = graft.sources.Tables.load(s, d, "events")
-      val maxUs = batchEv.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // one scan for both driver-side scalars (r15: was two separate
+      // jobs — max ts for the sentinel, HLL keys for the state
+      // partition count; same aggregates, same values, one pass)
+      val hdr = batchEv.agg(max(unix_micros(col("ts"))),
+        approx_count_distinct(col("user_id"))).head()
+      val maxUs = hdr.getLong(0)
+      val keys = hdr.getLong(1)
       val expectTotal = graft.queries.Events.sessionize(s, d)
         .agg(sum(col("n_sessions"))).head().getLong(0)
       // stage: the events parquet + one sentinel flush row whose ts
@@ -362,7 +368,6 @@ object StreamingQueries {
       val dst = new java.io.File(dir.toFile, "zz_flush.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
       val ev = EventsStream.readEvents(s, dir.toString)
-      val keys = approxKeys(batchEv, col("user_id"))
       val parts = statePartitionsFor(s, keys)
       val pKey = "spark.sql.shuffle.partitions"
       val pPrev = s.conf.get(pKey)
@@ -374,12 +379,15 @@ object StreamingQueries {
           .outputMode("append").start()
         // event-time timers fire in the no-data batch AFTER the
         // watermark advances — processAllAvailable can return before
-        // it, so poll the sink against the known batch total
+        // it, so poll the sink against the known batch total. 50 ms
+        // grain (r15): the sink count is a driver-local memory-table
+        // scan, so a finer poll costs ~nothing and shaves the
+        // up-to-250 ms post-completion wait the old grain added.
         val deadline = System.currentTimeMillis() + 120000L
         var drained = -1L
         while (drained < expectTotal &&
           System.currentTimeMillis() < deadline) {
-          Thread.sleep(250L)
+          Thread.sleep(50L)
           drained = s.table("st_ets")
             .filter(col("user_id") =!= sentinelUser).count()
         }
