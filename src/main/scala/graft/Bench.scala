@@ -37,6 +37,8 @@ object Bench {
     // host speed (r12: five phantom 1.7-3.2x "regressions", all host
     // drift, each needing a manual worktree A/B to dismiss)
     val canaryCpuSec = graft.tools.HostCanary.cpu()
+    val canaryVecSec = graft.tools.HostCanary.vec()
+    val canaryCpuParSec = graft.tools.HostCanary.cpuPar()
     val (canaryScanFirstSec, canaryScanSec) =
       graft.tools.HostCanary.scanBoth(spark, sfDir)
 
@@ -80,7 +82,7 @@ object Bench {
     val total = results.map(_._2).sum
     val skippedJson = skipped.map("\"" + _.name + "\"").mkString("[", ",", "]")
     val canaryJson =
-      f"""{"cpu_sec":$canaryCpuSec%.3f,"scan_sec":$canaryScanSec%.3f,"scan_first_sec":$canaryScanFirstSec%.3f}"""
+      f"""{"cpu_sec":$canaryCpuSec%.3f,"cpu_par_sec":$canaryCpuParSec%.3f,"vec_sec":$canaryVecSec%.3f,"scan_sec":$canaryScanSec%.3f,"scan_first_sec":$canaryScanFirstSec%.3f}"""
     val full =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","canary":$canaryJson,"queries":$qs,"skipped":$skippedJson,"sf":"$sfDir"}"""
     java.nio.file.Files.write(

@@ -41,8 +41,10 @@ object BenchWarm {
     // host-speed canary ([[HostCanary]]) emitted with the artifact:
     // deltas vs a prior round normalize against the sitting's speed
     val canaryCpuSec = HostCanary.cpu()
+    val canaryVecSec = HostCanary.vec()
+    val canaryCpuParSec = HostCanary.cpuPar()
     val (canaryScanFirstSec, canaryScanSec) = HostCanary.scanBoth(spark, sfDir)
-    println(f"BENCHWARM canary cpu=$canaryCpuSec%6.2f scan=$canaryScanSec%6.2f scan_first=$canaryScanFirstSec%6.2f")
+    println(f"BENCHWARM canary cpu=$canaryCpuSec%6.2f cpu_par=$canaryCpuParSec%6.2f vec=$canaryVecSec%6.2f scan=$canaryScanSec%6.2f scan_first=$canaryScanFirstSec%6.2f")
     val selected = Registry.all.filterNot(_.benchSkip)
       .filter(q => only.forall(_.contains(q.name)))
     val results = selected.map { q =>
@@ -92,7 +94,7 @@ object BenchWarm {
       f"""{
          |  "sf": "$sfDir",
          |  "reps": $reps,
-         |  "canary": {"cpu_sec": $canaryCpuSec%.3f, "scan_sec": $canaryScanSec%.3f, "scan_first_sec": $canaryScanFirstSec%.3f},
+         |  "canary": {"cpu_sec": $canaryCpuSec%.3f, "cpu_par_sec": $canaryCpuParSec%.3f, "vec_sec": $canaryVecSec%.3f, "scan_sec": $canaryScanSec%.3f, "scan_first_sec": $canaryScanFirstSec%.3f},
          |  "canary_ref": {"cpu_sec": $RefCanaryCpuSec%.3f, "scan_sec": $RefCanaryScanSec%.3f},
          |  "host_index": $hostIndex%.3f,
          |  "normalized_total": ${total / hostIndex}%.3f,

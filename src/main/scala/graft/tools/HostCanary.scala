@@ -36,6 +36,93 @@ object HostCanary {
     dt
   }
 
+  /** Parallel-throughput probe (r15 final sitting): identical-code
+    * driver-bench totals swung 152.6 ↔ 167.3 s within one sitting
+    * while cpu/vec/scan canaries all read CLEAN — and the host showed
+    * load-average 5+ with none of our processes running, i.e. the
+    * sandbox shares cores with external tenants. A single-thread
+    * canary gets one full core and cannot see that steal; a 32-wide
+    * stage loses proportionally. This probe runs the same xorshift
+    * mix on every available core simultaneously (fixed per-thread
+    * work = half of one `cpu()` probe, so ideal wall ≈ cpu_sec / 2
+    * at full parallelism) and reports wall seconds — under external load it degrades in
+    * proportion to the steal the QUERIES feel. Emitted as
+    * `cpu_par_sec`; host_index methodology unchanged. */
+  def cpuPar(): Double = {
+    val threads = Runtime.getRuntime.availableProcessors()
+    def mix(iters: Long, seed: Long): Long = {
+      var x = seed
+      var acc = 0L
+      var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x
+        i += 1
+      }
+      acc
+    }
+    val perThread = 200000000L
+    // JIT warm on one thread (cpu() usually ran first and warmed the
+    // same loop shape, but stay self-contained)
+    val warm = mix(5000000L, 1L)
+    val accs = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        accs.addAndGet(mix(perThread, 0x9E3779B97F4A7C15L + t))
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (accs.get() == 42L && warm == 43L) println("canary collision")
+    dt
+  }
+
+  /** Vector-throughput probe (r15 final sitting): the embeddings-row
+    * cluster (knn_*, dedup_semantic, emb_*) drifted 1.5-2.2× between
+    * two sittings with IDENTICAL bytecode while both `cpu` and `scan`
+    * read clean — their cost is streaming fp dot-products, a
+    * memory-bandwidth + SIMD resource neither probe touches. This
+    * one does: 20 passes of chunked dot-products over a 128 MB double
+    * buffer (JIT-warmed by one untimed pass), single thread. Emitted
+    * as `vec_sec` alongside the others; host_index methodology is
+    * UNCHANGED (cross-round comparability) — vec_sec rides along so
+    * the next vector-cluster drift can be normalized instead of
+    * adjudicated. */
+  def vec(): Double = {
+    val n = 16 * 1024 * 1024 // doubles; 128 MB, far past LLC
+    val a = new Array[Double](n)
+    var i = 0
+    var x = 0x9E3779B97F4A7C15L
+    while (i < n) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      a(i) = java.lang.Double.longBitsToDouble(
+        (x & 0x000FFFFFFFFFFFFFL) | 0x3FF0000000000000L) // [1, 2)
+      i += 1
+    }
+    def pass(): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < n - 64) {
+        var k = 0
+        var dot = 0.0
+        while (k < 64) { dot += a(j + k) * a(j + k + 1); k += 1 }
+        acc += dot
+        j += 64
+      }
+      acc
+    }
+    val warm = pass()
+    val t0 = System.nanoTime()
+    var p = 0
+    var acc = 0.0
+    while (p < 20) { acc += pass(); p += 1 }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == -1.0 && warm == -2.0) println("canary collision") // defeat DCE
+    dt
+  }
+
   def scan(spark: org.apache.spark.sql.SparkSession,
            sfDir: String): Double = scanBoth(spark, sfDir)._2
 
