@@ -27,4 +27,24 @@ private[queries] trait ScaleBase {
     // back to ONE partition — exactly the single-core heavy map this
     // helper exists to prevent
     graft.Sessions.widen(t(s, d, n), col(key))
+
+  /** Exact micro-units (×1e6) of a double already on the 1e-6 grid
+    * (i.e. produced by a per-row `round(x, 6)`). The value is within
+    * ~1e-9 of an integer after scaling, so the round/cast recovers
+    * the grid integer exactly and identically in Spark and DuckDB. */
+  protected def micro6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * lit(1000000.0), 0).cast("long")
+
+  /** `round(avg(x), 6)` of 1e-6-grid values via EXACT integer
+    * arithmetic: round-half-up of the rational mean, computed as
+    * `(2·Σmicro + n) DIV (2·n)` micro-units. A float `avg` over grid
+    * values lands exactly on the half-rounding boundary whenever
+    * n ∤ Σmicro but 2n | 2Σmicro+n — common by construction, and then
+    * the 6th decimal depends on float-summation ORDER, i.e. on the
+    * partition layout / core count (the r15 docs_clean_pipeline hash
+    * regression). Integer arithmetic is order-free: the same value at
+    * any core count, and bit-identical to the DuckDB oracle's mirror
+    * expression. Only for columns the driver hash-gates. */
+  protected def microMean6(sumMicroCol: String, nCol: String): org.apache.spark.sql.Column =
+    expr(s"CAST((2 * $sumMicroCol + $nCol) DIV (2 * $nCol) AS DOUBLE) / 1000000.0")
 }

@@ -34,11 +34,19 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     val withCols = TextAnalysis.qualityColumns(col("text"))
       .foldLeft(docs) { case (df, (name, c)) => df.withColumn(name, c) }
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    // The three averaged columns are per-row round(…, 6) grid values:
+    // exact micro-unit accumulation (see ScaleBase.microMean6) instead
+    // of round(avg(double)) so the result cannot depend on float
+    // summation order (= partition layout / core count).
     withCols.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
-      round(avg(col("alpha_ratio")), 6).as("avg_alpha"),
-      round(avg(col("stopword_ratio")), 6).as("avg_stopword"),
-      round(avg(col("quality")), 6).as("avg_quality"))
+      sum(micro6(col("alpha_ratio"))).as("_sa"),
+      sum(micro6(col("stopword_ratio"))).as("_ss"),
+      sum(micro6(col("quality"))).as("_sq"))
+      .select(col("source"), col("n_docs"),
+        microMean6("_sa", "n_docs").as("avg_alpha"),
+        microMean6("_ss", "n_docs").as("avg_stopword"),
+        microMean6("_sq", "n_docs").as("avg_quality"))
   }
 
   val textQualityOracle: String = {
@@ -63,9 +71,12 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
        |      LEAST(1.0, stopword_ratio * 5.0) * 0.3, 6) AS quality
        |  FROM r)
        |SELECT source, COUNT(*) AS n_docs,
-       |  ROUND(AVG(alpha_ratio), 6) AS avg_alpha,
-       |  ROUND(AVG(stopword_ratio), 6) AS avg_stopword,
-       |  ROUND(AVG(quality), 6) AS avg_quality
+       |  CAST((2 * SUM(CAST(ROUND(alpha_ratio * 1000000.0, 0) AS BIGINT)) + COUNT(*))
+       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_alpha,
+       |  CAST((2 * SUM(CAST(ROUND(stopword_ratio * 1000000.0, 0) AS BIGINT)) + COUNT(*))
+       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_stopword,
+       |  CAST((2 * SUM(CAST(ROUND(quality * 1000000.0, 0) AS BIGINT)) + COUNT(*))
+       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_quality
        |FROM s GROUP BY source""".stripMargin
   }
 
@@ -830,10 +841,17 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
       .filter(col("quality") >= 0.5 && col("pred_lang") === col("lang"))
       .select("doc_id", "source", "quality", "fp")
     val keep = docs.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+    // quality is a per-row round(…, 6) grid value: exact micro-unit
+    // accumulation (ScaleBase.microMean6) instead of round(avg(double))
+    // — the r15 regression was THIS column's 6th decimal flipping with
+    // the float-summation order once tw's widen put defaultParallelism
+    // into the plan (gate data has exact half-ties by construction).
     docs.join(keep, Seq("fp", "doc_id"), "left_semi")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("quality")), 6).as("avg_quality"))
+        sum(micro6(col("quality"))).as("_sq"))
+      .select(col("source"), col("n_docs"),
+        microMean6("_sq", "n_docs").as("avg_quality"))
   }
 
   val docsCleanPipelineOracle: String = {
@@ -872,7 +890,8 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
        |dedup AS (
        |  SELECT fp, MIN(doc_id) AS doc_id FROM kept GROUP BY fp)
        |SELECT source, COUNT(*) AS n_docs,
-       |  ROUND(AVG(quality), 6) AS avg_quality
+       |  CAST((2 * SUM(CAST(ROUND(quality * 1000000.0, 0) AS BIGINT)) + COUNT(*))
+       |    // (2 * COUNT(*)) AS DOUBLE) / 1000000.0 AS avg_quality
        |FROM kept JOIN dedup USING (fp, doc_id)
        |GROUP BY source""".stripMargin
   }
