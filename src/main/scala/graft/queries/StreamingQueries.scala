@@ -316,6 +316,10 @@ object StreamingQueries {
       // partition count; same aggregates, same values, one pass)
       val hdr = batchEv.agg(max(unix_micros(col("ts"))),
         approx_count_distinct(col("user_id"))).head()
+      // max(ts) is NULL on an empty events table — fail with a clear
+      // message instead of an NPE from getLong (ADVICE r15)
+      require(!hdr.isNullAt(0),
+        s"stream_ets_sessions: events table at $d is empty (max ts is null)")
       val maxUs = hdr.getLong(0)
       val keys = hdr.getLong(1)
       val expectTotal = graft.queries.Events.sessionize(s, d)

@@ -66,17 +66,26 @@ object HostCanary {
     // same loop shape, but stay self-contained)
     val warm = mix(5000000L, 1L)
     val accs = new java.util.concurrent.atomic.AtomicLong()
+    // r16 (ADVICE): a worker that dies (OOM, stack overflow) would
+    // otherwise make join() return early and report an artificially
+    // FAST wall — poisoning the drift-normalization index. Count
+    // failures and return the -1.0 sentinel instead of a bogus time.
+    val failures = new java.util.concurrent.atomic.AtomicInteger()
     val t0 = System.nanoTime()
     val ts = (0 until threads).map { t =>
       val th = new Thread(() => {
         accs.addAndGet(mix(perThread, 0x9E3779B97F4A7C15L + t))
+      })
+      th.setUncaughtExceptionHandler((_, e) => {
+        failures.incrementAndGet()
+        System.err.println(s"[canary] cpuPar worker died: $e")
       })
       th.start(); th
     }
     ts.foreach(_.join())
     val dt = (System.nanoTime() - t0) / 1e9
     if (accs.get() == 42L && warm == 43L) println("canary collision")
-    dt
+    if (failures.get() > 0) -1.0 else dt
   }
 
   /** Vector-throughput probe (r15 final sitting): the embeddings-row
@@ -104,6 +113,11 @@ object HostCanary {
     def pass(): Double = {
       var acc = 0.0
       var j = 0
+      // deliberate tail skip (ADVICE r15, documented not changed): the
+      // final 64-element chunk would read a(n) out of bounds with this
+      // chunk shape; the work is fixed and identical across runs, and
+      // changing the loop bound would break vec_sec comparability with
+      // the r15 artifacts for a 0.0004% coverage difference.
       while (j < n - 64) {
         var k = 0
         var dot = 0.0
