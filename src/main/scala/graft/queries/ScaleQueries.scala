@@ -670,12 +670,17 @@ object ScaleQueries extends ScaleBase with ScaleAnnQueries with ScaleEmbedQuerie
     * checkpoint-pinned because it feeds ≥2 consumers (the stage
     * filter and the stage count). */
   def docsCurationE2e(s: SparkSession, d: String): DataFrame = {
-    // deliberately NOT width-repartitioned ([[tw]]): measured at the
-    // sf1 soak, the extra exchange under the checkpoint-pinned stage
-    // chain costs more than the map work it parallelizes here
-    // (9.4 s vs 7.0 s min-of-3) — this row's time is stage
-    // composition, not a single heavy scan map
-    val docs = t(s, d, "documents")
+    // r16 re-A/B (verdict #3): the r14 sf1 soak rejected a width
+    // repartition here (9.4 vs 7.0 s), but that A/B used the
+    // pre-r15 repartition(col) form, which AQE byte-coalesced back
+    // to 1-2 partitions — the exchange was paid and the width never
+    // arrived. With the explicit-count widen the profile's ~3 s of
+    // 1-2-task stages (gopher tokenize, span build feeding the
+    // checkpoints) parallelize: same-sitting solo A/B 4.49 → 4.01 s
+    // at 32 cores, 5.08 → 4.75 s at 8 (the tokenize stage now runs
+    // 32 tasks in the profile; residual time is the 34-job
+    // stage-composition floor), oracle green.
+    val docs = tw(s, d, "documents", "doc_id")
     val gated = graft.scaleops.TrainingData
       .gopherGate(docs, "doc_id", "text", minTokens = 10)
       .filter(col("passed"))
