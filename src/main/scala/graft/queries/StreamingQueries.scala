@@ -36,10 +36,33 @@ object StreamingQueries {
       s: SparkSession, parts: Int)(
       start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val key = "spark.sql.shuffle.partitions"
+    // r16 (verdict #5): every row below emits its full result in the
+    // DATA batches — complete-mode aggregations emit everything at the
+    // last data batch; append-mode dedup/join/transformWithState rows
+    // emit on arrival (none registers an event-time timer; the one row
+    // that does, stream_ets_sessions, manages its own start and keeps
+    // no-data batches ON). The trailing no-data micro-batch only
+    // advances the watermark to evict state that is about to be thrown
+    // away anyway — but it pays a full cycle of per-batch machinery
+    // (planning, state-store open/commit per partition, offset+commit
+    // log writes). Skipping it is output-identical for these rows
+    // (oracle re-verified) and removes one of the 2-3 micro-batches
+    // each ~2 s row runs. On an unbounded production stream the
+    // trigger never ends, so the flag is irrelevant there — this is
+    // bounded-replay teardown cost only.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val ndPrev = s.conf.getOption(ndKey)
     s.conf.set(key, parts.toString)
+    s.conf.set(ndKey, "false")
     try start.awaitTermination()
-    finally s.conf.set(key, prev)
+    finally {
+      s.conf.set(key, prev)
+      ndPrev match {
+        case Some(v) => s.conf.set(ndKey, v)
+        case None => s.conf.unset(ndKey)
+      }
+    }
   }
 
   /** Keys each state partition should carry: every partition opens,
